@@ -1,0 +1,112 @@
+"""Batched FM-index primitives in JAX (jnp; XLA fuses these well).
+
+These are the TPU re-expression of bowtie's hot loop:
+- rank1/rank4      <-> countUpTo / countUpToEx + countFw/BwSide
+                       (ebwt.h:1897,1963,2034,2136) — checkpoint + in-
+                       register 2-bit popcounts instead of a side scan
+- lf / lf4         <-> mapLF / mapLFEx (ebwt.h:2334-2560)
+- ftab_jump        <-> ftabHi/ftabLo 10-char dispatch (ebwt.h:971-1034)
+- bwt_char         <-> rowL (ebwt.h:1696)
+
+All functions operate on int32 row indices and are shaped for vmap over
+a read batch.  A Pallas kernel variant lives in ops/pallas_fm.py for the
+latency-critical inner loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..index.arrays import FMIndexArrays, OCC_BLOCK, WORDS_PER_BLOCK
+
+# XOR patterns turning "word has code c in lane j" into 0b00 in lane j
+# (analog of c_table, ebwt.h:55-60)
+_CHAR_PATTERNS = jnp.array(
+    [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=jnp.uint32)
+_LANE_EVEN = jnp.uint32(0x55555555)
+
+
+def _count_matches_in_word(word: jnp.ndarray, c: jnp.ndarray,
+                           nlanes: jnp.ndarray) -> jnp.ndarray:
+    """# of lanes j < nlanes of `word` equal to code c.  nlanes in [0,16]."""
+    x = word ^ _CHAR_PATTERNS[c]
+    # lane matches iff both bits zero after xor
+    m = jnp.bitwise_not(x)
+    hits = m & (m >> 1) & _LANE_EVEN
+    # mask off lanes >= nlanes: keep low 2*nlanes bits.  Clip the shift
+    # to stay < 32 (shift-by-32 is undefined), then zero the n<=0 case.
+    shift = (32 - 2 * jnp.clip(nlanes, 1, 16)).astype(jnp.uint32)
+    keep = jnp.where(nlanes <= 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF) >> shift)
+    return jax.lax.population_count(hits & keep).astype(jnp.int32)
+
+
+def rank1(fm: FMIndexArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """Occ(c, i): occurrences of code c in BWT rows [0, i).
+
+    '$' correction per countFwSide (ebwt.h:2044-2052): the '$' row is
+    stored as code 0; subtract it from A-counts when i > zoff.
+    """
+    i = i.astype(jnp.int32)
+    block = i // OCC_BLOCK
+    base = fm.occ[block, c]
+    w0 = block * WORDS_PER_BLOCK
+    rem = i - block * OCC_BLOCK            # rows past the checkpoint [0,128)
+    words = jax.lax.dynamic_slice_in_dim(fm.bwt, w0, WORDS_PER_BLOCK)
+    lanes_per_word = rem - 16 * jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    nlanes = jnp.clip(lanes_per_word, 0, 16)
+    cnt = base + _count_matches_in_word(words, c, nlanes).sum()
+    corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0)
+    return cnt - corr
+
+
+def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """Occ(c, i) for all four codes at once (countUpToEx analog)."""
+    i = i.astype(jnp.int32)
+    block = i // OCC_BLOCK
+    base = fm.occ[block]                                   # [4]
+    w0 = block * WORDS_PER_BLOCK
+    rem = i - block * OCC_BLOCK
+    words = jax.lax.dynamic_slice_in_dim(fm.bwt, w0, WORDS_PER_BLOCK)
+    lanes_per_word = rem - 16 * jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
+    nlanes = jnp.clip(lanes_per_word, 0, 16)
+    cnts = jax.vmap(
+        lambda c: _count_matches_in_word(words, c, nlanes).sum())(
+            jnp.arange(4, dtype=jnp.int32))
+    corr = jnp.where(i > fm.zoff, 1, 0)
+    return base + cnts - jnp.array([1, 0, 0, 0], jnp.int32) * corr
+
+
+def lf(fm: FMIndexArrays, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """LF step for search arrows: fchr[c] + Occ(c, i)."""
+    return fm.fchr[c] + rank1(fm, c, i)
+
+
+def lf4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """All-4-chars LF (mapLFEx): [4] next rows."""
+    return fm.fchr[:4] + rank4(fm, i)
+
+
+def bwt_char(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """The BWT char at row i (rowL).  Returns stored code; caller must
+    treat row zoff specially ('$')."""
+    i = i.astype(jnp.int32)
+    word = fm.bwt[i // 16]
+    return ((word >> (2 * (i % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
+
+
+def lf_row(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """LF of row i via its own char (mapLF(l)); undefined at zoff."""
+    return lf(fm, i, bwt_char(fm, i))
+
+
+def ftab_jump(fm: FMIndexArrays, codes: jnp.ndarray) -> tuple[jnp.ndarray,
+                                                              jnp.ndarray]:
+    """(top, bot) from the ftabChars codes (leftmost most significant).
+
+    codes: int array [ftab_chars]; caller guarantees all < 4.
+    top = ftabHi(off), bot = ftabLo(off+1)  (ebwt_search_backtrack.h:256).
+    """
+    weights = 4 ** jnp.arange(fm.ftab_chars - 1, -1, -1, dtype=jnp.int32)
+    off = jnp.sum(codes.astype(jnp.int32) * weights)
+    return fm.ftab_hi[off], fm.ftab_lo[off + 1]

@@ -2,12 +2,19 @@
 run anywhere; correctness gates must not need a TPU."""
 import os
 
-# Must be set before jax is imported anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force local CPU with 8 virtual devices.  The environment pre-selects a
+# remote TPU backend ("axon") via sitecustomize, which overrides
+# JAX_PLATFORMS through jax.config — so we must override jax.config back
+# (env vars alone are not enough once sitecustomize has run).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
