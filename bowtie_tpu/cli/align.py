@@ -1,0 +1,243 @@
+"""bowtie-compatible alignment CLI (option surface of ebwt_search.cpp:332-428).
+
+Usage: python -m bowtie_tpu.cli.align [options] <ebwt-base> <reads> [<hits>]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..align.pipeline import AlignStats, ExactAligner
+from ..align.policy import INF, KPolicy
+from ..index.arrays import from_ebwt
+from ..index.ebwt_io import read_ebwt
+from ..io.readers import ReadSource
+from ..io.sam import SamWriter
+from ..io.verbose import VerboseWriter
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bowtie-tpu",
+        description="TPU-native ultrafast short-read aligner "
+                    "(bowtie-1-compatible)")
+    p.add_argument("ebwt_base")
+    p.add_argument("reads")
+    p.add_argument("hits", nargs="?", default=None)
+    # input
+    p.add_argument("-q", dest="fastq", action="store_true", default=True)
+    p.add_argument("-f", dest="fasta", action="store_true")
+    p.add_argument("-r", dest="raw", action="store_true")
+    p.add_argument("-c", dest="cmdline", action="store_true")
+    p.add_argument("-F", dest="fasta_cont", default=None, metavar="k,i")
+    p.add_argument("-s", "--skip", type=int, default=0)
+    p.add_argument("-u", "--qupto", type=int, default=None)
+    p.add_argument("-5", "--trim5", type=int, default=0)
+    p.add_argument("-3", "--trim3", type=int, default=0)
+    p.add_argument("--phred33-quals", action="store_true", default=True)
+    p.add_argument("--phred64-quals", action="store_true", default=False)
+    p.add_argument("--solexa-quals", action="store_true", default=False)
+    p.add_argument("--solexa1.3-quals", dest="solexa13", action="store_true")
+    p.add_argument("--integer-quals", action="store_true", default=False)
+    # alignment policy
+    p.add_argument("-v", dest="mismatches", type=int, default=-1)
+    p.add_argument("-n", "--seedmms", type=int, default=2)
+    p.add_argument("-e", "--maqerr", type=int, default=70)
+    p.add_argument("-l", "--seedlen", type=int, default=28)
+    p.add_argument("--nomaqround", action="store_true")
+    p.add_argument("--nofw", action="store_true")
+    p.add_argument("--norc", action="store_true")
+    p.add_argument("--maxbts", type=int, default=None)
+    p.add_argument("-y", "--tryhard", action="store_true")
+    # reporting
+    p.add_argument("-k", dest="khits", type=int, default=1)
+    p.add_argument("-a", "--all", action="store_true")
+    p.add_argument("-m", dest="mhits", type=int, default=None)
+    p.add_argument("-M", dest="sample_mhits", type=int, default=None)
+    p.add_argument("--best", action="store_true")
+    p.add_argument("--strata", action="store_true")
+    # output
+    p.add_argument("-S", "--sam", action="store_true")
+    p.add_argument("--mapq", type=int, default=255)
+    p.add_argument("--sam-nohead", action="store_true")
+    p.add_argument("--sam-nosq", action="store_true")
+    p.add_argument("--sam-RG", default=None)
+    p.add_argument("--fullref", action="store_true")
+    p.add_argument("--no-qname-trunc", action="store_true")
+    p.add_argument("--refidx", action="store_true")
+    p.add_argument("-B", "--offbase", type=int, default=0)
+    p.add_argument("--suppress", default=None)
+    p.add_argument("--cost", action="store_true")
+    p.add_argument("--showseed", action="store_true")
+    p.add_argument("--partition", type=int, default=0)
+    p.add_argument("--un", default=None)
+    p.add_argument("--al", default=None)
+    p.add_argument("--max", dest="maxfile", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("-t", "--time", action="store_true")
+    # performance
+    p.add_argument("-p", "--threads", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=8192,
+                   help="reads per device batch (TPU-specific)")
+    p.add_argument("--reads-per-batch", type=int, default=None,
+                   help="alias of --batch-size (bowtie compat)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    fmt = "fastq"
+    if args.fasta:
+        fmt = "fasta"
+    if args.raw:
+        fmt = "raw"
+    if args.cmdline:
+        fmt = "cmdline"
+    cont = None
+    if args.fasta_cont:
+        k, i = args.fasta_cont.split(",")
+        fmt, cont = "fasta_cont", (int(k), int(i))
+
+    t0 = time.time()
+    idx = read_ebwt(args.ebwt_base)
+    fm = from_ebwt(idx)
+    if args.time:
+        print(f"Time loading ebwt: {time.time()-t0:.2f}s", file=sys.stderr)
+
+    khits = args.khits
+    mhits = args.mhits if args.mhits is not None else (
+        args.sample_mhits if args.sample_mhits is not None else INF)
+    if args.all:
+        khits = INF
+    policy = KPolicy(khits=khits, mhits=mhits,
+                     sample_max=args.sample_mhits is not None)
+
+    if args.mismatches not in (0,):
+        print(f"note: only -v 0 currently runs on device; got "
+              f"-v {args.mismatches}", file=sys.stderr)
+        if args.mismatches != 0:
+            raise SystemExit("-v 1/2/3 and -n modes: in progress")
+
+    aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
+                           norc=args.norc, global_seed=args.seed)
+
+    reads_arg = args.reads
+    src = ReadSource(
+        paths=None if fmt == "cmdline" else reads_arg.split(","),
+        fmt=fmt, trim5=args.trim5, trim3=args.trim3,
+        solexa=args.solexa_quals, phred64=args.phred64_quals or args.solexa13,
+        integer_quals=args.integer_quals, upto=args.qupto, skip=args.skip,
+        cmdline_seqs=reads_arg.split(",") if fmt == "cmdline" else None,
+        cont_params=cont)
+
+    out = open(args.hits, "wb") if args.hits else sys.stdout.buffer
+    refnames = ([str(i) for i in range(idx.npat)] if args.refidx
+                else idx.refnames)
+    if args.sam:
+        writer = SamWriter(out, refnames, idx.plen.tolist(),
+                           mapq=args.mapq, full_ref=args.fullref,
+                           no_qname_trunc=args.no_qname_trunc,
+                           sam_nohead=args.sam_nohead,
+                           sam_nosq=args.sam_nosq,
+                           cmdline=" ".join(argv or sys.argv[1:]),
+                           rgline=args.sam_RG)
+    else:
+        suppress = (set(int(x) for x in args.suppress.split(","))
+                    if args.suppress else set())
+        writer = VerboseWriter(out, refnames, off_base=args.offbase,
+                               full_ref=args.fullref, suppress=suppress,
+                               cost=args.cost, show_seed=args.showseed,
+                               partition=args.partition,
+                               global_seed=args.seed)
+
+    un_f = open(args.un, "wb") if args.un else None
+    al_f = open(args.al, "wb") if args.al else None
+    max_f = open(args.maxfile, "wb") if args.maxfile else None
+
+    stats = AlignStats()
+    batch_size = args.reads_per_batch or args.batch_size
+    t0 = time.time()
+    for batch in src.batches(batch_size):
+        results = aligner.align_batch(batch)
+        for read, res in zip(batch, results):
+            stats.processed += 1
+            if res.maxed and res.sampled:
+                stats.maxed += 1
+                stats.aligned += 1
+                stats.reported += 1
+                h = res.hits[0]
+                if args.sam:
+                    writer.hit(h, xms=res.nbuffered + 1, mapq=0)
+                else:
+                    h.oms = res.nbuffered
+                    writer.hit(h)
+                if max_f:
+                    _dump_read(max_f, read, fmt)
+            elif res.maxed:
+                stats.maxed += 1
+                if args.sam:
+                    writer.unaligned(read, nhits=res.nbuffered)
+                if max_f:
+                    _dump_read(max_f, read, fmt)
+            elif not res.hits:
+                stats.failed += 1
+                if args.sam:
+                    writer.unaligned(read, nhits=0)
+                if un_f:
+                    _dump_read(un_f, read, fmt)
+            else:
+                stats.aligned += 1
+                stats.reported += len(res.hits)
+                xms = len(res.hits)
+                for h in res.hits:
+                    if args.sam:
+                        writer.hit(h, xms=xms)
+                    else:
+                        writer.hit(h)
+                if al_f:
+                    _dump_read(al_f, read, fmt)
+    if args.time:
+        dt = time.time() - t0
+        print(f"Time searching: {dt:.2f}s "
+              f"({stats.processed/max(dt,1e-9):.0f} reads/s)",
+              file=sys.stderr)
+
+    if not args.quiet:
+        print(f"# reads processed: {stats.processed}", file=sys.stderr)
+        print(f"# reads with at least one alignment: {stats.aligned} "
+              f"({100.0*stats.aligned/max(1,stats.processed):.2f}%)",
+              file=sys.stderr)
+        print(f"# reads that failed to align: {stats.failed} "
+              f"({100.0*stats.failed/max(1,stats.processed):.2f}%)",
+              file=sys.stderr)
+        if stats.maxed:
+            print(f"# reads with alignments suppressed due to -m: "
+                  f"{stats.maxed} "
+                  f"({100.0*stats.maxed/max(1,stats.processed):.2f}%)",
+                  file=sys.stderr)
+        print(f"Reported {stats.reported} alignments", file=sys.stderr)
+
+    for f in (un_f, al_f, max_f):
+        if f:
+            f.close()
+    if args.hits:
+        out.close()
+    return 0
+
+
+def _dump_read(f, read, fmt):
+    if fmt == "fasta":
+        f.write(b">" + read.name + b"\n" + read.seq + b"\n")
+    else:
+        f.write(b"@" + read.name + b"\n" + read.seq + b"\n+\n" +
+                read.qual + b"\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,300 @@
+"""Read-input layer: FASTQ/FASTA/raw/tabbed/interleaved/command-line.
+
+TPU-native re-design of bowtie's PatternSource hierarchy (pat.h:195-944).
+The reference uses a locked nextBatch + lock-free parse split to feed
+dozens of threads; here the consumer is a single batched device pipeline,
+so the reader is a simple generator of ReadRecord batches — batching for
+the device replaces batching for the lock.
+
+Formats (reference classes):
+- FASTQ            FastqPatternSource    pat.h:672
+- FASTA            FastaPatternSource    pat.h:459
+- raw              RawPatternSource      pat.h:744
+- tabbed (--12)    TabbedPatternSource   pat.h:536
+- interleaved      FastqPatternSource(interleaved=true)
+- cmdline (-c)     VectorPatternSource   pat.h:260
+- FASTA continuous (-F k,i) FastaContinuousPatternSource pat.h:594
+"""
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import itertools
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..utils.alphabet import seq_to_codes, revcomp_codes
+from ..utils.rng import gen_rand_seed
+
+
+@dataclass
+class ReadRecord:
+    name: bytes
+    seq: bytes            # ASCII, original (forward) orientation
+    qual: bytes           # ASCII Phred+33 after conversion
+    rdid: int = 0         # global read id
+    mate: int = 0         # 0 = unpaired, 1/2 = mate
+
+    _codes_fw: np.ndarray = None
+    _codes_rc: np.ndarray = None
+
+    @property
+    def codes_fw(self) -> np.ndarray:
+        if self._codes_fw is None:
+            self._codes_fw = seq_to_codes(self.seq)
+        return self._codes_fw
+
+    @property
+    def codes_rc(self) -> np.ndarray:
+        if self._codes_rc is None:
+            self._codes_rc = revcomp_codes(self.codes_fw)
+        return self._codes_rc
+
+    def seed(self, global_seed: int) -> np.uint32:
+        """Per-read RNG seed (genRandSeed, pat.cpp:21)."""
+        return gen_rand_seed(self.codes_fw, self.qual, self.name, global_seed)
+
+    def __len__(self):
+        return len(self.seq)
+
+
+def _open(path: str):
+    if path == "-":
+        return io.BytesIO(__import__("sys").stdin.buffer.read())
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def _apply_trim(seq: bytes, qual: bytes, trim5: int, trim3: int):
+    if trim5 or trim3:
+        end = len(seq) - trim3
+        seq, qual = seq[trim5:end], qual[trim5:end]
+    return seq, qual
+
+
+def _solexa_to_phred_table() -> np.ndarray:
+    """Solexa-64 -> Phred mapping (qual.cpp solToPhred LUT semantics:
+    phred = round(10*log10(10^(sol/10)+1)))."""
+    sol = np.arange(-10, 256)
+    ph = np.round(10.0 * np.log10(np.power(10.0, sol / 10.0) + 1.0))
+    return np.clip(ph, 0, 255).astype(np.uint8)
+
+
+_SOL2PHRED = _solexa_to_phred_table()
+
+
+def convert_quals(qual: bytes, solexa: bool, phred64: bool,
+                  integer_quals: bool) -> bytes:
+    """Normalize qualities to Phred+33 (qual.h char conversions)."""
+    if integer_quals:
+        vals = [int(t) for t in qual.split()]
+        arr = np.array(vals, dtype=np.int32)
+        if solexa:
+            arr = _SOL2PHRED[np.clip(arr, -10, 255) + 10].astype(np.int32)
+        return (np.clip(arr, 0, 93) + 33).astype(np.uint8).tobytes()
+    arr = np.frombuffer(qual, dtype=np.uint8).astype(np.int32)
+    if solexa:
+        arr = _SOL2PHRED[np.clip(arr - 64, -10, 255) + 10].astype(np.int32) + 33
+    elif phred64:
+        arr = arr - 64 + 33
+    return np.clip(arr, 33, 126).astype(np.uint8).tobytes()
+
+
+def parse_fastq(path: str, **kw) -> Iterator[tuple[bytes, bytes, bytes]]:
+    with _open(path) as f:
+        while True:
+            l1 = f.readline()
+            if not l1:
+                return
+            l1 = l1.rstrip()
+            if not l1:
+                continue
+            seq = f.readline().rstrip()
+            f.readline()  # '+'
+            qual = f.readline().rstrip()
+            yield l1[1:], seq, qual
+
+
+def parse_fasta(path: str, default_qual: int = 40 + 33,
+                ) -> Iterator[tuple[bytes, bytes, bytes]]:
+    """FASTA reads: quality = 'I' (Phred 40) like bowtie's FASTA mode."""
+    name, chunks = None, []
+    with _open(path) as f:
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(b">"):
+                if name is not None:
+                    seq = b"".join(chunks)
+                    yield name, seq, bytes([default_qual]) * len(seq)
+                name, chunks = line[1:], []
+            elif line:
+                chunks.append(line)
+        if name is not None:
+            seq = b"".join(chunks)
+            yield name, seq, bytes([default_qual]) * len(seq)
+
+
+def parse_raw(path: str, start_id: int = 0,
+              ) -> Iterator[tuple[bytes, bytes, bytes]]:
+    """One sequence per line; read name = ordinal (RawPatternSource)."""
+    with _open(path) as f:
+        for i, line in enumerate(f):
+            seq = line.strip()
+            if seq:
+                yield str(start_id + i).encode(), seq, b"I" * len(seq)
+
+
+def parse_tabbed(path: str) -> Iterator[tuple]:
+    """--12 format: name\\tseq\\tqual (unpaired) or
+    name\\tseq1\\tqual1\\tseq2\\tqual2 (paired)."""
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip(b"\n").split(b"\t")
+            if len(parts) >= 5:
+                yield parts[0], parts[1], parts[2], parts[3], parts[4]
+            elif len(parts) >= 3:
+                yield parts[0], parts[1], parts[2]
+
+
+def parse_fasta_continuous(path: str, length: int, freq: int,
+                           ) -> Iterator[tuple[bytes, bytes, bytes]]:
+    """-F k,i: k-mer-ize a genome: every freq-th k-mer of each sequence
+    (FastaContinuousPatternSource, pat.h:594).  Read names are
+    <seqname>_<offset>."""
+    for name, seq, _ in parse_fasta(path):
+        short = name.split()[0]
+        for start in range(0, len(seq) - length + 1, freq):
+            sub = seq[start:start + length]
+            yield b"%s_%d" % (short, start), sub, b"I" * length
+
+
+class ReadSource:
+    """Unified read source mirroring PatternComposer semantics: assigns
+    global read ids, applies trimming/qual conversion, yields device-
+    sized batches."""
+
+    def __init__(self, paths: list[str], fmt: str = "fastq",
+                 trim5: int = 0, trim3: int = 0,
+                 solexa: bool = False, phred64: bool = False,
+                 integer_quals: bool = False,
+                 upto: int | None = None, skip: int = 0,
+                 cmdline_seqs: list[str] | None = None,
+                 cont_params: tuple[int, int] | None = None):
+        self.paths = paths
+        self.fmt = fmt
+        self.trim5, self.trim3 = trim5, trim3
+        self.solexa, self.phred64 = solexa, phred64
+        self.integer_quals = integer_quals
+        self.upto, self.skip = upto, skip
+        self.cmdline_seqs = cmdline_seqs
+        self.cont_params = cont_params
+
+    def _records_raw(self) -> Iterator[tuple[bytes, bytes, bytes]]:
+        if self.fmt == "cmdline":
+            for i, s in enumerate(self.cmdline_seqs or []):
+                s = s.encode()
+                yield str(i).encode(), s, b"I" * len(s)
+            return
+        for path in self.paths:
+            if self.fmt == "fastq":
+                yield from parse_fastq(path)
+            elif self.fmt == "fasta":
+                yield from parse_fasta(path)
+            elif self.fmt == "raw":
+                yield from parse_raw(path)
+            elif self.fmt == "fasta_cont":
+                k, i = self.cont_params
+                yield from parse_fasta_continuous(path, k, i)
+            else:
+                raise ValueError(f"unknown format {self.fmt}")
+
+    def records(self) -> Iterator[ReadRecord]:
+        it = self._records_raw()
+        it = itertools.islice(it, self.skip,
+                              None if self.upto is None
+                              else self.skip + self.upto)
+        for rdid, (name, seq, qual) in enumerate(it):
+            seq, qual = _apply_trim(seq, qual, self.trim5, self.trim3)
+            qual = convert_quals(qual, self.solexa, self.phred64,
+                                 self.integer_quals)
+            if len(qual) < len(seq):   # pad like bowtie tolerates
+                qual = qual + b"I" * (len(seq) - len(qual))
+            yield ReadRecord(name=name, seq=seq, qual=qual[:len(seq)],
+                             rdid=rdid)
+
+    def batches(self, batch_size: int) -> Iterator[list[ReadRecord]]:
+        batch: list[ReadRecord] = []
+        for rec in self.records():
+            batch.append(rec)
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
+
+
+class PairedReadSource:
+    """DualPatternComposer analog: parallel _1/_2 files (pat.cpp:134-229).
+    Yields (mate1, mate2) ReadRecord pairs; also handles --12 tabbed and
+    interleaved FASTQ."""
+
+    def __init__(self, paths1, paths2, fmt="fastq", interleaved=False,
+                 tabbed=False, **kw):
+        self.paths1, self.paths2 = paths1, paths2
+        self.fmt, self.interleaved, self.tabbed = fmt, interleaved, tabbed
+        self.kw = kw
+
+    def pairs(self) -> Iterator[tuple[ReadRecord, ReadRecord]]:
+        kw = self.kw
+        if self.tabbed:
+            rdid = 0
+            for path in self.paths1:
+                for parts in parse_tabbed(path):
+                    if len(parts) == 5:
+                        nm, s1, q1, s2, q2 = parts
+                        yield self._mk(nm, s1, q1, rdid, 1), \
+                              self._mk(nm, s2, q2, rdid, 2)
+                        rdid += 1
+            return
+        if self.interleaved:
+            rdid = 0
+            for path in self.paths1:
+                it = parse_fastq(path)
+                for r1, r2 in zip(it, it):
+                    yield self._mk(r1[0], r1[1], r1[2], rdid, 1), \
+                          self._mk(r2[0], r2[1], r2[2], rdid, 2)
+                    rdid += 1
+            return
+        src1 = ReadSource(self.paths1, self.fmt, **kw)
+        src2 = ReadSource(self.paths2, self.fmt, **kw)
+        for r1, r2 in zip(src1.records(), src2.records()):
+            r1.mate, r2.mate = 1, 2
+            r2.rdid = r1.rdid
+            yield r1, r2
+
+    def _mk(self, name, seq, qual, rdid, mate) -> ReadRecord:
+        seq, qual = _apply_trim(seq, qual, self.kw.get("trim5", 0),
+                                self.kw.get("trim3", 0))
+        qual = convert_quals(qual, self.kw.get("solexa", False),
+                             self.kw.get("phred64", False),
+                             self.kw.get("integer_quals", False))
+        if len(qual) < len(seq):
+            qual = qual + b"I" * (len(seq) - len(qual))
+        return ReadRecord(name=name, seq=seq, qual=qual[:len(seq)],
+                          rdid=rdid, mate=mate)
+
+    def batches(self, batch_size: int):
+        batch = []
+        for pair in self.pairs():
+            batch.append(pair)
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
+        if batch:
+            yield batch
