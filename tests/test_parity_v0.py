@@ -39,7 +39,7 @@ def run_cli(args, tmp_path):
     return b"".join(lines)
 
 
-@pytest.mark.parametrize("key,args", CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("key,args", CASES)
 def test_parity(key, args, tmp_path):
     golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
     mine = run_cli(args, tmp_path)
