@@ -119,10 +119,12 @@ class GoldenFM:
             return jumps
         return int(idx.offs[i >> idx.off_rate]) + jumps
 
-    def joined_to_text_off(self, qlen: int, off: int
+    def joined_to_text_off(self, qlen: int, off: int, index_fw: bool = True
                            ) -> tuple[int, int, int] | None:
         """(refidx, refoff, reflen) or None if the hit spans fragments
-        (joinedToTextOff, ebwt.h:2569-2629)."""
+        (joinedToTextOff, ebwt.h:2569-2629).  For the mirror index
+        (index_fw=False) the fragment offset is flipped back into
+        forward-text coordinates (ebwt.h:2607-2610)."""
         idx = self.idx
         starts = idx.rstarts[:, 0].astype(np.int64)
         elt = int(np.searchsorted(starts, off, side="right")) - 1
@@ -131,5 +133,8 @@ class GoldenFM:
             return None
         tidx = int(idx.rstarts[elt, 1])
         fragoff = off - int(starts[elt])
+        if not index_fw:
+            fraglen = upper - int(starts[elt])
+            fragoff = fraglen - fragoff - 1 - (qlen - 1)
         textoff = fragoff + int(idx.rstarts[elt, 2])
         return tidx, textoff, int(idx.plen[tidx])

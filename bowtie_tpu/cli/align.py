@@ -118,14 +118,19 @@ def main(argv=None) -> int:
     policy = KPolicy(khits=khits, mhits=mhits,
                      sample_max=args.sample_mhits is not None)
 
-    if args.mismatches not in (0,):
-        print(f"note: only -v 0 currently runs on device; got "
-              f"-v {args.mismatches}", file=sys.stderr)
-        if args.mismatches != 0:
-            raise SystemExit("-v 1/2/3 and -n modes: in progress")
-
-    aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
-                           norc=args.norc, global_seed=args.seed)
+    if args.mismatches == 0:
+        aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
+                               norc=args.norc, global_seed=args.seed)
+    elif args.mismatches in (1, 2, 3):
+        from ..align.drivers import OracleAligner
+        from ..align.golden import GoldenFM
+        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        aligner = OracleAligner(g_fw, g_bw, policy, v=args.mismatches,
+                                nofw=args.nofw, norc=args.norc,
+                                global_seed=args.seed)
+    else:
+        raise SystemExit("-n seeded modes: in progress")
 
     reads_arg = args.reads
     src = ReadSource(

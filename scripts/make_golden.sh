@@ -20,7 +20,7 @@ fi
 IDX=$R/indexes/e_coli
 RD=$R/reads/e_coli_1000.fq
 declare -A CASES=(
-  [v0]="-v 0" [v0_S]="-v 0 -S" [v0_a]="-v 0 -a" [v0_k3]="-v 0 -k 3"
+  [v0]="-v 0" [v0_S]="-v 0 -S" [v1_u200]="-v 1 -u 200" [v2_u200]="-v 2 -u 200" [v2_a_u100]="-v 2 -a -u 100" [v1_k2_u200]="-v 1 -k 2 -u 200" [v2_S_u200]="-v 2 -S -u 200" [v0_a]="-v 0 -a" [v0_k3]="-v 0 -k 3"
   [v0_m1]="-v 0 -m 1" [v0_am2]="-v 0 -a -m 2" [v0_nofw]="-v 0 --nofw"
   [v0_norc]="-v 0 --norc" [v0_SM1]="-v 0 -S -M 1" [v0_M1]="-v 0 -M 1"
 )
