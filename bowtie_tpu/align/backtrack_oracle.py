@@ -98,6 +98,11 @@ class GreedyDFS:
         self.bailed = False
         self._partials_buf = []
 
+    def set_qlen(self, n: int):
+        """Restrict the search to the first n chars of the query
+        (setQlen; used to search only the seed in phases 2/3)."""
+        self.qlen = min(len(self.qry), n)
+
     def set_offs(self, depth5, depth3, unrev, rev1, rev2, rev3):
         self.d5, self.d3 = depth5, depth3
         self.unrev, self.rev1, self.rev2, self.rev3 = unrev, rev1, rev2, rev3
@@ -129,7 +134,7 @@ class GreedyDFS:
             return False
         m = min(self.unrev, qlen)
         if ns_ftab == 0 and m >= fc:
-            top, bot = fm.ftab_range(self.qry[qlen - fc:])
+            top, bot = fm.ftab_range(self.qry[qlen - fc: qlen])
             if qlen == fc and bot > top:
                 if self.report_partials > 0:
                     ret = self._bt(0, 0, self.unrev, self.rev1, self.rev2,

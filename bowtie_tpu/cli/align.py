@@ -130,7 +130,20 @@ def main(argv=None) -> int:
                                 nofw=args.nofw, norc=args.norc,
                                 global_seed=args.seed)
     else:
-        raise SystemExit("-n seeded modes: in progress")
+        # default seeded Maq-like -n mode
+        from ..align.drivers import OracleAligner
+        from ..align.golden import GoldenFM
+        if not 0 <= args.seedmms <= 3:
+            raise SystemExit("-n must be 0..3")
+        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        aligner = OracleAligner(
+            g_fw, g_bw, policy, mode="n",
+            nofw=args.nofw, norc=args.norc, global_seed=args.seed,
+            seed_mms=args.seedmms, seed_len=args.seedlen,
+            qual_thresh=args.maqerr,
+            maxbts=args.maxbts if args.maxbts is not None else 125,
+            maq_round=not args.nomaqround)
 
     reads_arg = args.reads
     src = ReadSource(
