@@ -25,8 +25,20 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native ultrafast short-read aligner "
                     "(bowtie-1-compatible)")
     p.add_argument("ebwt_base")
-    p.add_argument("reads")
+    p.add_argument("reads", nargs="?", default=None)
     p.add_argument("hits", nargs="?", default=None)
+    # paired-end input
+    p.add_argument("-1", dest="mates1", default=None)
+    p.add_argument("-2", dest="mates2", default=None)
+    p.add_argument("--12", dest="tabbed", default=None)
+    p.add_argument("--interleaved", default=None)
+    p.add_argument("-I", "--minins", type=int, default=0)
+    p.add_argument("-X", "--maxins", type=int, default=250)
+    p.add_argument("--ff", action="store_true")
+    p.add_argument("--rf", action="store_true")
+    p.add_argument("--fr", action="store_true", default=True)
+    p.add_argument("--pairtries", type=int, default=100)
+    p.add_argument("--allow-contain", action="store_true")
     # input
     p.add_argument("-q", dest="fastq", action="store_true", default=True)
     p.add_argument("-f", dest="fasta", action="store_true")
@@ -118,7 +130,32 @@ def main(argv=None) -> int:
     policy = KPolicy(khits=khits, mhits=mhits,
                      sample_max=args.sample_mhits is not None)
 
-    if args.mismatches == 0:
+    paired = bool(args.mates1 or args.tabbed or args.interleaved)
+    if paired:
+        from ..align.paired import PairedOracleAligner
+        from ..align.golden import GoldenFM
+        from ..index.ebwt_io import read_bitpair_reference, unpack_reference
+        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        recs, packed = read_bitpair_reference(args.ebwt_base)
+        refs = unpack_reference(recs, packed)
+        m1fw, m2fw = True, False          # --fr default
+        if args.ff:
+            m1fw, m2fw = True, True
+        elif args.rf:
+            m1fw, m2fw = False, True
+        mode = "n" if args.mismatches < 0 else "v"
+        aligner = PairedOracleAligner(
+            g_fw, g_bw, refs, policy, mode=mode,
+            v=max(args.mismatches, 0),
+            min_insert=args.minins, max_insert=args.maxins,
+            mate1_fw=m1fw, mate2_fw=m2fw, nofw=args.nofw,
+            norc=args.norc, global_seed=args.seed,
+            pairtries=args.pairtries, seed_mms=args.seedmms,
+            seed_len=args.seedlen, qual_thresh=args.maqerr,
+            maq_round=not args.nomaqround,
+            maxbts=args.maxbts if args.maxbts is not None else 125)
+    elif args.mismatches == 0:
         aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
                                norc=args.norc, global_seed=args.seed)
     elif args.mismatches in (1, 2, 3):
@@ -145,14 +182,33 @@ def main(argv=None) -> int:
             maxbts=args.maxbts if args.maxbts is not None else 125,
             maq_round=not args.nomaqround)
 
-    reads_arg = args.reads
-    src = ReadSource(
-        paths=None if fmt == "cmdline" else reads_arg.split(","),
-        fmt=fmt, trim5=args.trim5, trim3=args.trim3,
-        solexa=args.solexa_quals, phred64=args.phred64_quals or args.solexa13,
-        integer_quals=args.integer_quals, upto=args.qupto, skip=args.skip,
-        cmdline_seqs=reads_arg.split(",") if fmt == "cmdline" else None,
-        cont_params=cont)
+    qual_kw = dict(trim5=args.trim5, trim3=args.trim3,
+                   solexa=args.solexa_quals,
+                   phred64=args.phred64_quals or args.solexa13,
+                   integer_quals=args.integer_quals)
+    if paired:
+        # hits positional shifts when reads positional is absent
+        if args.reads and args.hits is None:
+            args.hits = args.reads
+        from ..io.readers import PairedReadSource
+        pe_kw = dict(upto=args.qupto, skip=args.skip, **qual_kw)
+        if args.tabbed:
+            src = PairedReadSource(args.tabbed.split(","), None,
+                                   tabbed=True, **pe_kw)
+        elif args.interleaved:
+            src = PairedReadSource(args.interleaved.split(","), None,
+                                   interleaved=True, **pe_kw)
+        else:
+            src = PairedReadSource(args.mates1.split(","),
+                                   args.mates2.split(","), fmt=fmt,
+                                   **pe_kw)
+    else:
+        reads_arg = args.reads
+        src = ReadSource(
+            paths=None if fmt == "cmdline" else reads_arg.split(","),
+            fmt=fmt, upto=args.qupto, skip=args.skip,
+            cmdline_seqs=reads_arg.split(",") if fmt == "cmdline" else None,
+            cont_params=cont, **qual_kw)
 
     out = open(args.hits, "wb") if args.hits else sys.stdout.buffer
     refnames = ([str(i) for i in range(idx.npat)] if args.refidx
@@ -181,6 +237,44 @@ def main(argv=None) -> int:
     stats = AlignStats()
     batch_size = args.reads_per_batch or args.batch_size
     t0 = time.time()
+    if paired:
+        for batch in src.batches(batch_size):
+            results = aligner.align_batch(batch)
+            for (r1, r2), res in zip(batch, results):
+                stats.processed += 1
+                if res.maxed:
+                    stats.maxed += 1
+                    if args.sam:
+                        writer.unaligned(r1, nhits=res.nbuffered,
+                                         paired=True, second=False)
+                        writer.unaligned(r2, nhits=res.nbuffered,
+                                         paired=True, second=True)
+                    if max_f:
+                        _dump_read(max_f, r1, fmt)
+                        _dump_read(max_f, r2, fmt)
+                elif not res.hits:
+                    stats.failed += 1
+                    if args.sam:
+                        writer.unaligned(r1, nhits=0, paired=True,
+                                         second=False)
+                        writer.unaligned(r2, nhits=0, paired=True,
+                                         second=True)
+                    if un_f:
+                        _dump_read(un_f, r1, fmt)
+                        _dump_read(un_f, r2, fmt)
+                else:
+                    stats.aligned += 1
+                    stats.reported += len(res.hits) // 2
+                    xms = len(res.hits) // 2
+                    for h in res.hits:
+                        if args.sam:
+                            writer.hit(h, xms=xms)
+                        else:
+                            writer.hit(h)
+                    if al_f:
+                        _dump_read(al_f, r1, fmt)
+                        _dump_read(al_f, r2, fmt)
+        return _finish(args, stats, t0, out, un_f, al_f, max_f)
     for batch in src.batches(batch_size):
         results = aligner.align_batch(batch)
         for read, res in zip(batch, results):
@@ -220,6 +314,10 @@ def main(argv=None) -> int:
                         writer.hit(h)
                 if al_f:
                     _dump_read(al_f, read, fmt)
+    return _finish(args, stats, t0, out, un_f, al_f, max_f)
+
+
+def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
     if args.time:
         dt = time.time() - t0
         print(f"Time searching: {dt:.2f}s "

@@ -245,12 +245,19 @@ class PairedReadSource:
     interleaved FASTQ."""
 
     def __init__(self, paths1, paths2, fmt="fastq", interleaved=False,
-                 tabbed=False, **kw):
+                 tabbed=False, upto=None, skip=0, **kw):
         self.paths1, self.paths2 = paths1, paths2
         self.fmt, self.interleaved, self.tabbed = fmt, interleaved, tabbed
+        self.upto, self.skip = upto, skip
         self.kw = kw
 
     def pairs(self) -> Iterator[tuple[ReadRecord, ReadRecord]]:
+        it = self._pairs_raw()
+        yield from itertools.islice(
+            it, self.skip,
+            None if self.upto is None else self.skip + self.upto)
+
+    def _pairs_raw(self) -> Iterator[tuple[ReadRecord, ReadRecord]]:
         kw = self.kw
         if self.tabbed:
             rdid = 0
