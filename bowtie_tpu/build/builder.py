@@ -1,0 +1,242 @@
+"""bowtie-build equivalent: construct `.ebwt` index files, bit-exact.
+
+Re-expresses Ebwt::buildToDisk (ebwt.h:3985-4388) + the ebwt_build.cpp
+driver (302-484): FASTA -> RefRecords (.3/.4) -> joined text -> suffix
+array -> BWT sides with embedded occ counters, fchr, ftab/eftab,
+SA-sample offs -> .1/.2; then the mirror index over the per-fragment-
+reversed text -> .rev.1/.rev.2.
+
+Where the reference streams one SA element at a time through a packing
+loop, everything here is vectorized array math (and the SA itself can
+be computed on-device, build/sa.py) — the whole BWT/occ/ftab emission
+is a handful of numpy passes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .sa import suffix_array
+from ..index.ebwt_io import SIDE_BWT_LEN, SIDE_BWT_SZ, SIDE_SZ
+from ..utils.alphabet import seq_to_codes
+
+OFF_MASK32 = 0xFFFFFFFF
+
+
+def fasta_to_records(seqs: list[np.ndarray]):
+    """Split each sequence into RefRecords (off=gap, len=run, first)
+    exactly like fastaRefReadSizes (ref_read.cpp:206): ambiguous chars
+    become gaps between unambiguous stretches."""
+    records = []   # (off, len, first)
+    frags = []     # (refidx, ref_off, codes) per unambiguous stretch
+    for ridx, codes in enumerate(seqs):
+        first = True
+        i = 0
+        n = len(codes)
+        while i < n:
+            # gap run
+            g0 = i
+            while i < n and codes[i] > 3:
+                i += 1
+            gap = i - g0
+            # unambiguous run
+            u0 = i
+            while i < n and codes[i] <= 3:
+                i += 1
+            runlen = i - u0
+            if runlen == 0 and not first:
+                break  # trailing gap: drop
+            records.append((gap, runlen, first))
+            if runlen:
+                frags.append((ridx, u0, codes[u0:i]))
+            first = False
+    return records, frags
+
+
+def write_ref_files(basename: str, records, frags):
+    """Write `.3.ebwt` (records) and `.4.ebwt` (packed bases)."""
+    with open(basename + ".3.ebwt", "wb") as f:
+        f.write(np.uint32(1).tobytes())
+        f.write(np.uint32(len(records)).tobytes())
+        for off, ln, first in records:
+            f.write(np.uint32(off).tobytes())
+            f.write(np.uint32(ln).tobytes())
+            f.write(bytes([1 if first else 0]))
+    joined = np.concatenate([f[2] for f in frags]) if frags else \
+        np.zeros(0, np.uint8)
+    nbytes = (len(joined) + 3) // 4
+    padded = np.zeros(nbytes * 4, dtype=np.uint8)
+    padded[:len(joined)] = joined
+    shifts = (2 * np.arange(4, dtype=np.uint32))[None, :]
+    packed = (padded.reshape(-1, 4).astype(np.uint32) << shifts) \
+        .sum(axis=1).astype(np.uint8)
+    with open(basename + ".4.ebwt", "wb") as f:
+        f.write(packed.tobytes())
+
+
+def _pack_sides(bwt: np.ndarray, occ_pairs: np.ndarray) -> np.ndarray:
+    """Pack the linear BWT (padding included) + per-pair occ counters
+    into the alternating bw/fw 64-byte side format."""
+    n_sides = len(bwt) // SIDE_BWT_LEN
+    codes = bwt.reshape(n_sides, SIDE_BWT_LEN).copy()
+    codes[0::2] = codes[0::2, ::-1]      # backward sides fully reversed
+    shifts = (2 * np.arange(4, dtype=np.uint32))[None, :]
+    by = (codes.reshape(n_sides, SIDE_BWT_SZ, 4).astype(np.uint32)
+          << shifts[None]).sum(axis=2).astype(np.uint8)
+    sides = np.zeros((n_sides, SIDE_SZ), dtype=np.uint8)
+    sides[:, :SIDE_BWT_SZ] = by
+    ctr = sides[:, SIDE_BWT_SZ:]
+    ctr[0::2] = occ_pairs[:, 0:2].astype("<u4").view(np.uint8) \
+        .reshape(-1, 8)
+    ctr[1::2] = occ_pairs[:, 2:4].astype("<u4").view(np.uint8) \
+        .reshape(-1, 8)
+    return sides.reshape(-1)
+
+
+def build_ftab(s: np.ndarray, sa: np.ndarray, ftab_chars: int,
+               length: int):
+    """ftab/eftab per buildToDisk (ebwt.h:4146-4370)."""
+    fc = ftab_chars
+    ftab_len = (1 << (2 * fc)) + 1
+    n_rows = len(sa)
+    sa_elt = sa
+    is_long = (length - sa_elt) >= fc
+    # word of each long suffix
+    long_rows = np.flatnonzero(is_long)
+    starts = sa_elt[long_rows]
+    word = np.zeros(len(long_rows), dtype=np.int64)
+    for i in range(fc):
+        word = (word << 2) | s[starts + i].astype(np.int64)
+    cnt = np.zeros(ftab_len, dtype=np.int64)
+    np.add.at(cnt, word + 1, 1)
+    # absorb: each short suffix is absorbed at the next long suffix's
+    # word; trailing shorts go to ftab_len-1
+    ab = np.zeros(ftab_len, dtype=np.int64)
+    short_rows = np.flatnonzero(~is_long)
+    if len(short_rows):
+        nxt = np.searchsorted(long_rows, short_rows, side="right")
+        words_of_next = np.where(nxt < len(long_rows),
+                                 word[np.minimum(nxt, len(long_rows) - 1)],
+                                 ftab_len - 1)
+        np.add.at(ab, words_of_next, 1)
+    # prefix sums with escapes: hi_i = cumsum(cnt+ab)[i]; lo_i = hi_i-ab_i
+    hi = np.cumsum(cnt + ab)
+    lo = hi - ab
+    ftab = lo.copy()
+    ftab[0] = 0
+    eftab = np.zeros(2 * fc, dtype=np.int64)
+    ecur = 0
+    for i in np.flatnonzero(ab[1:]) + 1:
+        eftab[ecur * 2] = lo[i]
+        eftab[ecur * 2 + 1] = hi[i]
+        ftab[i] = ecur ^ OFF_MASK32
+        ecur += 1
+    return ftab.astype(np.uint32), eftab.astype(np.uint32)
+
+
+def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
+              refnames: list[str], out1: str, out2: str,
+              off_rate: int = 5, ftab_chars: int = 10,
+              sa_fn=suffix_array):
+    """Build and write one index (.1 + .2) from joined text `s`."""
+    length = len(s)
+    sa = sa_fn(s)
+    bwt_len = length + 1
+
+    # BWT + zoff
+    prev = sa - 1
+    zoff = int(np.flatnonzero(sa == 0)[0])
+    bwt = np.where(sa > 0, s[np.maximum(prev, 0)], 0).astype(np.uint8)
+
+    # pad out to whole side pairs; padding 'A's count toward occ
+    bwt_sz = length // 4 + 1
+    n_pairs = (bwt_sz + 2 * SIDE_BWT_SZ - 1) // (2 * SIDE_BWT_SZ)
+    tot_chars = n_pairs * 2 * SIDE_BWT_LEN
+    padded = np.zeros(tot_chars, dtype=np.uint8)
+    padded[:bwt_len] = bwt
+
+    # occ counters at pair boundaries: counts over rows
+    # [0, 224 + p*448), '$' excluded, padding included
+    counted = padded.copy()
+    onehot = counted.reshape(-1, SIDE_BWT_LEN, 1) == \
+        np.arange(4, dtype=np.uint8)
+    per_side = onehot.sum(axis=1, dtype=np.int64)       # [2P, 4]
+    cum = np.cumsum(per_side, axis=0)
+    if zoff < tot_chars:
+        pass
+    occ_pairs = cum[0::2].copy()                        # after bw side
+    boundaries = np.arange(n_pairs, dtype=np.int64) * 448 + 224
+    occ_pairs[:, 0] -= (boundaries > zoff)              # '$' not an A
+    sides = _pack_sides(padded, occ_pairs)
+
+    # fchr: cumulative char counts of the text
+    cc = np.bincount(s, minlength=4).astype(np.int64)
+    fchr = np.zeros(5, dtype=np.uint32)
+    fchr[1:] = np.cumsum(cc)
+
+    ftab, eftab = build_ftab(s, sa, ftab_chars, length)
+
+    offs = sa[::1 << off_rate].astype(np.uint32)
+
+    with open(out1, "wb") as f:
+        hdr = np.array([1, length], dtype="<u4").tobytes()
+        hdr += np.array([6, 1, off_rate, ftab_chars, -1],
+                        dtype="<i4").tobytes()
+        f.write(hdr)
+        f.write(np.uint32(len(plen)).tobytes())
+        f.write(np.asarray(plen, dtype="<u4").tobytes())
+        f.write(np.uint32(len(rstarts)).tobytes())
+        f.write(np.asarray(rstarts, dtype="<u4").tobytes())
+        f.write(sides.tobytes())
+        f.write(np.uint32(zoff).tobytes())
+        f.write(fchr.astype("<u4").tobytes())
+        f.write(ftab.astype("<u4").tobytes())
+        f.write(eftab.astype("<u4").tobytes())
+        # each name is '\n'-terminated, then a final NUL
+        f.write(b"".join(n.encode() + b"\n" for n in refnames) + b"\x00")
+    with open(out2, "wb") as f:
+        f.write(np.uint32(1).tobytes())
+        f.write(offs.astype("<u4").tobytes())
+
+
+def build_index(seqs, names, out_base: str, off_rate: int = 5,
+                ftab_chars: int = 10, sa_fn=suffix_array,
+                both: bool = True):
+    """Full bowtie-build: fw + mirror indexes + packed reference.
+
+    seqs: list of uint8 code arrays (4 = ambiguous).
+    """
+    records, frags = fasta_to_records(seqs)
+    write_ref_files(out_base, records, frags)
+
+    plen = np.array([len(x) for x in seqs], dtype=np.uint32)
+    # rstarts: (joined off, refidx, offset within ref) per fragment
+    rstarts = []
+    joined_off = 0
+    for ridx, roff, codes in frags:
+        rstarts.append((joined_off, ridx, roff))
+        joined_off += len(codes)
+    rstarts = np.array(rstarts, dtype=np.uint32).reshape(-1, 3)
+    joined = np.concatenate([f[2] for f in frags]) if frags else \
+        np.zeros(0, np.uint8)
+
+    build_one(joined, rstarts, plen, names,
+              out_base + ".1.ebwt", out_base + ".2.ebwt",
+              off_rate, ftab_chars, sa_fn)
+    if both:
+        # mirror: each fragment reversed in place (REF_READ_REVERSE_EACH)
+        rev = np.concatenate([f[2][::-1] for f in frags]) if frags else \
+            np.zeros(0, np.uint8)
+        build_one(rev, rstarts, plen, names,
+                  out_base + ".rev.1.ebwt", out_base + ".rev.2.ebwt",
+                  off_rate, ftab_chars, sa_fn)
+
+
+def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):
+    from ..io.readers import parse_fasta
+    seqs, names = [], []
+    for p in fasta_paths:
+        for name, seq, _q in parse_fasta(p):
+            names.append(name.decode())
+            seqs.append(seq_to_codes(seq))
+    build_index(seqs, names, out_base, **kw)
+    return names

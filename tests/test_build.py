@@ -1,0 +1,90 @@
+"""bowtie-build parity: our builder's output must be byte-identical to
+the reference bowtie-build's (golden small-genome index committed in
+tests/golden/small_index, built with `-o 5 -t 7`)."""
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(__file__)
+FASTA = os.path.join(HERE, "golden", "small_genome.fa")
+GOLD = os.path.join(HERE, "golden", "small_index", "small_oracle")
+
+EXTS = [".1.ebwt", ".2.ebwt", ".3.ebwt", ".4.ebwt",
+        ".rev.1.ebwt", ".rev.2.ebwt"]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    from bowtie_tpu.build.builder import build_from_fasta
+    base = str(tmp_path_factory.mktemp("idx") / "small")
+    build_from_fasta([FASTA], base, off_rate=5, ftab_chars=7)
+    return base
+
+
+@pytest.mark.parametrize("ext", EXTS)
+def test_build_byte_identical(built, ext):
+    mine = open(built + ext, "rb").read()
+    gold = open(GOLD + ext, "rb").read()
+    assert mine == gold
+
+
+def test_roundtrip_align_on_built_index(built):
+    """Align reads sampled from the small genome against our own index."""
+    from bowtie_tpu.index.ebwt_io import read_ebwt
+    from bowtie_tpu.align.golden import GoldenFM
+    from bowtie_tpu.io.readers import parse_fasta
+    from bowtie_tpu.utils.alphabet import seq_to_codes
+
+    idx = read_ebwt(built)
+    g = GoldenFM(idx)
+    seqs = [seq_to_codes(s) for _, s, _ in parse_fasta(FASTA)]
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        ridx = int(rng.integers(0, len(seqs)))
+        s = seqs[ridx]
+        pos = int(rng.integers(0, len(s) - 30))
+        q = s[pos:pos + 30]
+        if (q > 3).any():
+            continue
+        top, bot = g.exact_range(q)
+        assert bot > top
+        found = False
+        for r in range(top, bot):
+            res = g.joined_to_text_off(30, g.resolve_row(r))
+            if res and res[0] == ridx and res[1] == pos:
+                found = True
+        assert found
+
+
+def test_inspect_roundtrip(built):
+    """build -> inspect -> same FASTA records (incl. N runs)."""
+    import io
+    from bowtie_tpu.build.inspect import inspect
+    from bowtie_tpu.io.readers import parse_fasta
+
+    out = io.StringIO()
+    inspect(built, out=out)
+    got = out.getvalue().encode()
+    want_records = list(parse_fasta(FASTA))
+    # reparse inspect output
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as f:
+        f.write(got)
+        path = f.name
+    got_records = list(parse_fasta(path))
+    assert len(got_records) == len(want_records)
+    for (gn, gs, _), (wn, ws, _) in zip(got_records, want_records):
+        assert gn == wn
+        assert gs.upper() == ws.upper()
+
+
+def test_inspect_lf_restore_matches(built):
+    """-e path: text reconstructed purely from the BWT equals .3/.4."""
+    import io
+    from bowtie_tpu.build.inspect import inspect
+
+    a, b = io.StringIO(), io.StringIO()
+    inspect(built, out=a)
+    inspect(built, use_ebwt=True, out=b)
+    assert a.getvalue() == b.getvalue()
