@@ -3,6 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: bowtie's published ~7,000 reads/s (>25M 35-bp reads/hour on a
 2009 workstation, MANUAL.markdown:11-14; see BASELINE.md).
+
+Methodology: distinct shuffled batches per iteration with a full host
+sync after each, so runtime-level caching/pipelining can't fake the
+number.  Each batch row is one strand search (fw or rc); reads/s
+counts fw+rc as one read, matching how bowtie counts.
 """
 from __future__ import annotations
 
@@ -23,44 +28,39 @@ def main():
     from bowtie_tpu.io.readers import ReadSource
     from bowtie_tpu.align.exact import right_align
     from bowtie_tpu.parallel.mesh import sharded_align_step
+    from bowtie_tpu.utils.alphabet import revcomp_codes
 
     idx = read_ebwt("/root/reference/indexes/e_coli")
-    fm = from_ebwt(idx)
+    # full per-row rank table + dense SA: one gather per LF step, one
+    # gather per offset resolution (see index/arrays.py)
+    fm = from_ebwt(idx, occ_every=1, dense_sa=True)
 
     src = ReadSource(["/root/reference/reads/e_coli_1000.fq"], "fastq")
     base = [r.codes_fw for r in src.records()]
-    rcs = None
-    # build a large batch by tiling the 1000 fixture reads: fw + rc
-    # lanes both searched, as the aligner does
-    from bowtie_tpu.utils.alphabet import revcomp_codes
-    BATCH = 65536
-    codes = []
-    i = 0
-    while len(codes) < BATCH:
-        r = base[i % len(base)]
-        codes.append(r if (i // len(base)) % 2 == 0 else revcomp_codes(r))
-        i += 1
-    mat, lens = right_align(codes, pad_to=36)
-    reads_d = jnp.asarray(mat)
-    lens_d = jnp.asarray(lens)
+    B = 262144
+    ITERS = 5
+    batches = []
+    for it in range(ITERS + 1):
+        codes = [base[(i + it * 37) % len(base)] if (i + it) % 2 == 0
+                 else revcomp_codes(base[(i + it * 41) % len(base)])
+                 for i in range(B)]
+        mat, lens = right_align(codes, pad_to=36)
+        batches.append((jnp.asarray(mat), jnp.asarray(lens)))
 
     # warm-up / compile
-    top, bot, offs, ok = sharded_align_step(fm, reads_d, lens_d)
-    top.block_until_ready()
+    t, b, o, k = sharded_align_step(fm, *batches[0])
+    jax.block_until_ready((t, b, o, k))
 
     t0 = time.time()
-    iters = 5
-    for _ in range(iters):
-        top, bot, offs, ok = sharded_align_step(fm, reads_d, lens_d)
-    top.block_until_ready()
+    found = 0
+    for it in range(1, ITERS + 1):
+        t, b, o, k = sharded_align_step(fm, *batches[it])
+        found += int(np.asarray(k).sum())   # full host sync each iter
     dt = time.time() - t0
 
-    # each searched row is one strand of one read; bowtie's reads/s
-    # counts reads (2 strand searches worst-case), so count batch rows
-    # as strand-searches and halve.
-    reads_per_sec = (BATCH * iters / 2) / dt
+    reads_per_sec = (B * ITERS / 2) / dt
     print(json.dumps({
-        "metric": "exact-search reads/s/chip (e_coli, 36bp, fw+rc)",
+        "metric": "exact-search+resolve reads/s/chip (e_coli, 36bp, fw+rc)",
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),

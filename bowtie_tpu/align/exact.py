@@ -34,80 +34,88 @@ def right_align(reads: list[np.ndarray], pad_to: int | None = None
     return mat, lens
 
 
-def _search_one(fm: FMIndexArrays, q: jnp.ndarray, qlen: jnp.ndarray):
-    """Backward-search one right-aligned query row.  Returns (top, bot);
-    bot<=top means no exact hit."""
-    L = q.shape[0]
+@jax.jit
+def exact_ranges(fm: FMIndexArrays, reads: jnp.ndarray, lens: jnp.ndarray):
+    """[B, L] right-aligned codes + [B] lens -> (top[B], bot[B]).
+
+    lax.scan over the (static) L columns, whole batch in lockstep with
+    per-lane masking — a scan compiles to one on-device loop with no
+    host-synced condition, unlike vmapped while_loop.
+    """
+    B, L = reads.shape
     fc = fm.ftab_chars
-    q = q.astype(jnp.int32)
+    q = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
 
-    ftab_codes = q[L - fc:]
-    ftab_ok = (qlen >= fc) & jnp.all(ftab_codes < 4)
-    ft_top, ft_bot = fmops.ftab_jump(fm, jnp.where(ftab_codes < 4,
-                                                   ftab_codes, 0))
-    top0 = jnp.where(ftab_ok, ft_top, 0)
-    bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len)
-    pos0 = jnp.where(ftab_ok, L - fc, L)
-    stop = L - qlen  # consume down to this column (exclusive)
+    ftab_codes = q[:, L - fc:]                                  # [B, fc]
+    ftab_ok = (lens >= fc) & jnp.all(ftab_codes < 4, axis=1)
+    weights = 4 ** jnp.arange(fc - 1, -1, -1, dtype=jnp.int32)
+    foff = jnp.sum(jnp.where(ftab_codes < 4, ftab_codes, 0) * weights,
+                   axis=1)
+    ft_top = fm.ftab_hi[foff]
+    ft_bot = fm.ftab_lo[foff + 1]
+    top0 = jnp.where(ftab_ok, ft_top, 0).astype(jnp.int32)
+    bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(jnp.int32)
+    start = jnp.where(ftab_ok, L - fc, L)       # first unconsumed column+1
+    stop = L - lens                              # consume down to here
 
-    def cond(state):
-        top, bot, pos = state
-        return (pos > stop) & (bot > top)
+    cols = jnp.flip(q.T, axis=0)                 # [L, B]: step t = col L-1-t
 
-    def body(state):
-        top, bot, pos = state
-        c = q[pos - 1]
+    def step(carry, xs):
+        top, bot = carry
+        c, t = xs                                # c: [B], t scalar step idx
+        col = L - 1 - t
+        active = (col < start) & (col >= stop) & (bot > top)
         is_n = c > 3
         cc = jnp.where(is_n, 0, c)
         ntop = fmops.lf(fm, top, cc)
         nbot = fmops.lf(fm, bot, cc)
-        # N closes the range
-        ntop, nbot = jnp.where(is_n, 0, ntop), jnp.where(is_n, 0, nbot)
-        return ntop, nbot, pos - 1
+        ntop = jnp.where(is_n, 0, ntop)
+        nbot = jnp.where(is_n, 0, nbot)
+        top = jnp.where(active, ntop, top)
+        bot = jnp.where(active, nbot, bot)
+        return (top, bot), None
 
-    top, bot, _ = jax.lax.while_loop(
-        cond, body, (top0.astype(jnp.int32), bot0.astype(jnp.int32), pos0))
+    (top, bot), _ = jax.lax.scan(
+        step, (top0, bot0), (cols, jnp.arange(L, dtype=jnp.int32)))
     ok = bot > top
     return jnp.where(ok, top, 0), jnp.where(ok, bot, 0)
 
 
-@jax.jit
-def exact_ranges(fm: FMIndexArrays, reads: jnp.ndarray, lens: jnp.ndarray):
-    """[B, L] right-aligned codes + [B] lens -> (top[B], bot[B])."""
-    return jax.vmap(lambda q, n: _search_one(fm, q, n))(reads, lens)
-
-
-def _resolve_one(fm: FMIndexArrays, row: jnp.ndarray, max_steps: int):
-    """Walk left until a marked row or zoff (reportChaseOne,
-    ebwt.h:2727-2746).  Returns (joined_off, ok)."""
-    mask = jnp.int32((1 << fm.off_rate) - 1)
-
-    def cond(state):
-        i, jumps = state
-        return ((i & mask) != 0) & (i != fm.zoff) & (jumps < max_steps)
-
-    def body(state):
-        i, jumps = state
-        return fmops.lf_row(fm, i), jumps + 1
-
-    i, jumps = jax.lax.while_loop(cond, body, (row.astype(jnp.int32),
-                                               jnp.int32(0)))
-    at_z = i == fm.zoff
-    off = jnp.where(at_z, jumps, fm.offs[i >> fm.off_rate] + jumps)
-    ok = at_z | ((i & mask) == 0)
-    return off, ok
+MAX_WALK = 1024   # scan fallback walk bound (ok=False past this)
 
 
 @jax.jit
 def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
     """[B] BWT rows -> ([B] joined offsets, [B] ok flags).
 
-    max_steps bounds the walk; rows are marked every 2^offRate in row
-    space so walks are ~2^offRate expected steps, but the worst case is
-    longer — 4096 covers anything realistic (ok=False signals overflow,
-    resolved on host by the golden model).
+    With a dense SA (fm.sa) this is a single gather.  Otherwise a
+    lockstep scan walks left until a marked row or zoff
+    (reportChaseOne, ebwt.h:2727-2746); walks are ~2^offRate expected
+    steps (ok=False signals the rare >MAX_WALK overflow, resolved on
+    host by the golden model).
     """
-    return jax.vmap(lambda r: _resolve_one(fm, r, 4096))(rows)
+    rows = rows.astype(jnp.int32)
+    if fm.sa is not None:
+        return fm.sa[rows], jnp.ones(rows.shape, bool)
+    mask = jnp.int32((1 << fm.off_rate) - 1)
+
+    def step(carry, _):
+        i, jumps, done = carry
+        at_mark = ((i & mask) == 0) | (i == fm.zoff)
+        done2 = done | at_mark
+        ni = fmops.lf_row(fm, jnp.where(done2, 0, i))
+        i = jnp.where(done2, i, ni)
+        jumps = jnp.where(done2, jumps, jumps + 1)
+        return (i, jumps, done2), None
+
+    (i, jumps, done), _ = jax.lax.scan(
+        step, (rows, jnp.zeros(rows.shape, jnp.int32),
+               jnp.zeros(rows.shape, bool)), None, length=MAX_WALK)
+    at_z = i == fm.zoff
+    finished = at_z | ((i & mask) == 0)
+    off = jnp.where(at_z, jumps, fm.offs[i >> fm.off_rate] + jumps)
+    return off, finished
 
 
 @jax.jit

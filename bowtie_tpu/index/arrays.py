@@ -37,7 +37,7 @@ WORDS_PER_BLOCK = OCC_BLOCK // 16
 @dataclass
 class FMIndexArrays:
     bwt: jax.Array        # uint32 [nwords]
-    occ: jax.Array        # int32  [nblocks+1, 4]
+    occ: jax.Array        # int32  [nblocks+1, 4] (or [bwtLen+1, 4] full)
     fchr: jax.Array       # int32  [5]
     ftab_hi: jax.Array    # int32  [ftabLen]
     ftab_lo: jax.Array    # int32  [ftabLen]
@@ -48,15 +48,28 @@ class FMIndexArrays:
     # static (not traced)
     ftab_chars: int = 10
     off_rate: int = 5
+    # dense SA (sa[row] = joined text offset of the suffix at BWT row):
+    # makes offset resolution a single gather instead of a walk-left
+    # loop.  4 B/row; built at load by pointer-doubling over the LF
+    # permutation.  None for very large genomes (walk-left path used).
+    sa: jax.Array | None = None
+
+    # rows per occ checkpoint: OCC_BLOCK (compact; rank = checkpoint +
+    # popcount over 8 words) or 1 (full rank table; rank = ONE gather —
+    # trades HBM footprint (16 B/row) for minimal per-step work, the
+    # right point for genomes up to ~1 Gbp on a 16 GB chip)
+    occ_every: int = OCC_BLOCK
 
     def tree_flatten(self):
         children = (self.bwt, self.occ, self.fchr, self.ftab_hi,
-                    self.ftab_lo, self.offs, self.zoff, self.bwt_len)
-        return children, (self.ftab_chars, self.off_rate)
+                    self.ftab_lo, self.offs, self.zoff, self.bwt_len,
+                    self.sa)
+        return children, (self.ftab_chars, self.off_rate, self.occ_every)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, ftab_chars=aux[0], off_rate=aux[1])
+        return cls(*children[:8], sa=children[8], ftab_chars=aux[0],
+                   off_rate=aux[1], occ_every=aux[2])
 
 
 def pack_bwt_words(bwt_codes: np.ndarray) -> np.ndarray:
@@ -85,19 +98,78 @@ def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK
     return ck.astype(np.int32)
 
 
-def from_ebwt(idx: EbwtIndex, device=None) -> FMIndexArrays:
-    """Convert a parsed host index into device arrays."""
+def build_full_rank(bwt_codes: np.ndarray) -> np.ndarray:
+    """occ[i, c] = count of stored code c in rows [0, i) — full table."""
+    n = len(bwt_codes)
+    onehot = bwt_codes[:, None] == np.arange(4, dtype=np.uint8)
+    ck = np.zeros((n + 1, 4), dtype=np.int32)
+    np.cumsum(onehot, axis=0, out=ck[1:])
+    return ck
+
+
+def build_dense_sa(idx: EbwtIndex) -> np.ndarray:
+    """sa[row] = joined-text offset of the suffix at BWT row, for every
+    row — built by pointer-doubling over the LF permutation from the
+    2^offRate-sampled offs[] (the batch equivalent of walk-left:
+    reportChaseOne, ebwt.h:2727-2746, amortized over all rows at once).
+    ~log2(max walk) rounds of two gathers each."""
+    n1 = idx.length + 1
+    bwt = idx.bwt.astype(np.int64)
+    occ = (idx.occ_checkpoints().astype(np.int64))
+    B = idx.OCC_BLOCK
+    rows = np.arange(n1, dtype=np.int64)
+    # vectorized rank-at-own-char: checkpoint + within-block count
+    base = occ[rows // B, bwt]
+    within = np.zeros(n1, dtype=np.int64)
+    for c in range(4):
+        mask = bwt == c
+        cs = np.cumsum(mask)
+        nblocks = (n1 + B - 1) // B
+        block_cs0 = np.concatenate([[0], cs[B - 1::B]])[:nblocks]
+        within[mask] = (cs - np.repeat(block_cs0, B)[:n1] - 1)[mask]
+    lf = idx.fchr[np.minimum(bwt, 3)].astype(np.int64) + base + within
+    lf -= ((bwt == 0) & (rows > idx.zoff)).astype(np.int64)  # '$' corr.
+    # pointer doubling toward marked rows (row % 2^offRate == 0 or zoff)
+    marked = (rows & ((1 << idx.off_rate) - 1)) == 0
+    marked[idx.zoff] = True
+    ptr = np.where(marked, rows, lf)
+    dist = np.where(marked, 0, 1).astype(np.int64)
+    for _ in range(26):   # 2^26 exceeds any possible walk length
+        dist = dist + dist[ptr]
+        ptr = ptr[ptr]
+        if marked[ptr].all():
+            break
+    assert marked[ptr].all()
+    base_off = np.where(ptr == idx.zoff, 0,
+                        idx.offs[ptr >> idx.off_rate].astype(np.int64))
+    # rows whose walk stops at a marked row that is ALSO zoff use
+    # jumps only; offs[zoff>>offRate] is 0 there anyway when sampled
+    return (base_off + dist).astype(np.int32)
+
+
+def from_ebwt(idx: EbwtIndex, device=None,
+              occ_every: int = OCC_BLOCK,
+              dense_sa: bool = False) -> FMIndexArrays:
+    """Convert a parsed host index into device arrays.
+
+    occ_every=1 builds the full per-row rank table (fast path for
+    genomes that fit: 16 B/row of HBM).  dense_sa=True additionally
+    builds the per-row SA (4 B/row) so offset resolution is one gather."""
     hi, lo = idx.ftab_resolved()
     put = partial(jax.device_put, device=device)
+    occ = (build_full_rank(idx.bwt) if occ_every == 1
+           else build_occ_checkpoints(idx.bwt, occ_every))
     return FMIndexArrays(
         bwt=put(pack_bwt_words(idx.bwt)),
-        occ=put(build_occ_checkpoints(idx.bwt)),
+        occ=put(occ),
         fchr=put(idx.fchr.astype(np.int32)),
         ftab_hi=put(hi.astype(np.int32)),
         ftab_lo=put(lo.astype(np.int32)),
         offs=put(idx.offs.astype(np.int32)),
         zoff=put(jnp.int32(idx.zoff)),
         bwt_len=put(jnp.int32(idx.bwt_len)),
+        sa=put(build_dense_sa(idx)) if dense_sa else None,
         ftab_chars=idx.ftab_chars,
         off_rate=idx.off_rate,
+        occ_every=occ_every,
     )

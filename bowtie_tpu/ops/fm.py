@@ -47,34 +47,46 @@ def rank1(fm: FMIndexArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     '$' correction per countFwSide (ebwt.h:2044-2052): the '$' row is
     stored as code 0; subtract it from A-counts when i > zoff.
     """
-    i = i.astype(jnp.int32)
-    block = i // OCC_BLOCK
-    base = fm.occ[block, c]
-    w0 = block * WORDS_PER_BLOCK
-    rem = i - block * OCC_BLOCK            # rows past the checkpoint [0,128)
-    words = jax.lax.dynamic_slice_in_dim(fm.bwt, w0, WORDS_PER_BLOCK)
-    lanes_per_word = rem - 16 * jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
-    nlanes = jnp.clip(lanes_per_word, 0, 16)
-    cnt = base + _count_matches_in_word(words, c, nlanes).sum()
+    i = jnp.asarray(i, jnp.int32)
+    c = jnp.asarray(c)
     corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0)
+    if fm.occ_every == 1:
+        return fm.occ[i, c] - corr
+    blk = fm.occ_every
+    wpb = blk // 16
+    block = i // blk
+    base = fm.occ[block, c]
+    rem = i - block * blk                  # rows past the checkpoint
+    # shape-polymorphic (scalar or [B]) block-word gather
+    words = fm.bwt[block[..., None] * wpb +
+                   jnp.arange(wpb, dtype=jnp.int32)]
+    nlanes = jnp.clip(rem[..., None] -
+                      16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
+    cnt = base + _count_matches_in_word(
+        words, c[..., None], nlanes).sum(axis=-1)
     return cnt - corr
 
 
 def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """Occ(c, i) for all four codes at once (countUpToEx analog)."""
-    i = i.astype(jnp.int32)
-    block = i // OCC_BLOCK
-    base = fm.occ[block]                                   # [4]
-    w0 = block * WORDS_PER_BLOCK
-    rem = i - block * OCC_BLOCK
-    words = jax.lax.dynamic_slice_in_dim(fm.bwt, w0, WORDS_PER_BLOCK)
-    lanes_per_word = rem - 16 * jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)
-    nlanes = jnp.clip(lanes_per_word, 0, 16)
-    cnts = jax.vmap(
-        lambda c: _count_matches_in_word(words, c, nlanes).sum())(
-            jnp.arange(4, dtype=jnp.int32))
-    corr = jnp.where(i > fm.zoff, 1, 0)
-    return base + cnts - jnp.array([1, 0, 0, 0], jnp.int32) * corr
+    i = jnp.asarray(i, jnp.int32)
+    corr = (jnp.where(i > fm.zoff, 1, 0)[..., None] *
+            jnp.array([1, 0, 0, 0], jnp.int32))
+    if fm.occ_every == 1:
+        return fm.occ[i] - corr.reshape(fm.occ[i].shape)
+    blk = fm.occ_every
+    wpb = blk // 16
+    block = i // blk
+    base = fm.occ[block]                                   # [..., 4]
+    rem = i - block * blk
+    words = fm.bwt[block[..., None] * wpb +
+                   jnp.arange(wpb, dtype=jnp.int32)]
+    nlanes = jnp.clip(rem[..., None] -
+                      16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
+    cnts = jnp.stack(
+        [_count_matches_in_word(words, jnp.int32(cc), nlanes).sum(axis=-1)
+         for cc in range(4)], axis=-1)
+    return base + cnts - corr.reshape(base.shape)
 
 
 def lf(fm: FMIndexArrays, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
