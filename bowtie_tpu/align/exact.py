@@ -52,8 +52,8 @@ def exact_ranges(fm: FMIndexArrays, reads: jnp.ndarray, lens: jnp.ndarray):
     weights = 4 ** jnp.arange(fc - 1, -1, -1, dtype=jnp.int32)
     foff = jnp.sum(jnp.where(ftab_codes < 4, ftab_codes, 0) * weights,
                    axis=1)
-    ft_top = fm.ftab_hi[foff]
-    ft_bot = fm.ftab_lo[foff + 1]
+    ft_top = fmops.gather1d(fm.ftab_hi, foff)
+    ft_bot = fmops.gather1d(fm.ftab_lo, foff + 1)
     top0 = jnp.where(ftab_ok, ft_top, 0).astype(jnp.int32)
     bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(jnp.int32)
     start = jnp.where(ftab_ok, L - fc, L)       # first unconsumed column+1
@@ -97,7 +97,7 @@ def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
     """
     rows = rows.astype(jnp.int32)
     if fm.sa is not None:
-        return fm.sa[rows], jnp.ones(rows.shape, bool)
+        return fmops.gather1d(fm.sa, rows), jnp.ones(rows.shape, bool)
     mask = jnp.int32((1 << fm.off_rate) - 1)
 
     def step(carry, _):
@@ -114,7 +114,8 @@ def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
                jnp.zeros(rows.shape, bool)), None, length=MAX_WALK)
     at_z = i == fm.zoff
     finished = at_z | ((i & mask) == 0)
-    off = jnp.where(at_z, jumps, fm.offs[i >> fm.off_rate] + jumps)
+    off = jnp.where(at_z, jumps,
+                    fmops.gather1d(fm.offs, i >> fm.off_rate) + jumps)
     return off, finished
 
 

@@ -155,6 +155,20 @@ def main(argv=None) -> int:
             seed_len=args.seedlen, qual_thresh=args.maqerr,
             maq_round=not args.nomaqround,
             maxbts=args.maxbts if args.maxbts is not None else 125)
+    elif args.mismatches >= 0 and (
+            args.best or args.strata or args.sample_mhits is not None
+            or args.mismatches == 3):
+        # stateful best-first engine (bowtie forces it for --best, -M,
+        # --strata and -v 3; ebwt_search.cpp:852,877)
+        from ..align.best_factories import make_best_aligner
+        from ..align.golden import GoldenFM
+        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        aligner = make_best_aligner(
+            g_fw, g_bw, args.mismatches, policy, strata=args.strata,
+            all_hits=args.all, nofw=args.nofw, norc=args.norc,
+            maq=not args.nomaqround, global_seed=args.seed,
+            maxbts=args.maxbts if args.maxbts is not None else 800)
     elif args.mismatches == 0:
         aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
                                norc=args.norc, global_seed=args.seed)

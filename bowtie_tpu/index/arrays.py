@@ -73,9 +73,12 @@ class FMIndexArrays:
 
 
 def pack_bwt_words(bwt_codes: np.ndarray) -> np.ndarray:
-    """uint8 codes -> uint32 words, 16 codes/word, low bit-pair first."""
+    """uint8 codes -> uint32 words, 16 codes/word, low bit-pair first.
+    Padded to a whole number of occ blocks so the word array reshapes
+    cleanly into [nblocks, words_per_block] for row gathers."""
     n = len(bwt_codes)
     nwords = (n + 15) // 16
+    nwords = -(-nwords // WORDS_PER_BLOCK) * WORDS_PER_BLOCK
     padded = np.zeros(nwords * 16, dtype=np.uint32)
     padded[:n] = bwt_codes
     lanes = padded.reshape(nwords, 16)

@@ -26,6 +26,31 @@ _CHAR_PATTERNS = jnp.array(
 _LANE_EVEN = jnp.uint32(0x55555555)
 
 
+def gather1d(a: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """Gather a[i] formulated as a 2D row gather.
+
+    On TPU, XLA lowers 1D element gathers to a scalar-core loop
+    (~0.3M elem/s) but vectorizes row gathers from 2D arrays with the
+    minor dim intact (~1.5B rows/s).  The reshape is a free bitcast.
+    """
+    return a.reshape(-1, 1)[i][..., 0]
+
+
+def select4(table4: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """table4[..., c] without a gather: 4-way one-hot select (VPU)."""
+    c = c[..., None]
+    idx = jnp.arange(4, dtype=c.dtype)
+    return (table4 * (idx == c)).sum(axis=-1)
+
+
+def fchr_at(fm, c: jnp.ndarray) -> jnp.ndarray:
+    """fchr[c] via unrolled select (fchr is tiny; avoid 1D gather)."""
+    r = jnp.zeros(jnp.shape(c), dtype=jnp.int32)
+    for j in range(4):
+        r = jnp.where(c == j, fm.fchr[j], r)
+    return r
+
+
 def _count_matches_in_word(word: jnp.ndarray, c: jnp.ndarray,
                            nlanes: jnp.ndarray) -> jnp.ndarray:
     """# of lanes j < nlanes of `word` equal to code c.  nlanes in [0,16]."""
@@ -51,15 +76,15 @@ def rank1(fm: FMIndexArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     c = jnp.asarray(c)
     corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0)
     if fm.occ_every == 1:
-        return fm.occ[i, c] - corr
+        return select4(fm.occ[i], c) - corr
     blk = fm.occ_every
     wpb = blk // 16
     block = i // blk
-    base = fm.occ[block, c]
+    base = select4(fm.occ[block], c)
     rem = i - block * blk                  # rows past the checkpoint
-    # shape-polymorphic (scalar or [B]) block-word gather
-    words = fm.bwt[block[..., None] * wpb +
-                   jnp.arange(wpb, dtype=jnp.int32)]
+    # shape-polymorphic (scalar or [B]) block-word gather; rows of a
+    # [nblocks, wpb] view so TPU vectorizes it
+    words = fm.bwt.reshape(-1, wpb)[block]
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnt = base + _count_matches_in_word(
@@ -79,8 +104,7 @@ def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     block = i // blk
     base = fm.occ[block]                                   # [..., 4]
     rem = i - block * blk
-    words = fm.bwt[block[..., None] * wpb +
-                   jnp.arange(wpb, dtype=jnp.int32)]
+    words = fm.bwt.reshape(-1, wpb)[block]
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnts = jnp.stack(
@@ -91,7 +115,7 @@ def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
 
 def lf(fm: FMIndexArrays, i: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """LF step for search arrows: fchr[c] + Occ(c, i)."""
-    return fm.fchr[c] + rank1(fm, c, i)
+    return fchr_at(fm, jnp.asarray(c)) + rank1(fm, c, i)
 
 
 def lf4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
@@ -102,8 +126,8 @@ def lf4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
 def bwt_char(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """The BWT char at row i (rowL).  Returns stored code; caller must
     treat row zoff specially ('$')."""
-    i = i.astype(jnp.int32)
-    word = fm.bwt[i // 16]
+    i = jnp.asarray(i, jnp.int32)
+    word = gather1d(fm.bwt, i // 16)
     return ((word >> (2 * (i % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
 
 

@@ -1,0 +1,26 @@
+"""Output parity for the stateful best-first engine
+(--best / -M / --strata / -v 3)."""
+import os
+
+import pytest
+
+from tests.test_parity_v0 import GOLDEN, run_cli
+
+CASES = [
+    ("best_v0_M1", ["-v", "0", "-M", "1"]),
+    ("best_v1", ["-v", "1", "--best", "-u", "300"]),
+    ("best_v2", ["-v", "2", "--best", "-u", "300"]),
+    ("best_v2_M2", ["-v", "2", "-M", "2", "-u", "300"]),
+    ("best_v2_strata_k3",
+     ["-v", "2", "--best", "--strata", "-k", "3", "-u", "300"]),
+    ("best_v2_a", ["-v", "2", "--best", "-a", "-u", "200"]),
+    ("v3_u300", ["-v", "3", "-u", "300"]),
+    ("best_v1_M1", ["-v", "1", "-M", "1", "-u", "300"]),
+]
+
+
+@pytest.mark.parametrize("key,args", CASES)
+def test_parity_best(key, args, tmp_path):
+    golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
+    mine = run_cli(args, tmp_path)
+    assert mine == golden

@@ -19,13 +19,8 @@ CASES = [
     ("v0_am2", ["-v", "0", "-a", "-m", "2"]),
     ("v0_nofw", ["-v", "0", "--nofw"]),
     ("v0_norc", ["-v", "0", "--norc"]),
-    # -M forces bowtie's stateful best-first engine (ebwt_search.cpp:877),
-    # which interleaves fw/rc ranges differently; our stateful-path
-    # parity is tracked separately (see align/best.py once it lands).
-    pytest.param("v0_SM1", ["-v", "0", "-S", "-M", "1"],
-                 marks=pytest.mark.xfail(reason="stateful -M ordering")),
-    pytest.param("v0_M1", ["-v", "0", "-M", "1"],
-                 marks=pytest.mark.xfail(reason="stateful -M ordering")),
+    ("v0_SM1", ["-v", "0", "-S", "-M", "1"]),
+    ("v0_M1", ["-v", "0", "-M", "1"]),
 ]
 
 
