@@ -141,12 +141,34 @@ class CostAwareDriver:
         self.found_range = False
         self.last_range = None
         self.delayed_range = None
+        self.read = read
         self.rand = BtRandom(int(read.seed(self.global_seed)))
+        if not self.rss:
+            return
         for d in self.rss:
             d.set_query(read, seed_range)
         self.active = list(self.rss)
         self.min_cost = 0
         self._sort_actives()
+
+    def add_source(self, d: BestDriver, seed_range):
+        """CostAware addSource (range_source.h:2098-2113)."""
+        self.found_range = False
+        self.last_range = None
+        self.delayed_range = None
+        self.done = False
+        d.set_query(self.read, seed_range)
+        self.rss.append(d)
+        self.active.append(d)
+        self.paired = (any(x.mate1() for x in self.rss) and
+                       any(not x.mate1() for x in self.rss))
+        self.min_cost = 0
+        self._sort_actives()
+
+    def clear_sources(self):
+        self.rss = []
+        self.active = []
+        self.paired = False
 
     def _mate_eliminated(self):
         if not self.paired:
@@ -184,7 +206,6 @@ class CostAwareDriver:
             i += 1
         if vec:
             self.min_cost = max(vec[0].min_cost, self.min_cost)
-        self.done = len(vec) == 0 and self.delayed_range is None
 
     def _found_first_range(self, r: FoundRange):
         self.found_range = True
@@ -255,6 +276,97 @@ class CostAwareDriver:
 
     def range(self) -> FoundRange:
         return self.last_range
+
+
+class SeededDriver:
+    """EbwtSeededRangeSourceDriver (ebwt_search_backtrack.h:2935-3140):
+    chains a seed-only partial-alignment generator with dynamically
+    created full-extension drivers merged in an inner cost-aware
+    driver."""
+
+    def __init__(self, full_factory, seed_driver: BestDriver, fw: bool,
+                 seed_len: int, mate1: bool = True, global_seed: int = 0):
+        self.full_factory = full_factory   # () -> BestDriver
+        self.rs_seed = seed_driver
+        self.rs_full = CostAwareDriver([], strand_fix=False,
+                                       mixes_reads=True,
+                                       global_seed=global_seed)
+        self.fw_flag = fw
+        self.mate1_flag = mate1
+        self.seed_len = seed_len
+        self.done = True
+        self.found_range = False
+        self.min_cost = 0
+        self.min_cost_adj = 0
+
+    def fw(self):
+        return self.fw_flag
+
+    def mate1(self):
+        return self.mate1_flag
+
+    def set_query(self, read, seed_range=None):
+        self.done = False
+        self.found_range = False
+        self.rs_seed.set_query(read, seed_range)
+        self.min_cost_adj = max(self.rs_seed.min_cost_adj,
+                                self.rs_seed.min_cost)
+        self.min_cost = self.min_cost_adj
+        self.rs_full.clear_sources()
+        self.rs_full.set_query(read, seed_range)
+        self.rs_full.min_cost = self.min_cost
+
+    def advance(self, until):
+        until = max(until, ADV_COST_CHANGES)
+        rs_seed, rs_full = self.rs_seed, self.rs_full
+        if (rs_seed.done and rs_full.done and
+                not rs_seed.found_range and not rs_full.found_range):
+            self.done = True
+            return
+        if rs_seed.done and not rs_seed.found_range:
+            rs_seed.min_cost = 0xFFFF
+            if rs_full.min_cost > self.min_cost:
+                self.min_cost = rs_full.min_cost
+                return
+        if rs_full.done and not rs_full.found_range:
+            rs_full.min_cost = 0xFFFF
+            if rs_seed.min_cost > self.min_cost:
+                self.min_cost = rs_seed.min_cost
+                return
+        do_full = rs_full.min_cost <= rs_seed.min_cost
+        if not do_full:
+            if not rs_seed.found_range:
+                rs_seed.advance(until)
+            if rs_seed.found_range:
+                seed_range = rs_seed.range()
+                rs_seed.found_range = False
+                self.min_cost_adj = seed_range.cost
+                partial = self.full_factory()
+                partial.min_cost = seed_range.cost
+                rs_full.min_cost = seed_range.cost
+                rs_full.add_source(partial, seed_range)
+                if rs_full.found_range:
+                    self.found_range = True
+                    rs_full.found_range = False
+            if rs_seed.min_cost > self.min_cost:
+                self.min_cost = rs_seed.min_cost
+                if not rs_full.done:
+                    self.min_cost = min(self.min_cost, rs_full.min_cost)
+        else:
+            old_full = rs_full.min_cost
+            if not rs_full.found_range:
+                rs_full.advance(until)
+            if rs_full.found_range:
+                self.found_range = True
+                rs_full.found_range = False
+            if rs_full.min_cost > old_full:
+                self.min_cost = min(rs_full.min_cost, rs_seed.min_cost)
+
+    def range(self) -> FoundRange:
+        r = self.rs_full.range()
+        r.fw = self.fw_flag
+        r.mate1 = self.mate1_flag
+        return r
 
 
 class RangeChaser:

@@ -128,6 +128,95 @@ def mm23_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM, two: bool,
     return make
 
 
+def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
+                               seed_mms: int, seed_len: int,
+                               qual_cutoff: int, nofw, norc, strand_fix,
+                               maq, qual_order, global_seed,
+                               maxbts=125):
+    """UnpairedSeedAlignerFactory::create (aligner_seed_mm.h:80-532):
+    per seedMms, exact/seed/half driver DAGs with seeded partial
+    generation chained into full extension drivers."""
+    from .best_driver import SeededDriver
+    SEED, HI, BEG, L = (PIN_TO_SEED_EDGE, PIN_TO_HI_HALF_EDGE,
+                        PIN_TO_BEGINNING, PIN_TO_LEN)
+
+    def drv(g, efw, fw, pins, exacts, nudge, hh=0, partial=False,
+            seed_flag=False, bt=None):
+        return _mk_driver(g, efw, fw, pins, report_exacts=exacts,
+                          seed_len=seed_len, qual_lim=qual_cutoff,
+                          hh=hh, seeded=seed_flag, maq=maq,
+                          qual_order=qual_order, global_seed=global_seed,
+                          bt_cnt=bt, nudge_left=nudge)
+
+    def seeded(g_ext, efw_ext, g_gen, efw_gen, fw, gen_pins, bt):
+        """One EbwtSeededRangeSourceDriver: gen (seed-truncated) +
+        factory creating full extenders on the opposite index."""
+        def full_factory():
+            return drv(g_ext, efw_ext, fw, (SEED, SEED, SEED, SEED),
+                       exacts=True, nudge=True, bt=bt)
+        gen = drv(g_gen, efw_gen, fw, gen_pins, exacts=False,
+                  nudge=False, partial=True, seed_flag=True, bt=bt)
+        # gen source hh flag set by caller via gen.rs.half_and_half
+        return SeededDriver(full_factory, gen, fw, seed_len,
+                            global_seed=global_seed)
+
+    def make(read):
+        bt = [maxbts] if seed_mms >= 2 else None
+        drs = []
+        n = seed_mms
+        for fw in (True, False):
+            if fw and nofw:
+                continue
+            if not fw and norc:
+                continue
+            # exact-side index for this strand: mirror for fw reads,
+            # forward for rc reads; gen side is the opposite
+            g_e, efw_e = (g_bw, False) if fw else (g_fw, True)
+            g_g, efw_g = (g_fw, True) if fw else (g_bw, False)
+            if n == 0:
+                drs.append(drv(g_e, efw_e, fw, (SEED,) * 4, exacts=True,
+                               nudge=True))
+            elif n == 1:
+                drs.append(drv(g_e, efw_e, fw, (HI, SEED, SEED, SEED),
+                               exacts=True, nudge=True))
+                drs.append(seeded(g_e, efw_e, g_g, efw_g, fw,
+                                  (HI, SEED, SEED, SEED), None))
+            elif n == 2:
+                drs.append(drv(g_e, efw_e, fw, (HI, HI, SEED, SEED),
+                               exacts=True, nudge=True, bt=bt))
+                drs.append(seeded(g_e, efw_e, g_g, efw_g, fw,
+                                  (HI, HI, SEED, SEED), bt))
+                drs.append(drv(g_e, efw_e, fw, (BEG, HI, SEED, SEED),
+                               exacts=False, nudge=True, hh=2, bt=bt))
+            else:
+                drs.append(drv(g_e, efw_e, fw, (HI, HI, HI, SEED),
+                               exacts=True, nudge=True, bt=bt))
+                drs.append(seeded(g_e, efw_e, g_g, efw_g, fw,
+                                  (HI, HI, HI, SEED), bt))
+                s12 = seeded(g_e, efw_e, g_g, efw_g, fw,
+                             (BEG, HI, HI, SEED), bt)
+                s12.rs_seed.rs.half_and_half = 3
+                drs.append(s12)
+                drs.append(drv(g_e, efw_e, fw, (BEG, HI, HI, SEED),
+                               exacts=False, nudge=True, hh=2, bt=bt))
+        return CostAwareDriver(drs, strand_fix=strand_fix,
+                               global_seed=global_seed)
+    return make
+
+
+def make_seeded_best_aligner(g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
+                             policy, strata, all_hits, nofw=False,
+                             norc=False, maq=True, better=False,
+                             global_seed=0, maxbts=125):
+    from .best_driver import BestSink, RangeChaser, UnpairedBestAligner
+    fac = seeded_best_driver_factory(
+        g_fw, g_bw, seed_mms, seed_len, qual_cutoff, nofw, norc, True,
+        maq, not better, global_seed, maxbts)
+    chaser = RangeChaser(g_fw, g_bw)
+    sink = BestSink(policy, strata, all_hits, global_seed)
+    return UnpairedBestAligner(fac, chaser, sink, global_seed)
+
+
 def make_best_aligner(g_fw: GoldenFM, g_bw: GoldenFM | None, v: int,
                       policy: KPolicy, strata: bool, all_hits: bool,
                       nofw=False, norc=False, maq=True, better=False,

@@ -180,6 +180,18 @@ def main(argv=None) -> int:
         aligner = OracleAligner(g_fw, g_bw, policy, v=args.mismatches,
                                 nofw=args.nofw, norc=args.norc,
                                 global_seed=args.seed)
+    elif args.best or args.strata or args.sample_mhits is not None:
+        # seeded -n with the stateful best-first engine
+        from ..align.best_factories import make_seeded_best_aligner
+        from ..align.golden import GoldenFM
+        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        aligner = make_seeded_best_aligner(
+            g_fw, g_bw, args.seedmms, args.seedlen, args.maqerr,
+            policy, strata=args.strata, all_hits=args.all,
+            nofw=args.nofw, norc=args.norc,
+            maq=not args.nomaqround, global_seed=args.seed,
+            maxbts=args.maxbts if args.maxbts is not None else 800)
     else:
         # default seeded Maq-like -n mode
         from ..align.drivers import OracleAligner

@@ -24,3 +24,21 @@ def test_parity_best(key, args, tmp_path):
     golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
     mine = run_cli(args, tmp_path)
     assert mine == golden
+
+
+SEEDED_CASES = [
+    ("best_n2", ["-n", "2", "--best", "-u", "300"]),
+    ("best_n2_M1", ["-n", "2", "-M", "1", "-u", "300"]),
+    ("best_n2_strata",
+     ["-n", "2", "--best", "--strata", "-k", "2", "-u", "300"]),
+    ("best_n3", ["-n", "3", "--best", "-u", "200"]),
+    ("best_n2_l20", ["-n", "2", "--best", "-l", "20", "-u", "200"]),
+    ("best_n0", ["-n", "0", "--best", "-u", "200"]),
+]
+
+
+@pytest.mark.parametrize("key,args", SEEDED_CASES)
+def test_parity_seeded_best(key, args, tmp_path):
+    golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
+    mine = run_cli(args, tmp_path)
+    assert mine == golden
