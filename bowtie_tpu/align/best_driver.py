@@ -136,13 +136,18 @@ class CostAwareDriver:
         self.paired = (any(d.mate1() for d in drivers) and
                        any(not d.mate1() for d in drivers))
 
+    # Optional override: paired mode seeds every CostAware RNG with
+    # mate1's seed (range_source.h:2084: rand_.init(bufa().seed))
+    seed_read = None
+
     def set_query(self, read, seed_range=None):
         self.done = False
         self.found_range = False
         self.last_range = None
         self.delayed_range = None
         self.read = read
-        self.rand = BtRandom(int(read.seed(self.global_seed)))
+        sr = self.seed_read if self.seed_read is not None else read
+        self.rand = BtRandom(int(sr.seed(self.global_seed)))
         if not self.rss:
             return
         for d in self.rss:

@@ -204,6 +204,62 @@ def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
     return make
 
 
+def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
+                             seed_mms=2, seed_len=28, qual_cutoff=70,
+                             fw1=True, fw2=False, min_insert=0,
+                             max_insert=250, pairtries=100,
+                             mixed_thresh=4, sym_ceiling=INF32,
+                             nofw=False, norc=False, maq=True,
+                             better=False, global_seed=0, maxbts=800):
+    """PairedBWAlignerV1 wiring (Paired*AlignerV1Factory): four
+    per-(mate,strand) cost-aware drivers + a RefAligner for rescue."""
+    from .best_paired import (PairedBestAligner, PairedBestSink,
+                              RefAlignerPy)
+    qual_order = not better
+
+    def strand_factory(fw):
+        if mode == "n":
+            return seeded_best_driver_factory(
+                g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
+                nofw=not fw, norc=fw, strand_fix=True, maq=maq,
+                qual_order=qual_order, global_seed=global_seed,
+                maxbts=maxbts)
+        if v == 0:
+            return exact_best_driver_factory(
+                g_fw, not fw, fw, True, maq, qual_order, global_seed)
+        if v == 1:
+            return mm1_best_driver_factory(
+                g_fw, g_bw, not fw, fw, True, maq, qual_order,
+                global_seed)
+        return mm23_best_driver_factory(
+            g_fw, g_bw, v == 2, not fw, fw, True, maq, qual_order,
+            global_seed, maxbts)
+
+    def driver_factory(rd1, rd2):
+        out = []
+        for mate_read, mate1 in ((rd1, True), (rd2, False)):
+            for fw in (True, False):
+                ca = strand_factory(fw)(mate_read)
+                ca.seed_read = rd1
+                for d in ca.rss:
+                    d.mate1_flag = mate1
+                ca.set_query(mate_read)
+                out.append(ca)
+        return out
+
+    if mode == "n":
+        ra = RefAlignerPy(seed_mms=seed_mms, seed_len=seed_len,
+                          qual_max=qual_cutoff, maq_round=maq)
+    else:
+        ra = RefAlignerPy(v=v)
+    sink = PairedBestSink(policy, global_seed)
+    return PairedBestAligner(
+        driver_factory, g_fw, g_bw, refs, ra, sink,
+        min_insert=min_insert, max_insert=max_insert, fw1=fw1, fw2=fw2,
+        mixed_thresh=mixed_thresh, mixed_attempt_lim=pairtries,
+        sym_ceiling=sym_ceiling, global_seed=global_seed)
+
+
 def make_seeded_best_aligner(g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
                              policy, strata, all_hits, nofw=False,
                              norc=False, maq=True, better=False,

@@ -1,0 +1,409 @@
+"""Stateful paired-end aligner (PairedBWAlignerV1, aligner.h:606-1480).
+
+Anchor ranges stream best-first from four per-(mate,strand) drivers;
+each resolved anchor row triggers a reference-space rescue of the
+outstanding mate (RefAligner::find — zig-zag-from-the-middle window
+scan, ref_aligner.h:204-212, with first-hit-wins and the upstream/
+downstream dedup set, :441-460).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .backtrack_oracle import QUAL_ROUNDS, mm_penalty
+from .best import ADV_FOUND_RANGE, FoundRange
+from .best_driver import BestDriver, CostAwareDriver
+from .policy import INF, KPolicy, ReadResult
+from .types import Hit
+from ..utils.rng import BtRandom
+
+INF32 = 0xFFFFFFFF
+
+
+class RefAlignerPy:
+    """RefAligner::find family: scan a window for the outstanding mate,
+    zig-zag outward from the middle, first `num_to_find` hits win.
+
+    -v modes (Exact/OneMM/TwoMM/ThreeMM): at most v mismatches, no
+    quality budget, stratum = #mms.
+    seeded (-n) modes (Seed0-3): at most n mismatches in the first
+    seed_len 5'-bases AND total (rounded) penalty <= qual_max;
+    stratum = seed mms.
+    """
+
+    def __init__(self, v: int | None = None, seed_mms: int = 2,
+                 seed_len: int = 28, qual_max: int = 70,
+                 maq_round: bool = True):
+        self.v = v
+        self.seed_mms, self.seed_len = seed_mms, seed_len
+        self.qual_max = qual_max
+        self.maq = maq_round
+
+    def find(self, ref: np.ndarray, qry: np.ndarray, qual: bytes,
+             begin: int, end: int, pairs: set, aoff: int,
+             seed_on_left: bool, tidx: int, num_to_find: int = 1):
+        """Returns [(result_off, mms[(pos,refchr)], stratum, ham)].
+        qry is in fw-reference orientation; for seed_on_left=False the
+        mate's 5' seed sits at the RIGHT end of qry."""
+        qlen = len(qry)
+        if (qry > 3).any():
+            return []   # Ns in query disqualify (ref_aligner.h:322)
+        out = []
+        if seed_on_left:
+            qbegin, qend = begin, end - qlen
+        else:
+            qbegin, qend = begin + qlen, end
+        lim = qend - qbegin
+        halfway = qbegin + (lim >> 1)
+        slen = min(self.seed_len, qlen) if self.v is None else qlen
+        hi = False
+        for i in range(1, lim + 2):
+            if hi:
+                ri = halfway + (i >> 1)
+            else:
+                ri = halfway - (i >> 1)
+            hi = not hi
+            left = ri if seed_on_left else ri - qlen
+            if left < 0 or left + qlen > len(ref):
+                continue
+            seg = ref[left:left + qlen]
+            if (seg > 3).any():
+                continue
+            neq = seg != qry
+            mms_total = int(neq.sum())
+            if self.v is not None:
+                if mms_total > self.v:
+                    continue
+                stratum = mms_total
+                ham = 0
+            else:
+                # seed = first slen bases from the mate's 5' end
+                if seed_on_left:
+                    seedcols = np.arange(qlen) < slen
+                else:
+                    seedcols = np.arange(qlen) >= qlen - slen
+                seed_mm = int((neq & seedcols).sum())
+                if seed_mm > self.seed_mms:
+                    continue
+                quals = np.frombuffer(qual, np.uint8).astype(np.int32) - 33
+                pens = (QUAL_ROUNDS[quals] if self.maq else quals)
+                ham = int(pens[neq].sum())
+                if ham > self.qual_max:
+                    continue
+                stratum = seed_mm
+            # dedup on (upstream, downstream) coordinates
+            lo, hi2 = (left, aoff) if left < aoff else (aoff, left)
+            key = ((tidx << 32) | lo, (tidx << 32) | hi2)
+            if key in pairs:
+                continue
+            pairs.add(key)
+            cols = np.flatnonzero(neq)
+            mms = [(int(c) if seed_on_left or True else int(c),
+                    ord("ACGTN"[int(seg[c])])) for c in cols]
+            # positions relative to the mate's 5' end
+            mms5 = []
+            for c, refc in mms:
+                p5 = c if seed_on_left else qlen - 1 - c
+                mms5.append((p5, refc))
+            out.append((left, sorted(mms5), stratum, ham))
+            if len(out) == num_to_find:
+                return out
+        return out
+
+
+class PairedBestSink:
+    """NGood semantics with mult=2 for pairs (createMult(2))."""
+
+    def __init__(self, policy: KPolicy, global_seed: int = 0):
+        self.policy = policy
+        self.global_seed = global_seed
+        self.reset(None, None)
+
+    def reset(self, rd1, rd2):
+        self.rd1, self.rd2 = rd1, rd2
+        self.count = 0
+        self.buffered: list[Hit] = []
+
+    @property
+    def n2(self):
+        n = self.policy.n
+        return n * 2 if n != INF else INF
+
+    @property
+    def max2(self):
+        m = self.policy.max
+        return m * 2 if m != INF else INF
+
+    def report_hit(self, h: Hit) -> bool:
+        self.count += 1
+        if self.count > self.max2:
+            return True
+        self.buffered.append(h)
+        if self.count == self.n2 and (self.max2 == INF or
+                                      self.max2 < self.n2):
+            return True
+        return False
+
+    def finish(self) -> ReadResult:
+        maxed = self.count > self.max2
+        if maxed:
+            npairs = (self.count + 1) // 2
+            if self.policy.sample_max and self.buffered:
+                # sample one PAIR from the best stratum
+                # (SAMHitSink::reportMaxed paired branch, sam.cpp:273-298)
+                rand = BtRandom(int(self.rd1.seed(self.global_seed)))
+                strat = [min(self.buffered[i].stratum,
+                             self.buffered[i + 1].stratum)
+                         for i in range(0, len(self.buffered) - 1, 2)]
+                best = min(strat)
+                num = sum(1 for s in strat if s == best)
+                r = rand.next_u32() % num
+                k = [i for i, s in enumerate(strat) if s == best][r]
+                pair = self.buffered[2 * k: 2 * k + 2]
+                return ReadResult(pair, maxed=True, nvalid=npairs,
+                                  sampled=True,
+                                  nbuffered=len(self.buffered) // 2)
+            return ReadResult([], maxed=True, nvalid=npairs,
+                              nbuffered=len(self.buffered) // 2)
+        return ReadResult(self.buffered[: self.n2],
+                          nvalid=(self.count + 1) // 2,
+                          nbuffered=len(self.buffered) // 2)
+
+
+class PairedBestAligner:
+    """PairedBWAlignerV1 state machine, run to completion per pair."""
+
+    def __init__(self, driver_factory, golden_fw, golden_bw, refs,
+                 ref_aligner: RefAlignerPy, sink: PairedBestSink,
+                 min_insert=0, max_insert=250, fw1=True, fw2=False,
+                 mixed_thresh=4, mixed_attempt_lim=100,
+                 sym_ceiling=INF32, dont_reconcile=True,
+                 global_seed=0):
+        self.driver_factory = driver_factory   # read1, read2 -> 4 drivers
+        self.gfw, self.gbw = golden_fw, golden_bw
+        self.refs = refs
+        self.ra = ref_aligner
+        self.sink = sink
+        self.minins, self.maxins = min_insert, max_insert
+        self.fw1, self.fw2 = fw1, fw2
+        self.mixed_thresh = mixed_thresh
+        self.mixed_attempt_lim = mixed_attempt_lim
+        self.sym_ceiling = sym_ceiling
+        self.dont_reconcile = dont_reconcile
+        self.global_seed = global_seed
+
+    def align_batch(self, pairs):
+        return [self.align_pair(a, b) for a, b in pairs]
+
+    def align_pair(self, rd1, rd2) -> ReadResult:
+        self.sink.reset(rd1, rd2)
+        if len(rd1.seq) < 4 or len(rd2.seq) < 4:
+            return self.sink.finish()
+        d1f, d1r, d2f, d2r = self.driver_factory(rd1, rd2)
+        self.rd1, self.rd2 = rd1, rd2
+        self.qlen1, self.qlen2 = len(rd1.seq), len(rd2.seq)
+        self.rand = BtRandom(int(rd1.seed(self.global_seed)))
+        self.pairs_fw: set = set()
+        self.pairs_rc: set = set()
+        self.stopped = False
+        # fw orientation: upstream (L) = mate1 in its fw1_ orientation
+        fw_cfg = dict(
+            drL=(d1f if self.fw1 else d1r), drR=(d2f if self.fw2 else d2r),
+            fwL=self.fw1, fwR=self.fw2, Lis1=True,
+            qlenL=self.qlen1, qlenR=self.qlen2, pair_fw=True)
+        rc_cfg = dict(
+            drL=(d2r if self.fw2 else d2f), drR=(d1r if self.fw1 else d1f),
+            fwL=not self.fw2, fwR=not self.fw1, Lis1=False,
+            qlenL=self.qlen2, qlenR=self.qlen1, pair_fw=False)
+        for cfg in (fw_cfg, rc_cfg):
+            self._run_orientation(**cfg)
+            if self.stopped:
+                break
+        return self.sink.finish()
+
+    # -- one orientation of advanceOrientation (aligner.h:1092-1326) ----
+    def _run_orientation(self, drL, drR, fwL, fwR, Lis1, qlenL, qlenR,
+                         pair_fw):
+        offsLsz = offsRsz = 0
+        delayedL = delayedR = False
+        delayed_rangeL = delayed_rangeR = None
+        mixed_attempts = 0
+
+        def chase_and_rescue(dr, is_left, rng: FoundRange):
+            """Chase all rows of rng; rescue opposite mate per row.
+            Returns True if the whole read is done (sink satisfied or
+            pairtries exceeded)."""
+            nonlocal mixed_attempts
+            g = self.gfw if rng.ebwt_fw else self.gbw
+            qlen = (qlenL if is_left else qlenR)
+            spread = rng.bot - rng.top
+            irow = rng.top + self.rand.next_u32() % spread
+            row = irow
+            while True:
+                off = g.resolve_row(row)
+                res = g.joined_to_text_off(qlen, off, rng.ebwt_fw)
+                if res is not None:
+                    tidx, toff, tlen = res
+                    done = self._resolve_outstanding(
+                        rng, is_left, Lis1, fwL, fwR, pair_fw,
+                        tidx, toff, tlen, qlenL, qlenR)
+                    mixed_attempts += 1
+                    if done:
+                        self.stopped = True
+                        return True
+                    if mixed_attempts > self.mixed_attempt_lim:
+                        return True
+                row += 1
+                if row == rng.bot:
+                    row = rng.top
+                if row == irow:
+                    return False
+
+        while not self.stopped:
+            # search for more ranges for whichever mate has fewer
+            # candidates (aligner.h:1190-1326)
+            if (offsLsz < offsRsz or drR.done) and not drL.done:
+                if drR.done and offsRsz == 0:
+                    return
+                if not drL.found_range:
+                    drL.advance(ADV_FOUND_RANGE)
+                if drL.found_range:
+                    r = drL.range()
+                    drL.found_range = False
+                    offsLsz += r.bot - r.top
+                    if offsRsz == 0 and (not self.dont_reconcile or
+                                         offsLsz > 3):
+                        delayedL, delayed_rangeL = True, r
+                    else:
+                        if offsLsz > self.sym_ceiling and \
+                           offsRsz > self.sym_ceiling:
+                            return
+                        if delayedR and offsRsz < offsLsz:
+                            delayedR = False
+                            delayedL, delayed_rangeL = True, r
+                            if chase_and_rescue(drR, False,
+                                                delayed_rangeR):
+                                return
+                            delayed_rangeR = None
+                            if delayedL:
+                                delayedL = False
+                                if chase_and_rescue(drL, True,
+                                                    delayed_rangeL):
+                                    return
+                        else:
+                            if chase_and_rescue(drL, True, r):
+                                return
+                            if delayedR:
+                                delayedR = False
+                                if chase_and_rescue(drR, False,
+                                                    delayed_rangeR):
+                                    return
+            elif not drR.done:
+                if drL.done and offsLsz == 0:
+                    return
+                if not drR.found_range:
+                    drR.advance(ADV_FOUND_RANGE)
+                if drR.found_range:
+                    r = drR.range()
+                    drR.found_range = False
+                    offsRsz += r.bot - r.top
+                    if offsLsz == 0 and (not self.dont_reconcile or
+                                         offsRsz > 3):
+                        delayedR, delayed_rangeR = True, r
+                    else:
+                        if offsLsz > self.sym_ceiling and \
+                           offsRsz > self.sym_ceiling:
+                            return
+                        if delayedL and offsLsz < offsRsz:
+                            delayedL = False
+                            delayedR, delayed_rangeR = True, r
+                            if chase_and_rescue(drL, True,
+                                                delayed_rangeL):
+                                return
+                            delayed_rangeL = None
+                            if delayedR:
+                                delayedR = False
+                                if chase_and_rescue(drR, False,
+                                                    delayed_rangeR):
+                                    return
+                        else:
+                            if chase_and_rescue(drR, False, r):
+                                return
+                            if delayedL:
+                                delayedL = False
+                                if chase_and_rescue(drL, True,
+                                                    delayed_rangeL):
+                                    return
+            else:
+                return
+
+    # -- resolveOutstandingInRef (aligner.h:951-1087) --------------------
+    def _resolve_outstanding(self, rng, anchor_is_left, Lis1, fwL, fwR,
+                             pair_fw, tidx, toff, tlen, qlenL, qlenR):
+        # identify the outstanding mate
+        out_is_1 = (not Lis1) if anchor_is_left else Lis1
+        orr = self.rd1 if out_is_1 else self.rd2
+        ar = self.rd2 if out_is_1 else self.rd1
+        match_right = anchor_is_left
+        ofw = fwR if anchor_is_left else fwL
+        qlen = len(orr.seq)
+        alen = len(ar.seq)
+        minins, maxins = self.minins, self.maxins
+        if maxins <= max(qlen, alen):
+            return False
+        reflen = len(self.refs[tidx])
+        insdiff = maxins - minins
+        if match_right:
+            end = toff + maxins
+            begin = toff + 1
+            if qlen < alen:
+                begin += alen - qlen
+            if end > insdiff + qlen:
+                begin = max(begin, end - insdiff - qlen)
+            end = min(reflen, end)
+            begin = min(reflen, begin)
+        else:
+            begin = 0 if toff + alen < maxins else toff + alen - maxins
+            mi = min(alen, qlen)
+            end = toff + mi - 1
+            end = min(end, toff + alen - minins + qlen - 1)
+            if toff + alen + qlen < minins + 1:
+                end = 0
+        if end - begin < qlen:
+            return False
+        seq = orr.codes_fw if ofw else orr.codes_rc
+        qual = orr.qual if ofw else orr.qual[::-1]
+        pairs = self.pairs_fw if pair_fw else self.pairs_rc
+        found = self.ra.find(self.refs[tidx], seq, qual, begin, end,
+                             pairs, toff, ofw, tidx)
+        for result, mms, stratum, ham in found:
+            cost = (stratum << 14) | ham
+            oms = rng.bot - rng.top - 1
+            # anchor hit fields
+            a_mms = []
+            for pos, refc in zip(rng.mms, rng.refcs):
+                p5 = len(ar.seq) - pos - 1 if (rng.ebwt_fw != rng.fw) \
+                    else pos
+                a_mms.append((p5, ord("acgt"[refc])))
+            anchor_hit = Hit(read=ar, fw=rng.fw, tidx=tidx, toff=toff,
+                             oms=oms, stratum=rng.stratum, cost=rng.cost,
+                             mms=sorted(a_mms),
+                             mate=(2 if out_is_1 else 1))
+            out_hit = Hit(read=orr, fw=ofw, tidx=tidx, toff=result,
+                          oms=oms, stratum=stratum, cost=cost, mms=mms,
+                          mate=(1 if out_is_1 else 2))
+            up, dn = ((anchor_hit, out_hit) if match_right
+                      else (out_hit, anchor_hit))
+            # mate field: upstream mate is mate1 iff pair_fw
+            up.mate = 1 if pair_fw else 2
+            dn.mate = 2 if pair_fw else 1
+            for h, o in ((up, dn), (dn, up)):
+                h.mfw = o.fw
+                h.mtidx = o.tidx
+                h.mtoff = o.toff
+                h.mlen = o.length
+            if self.sink.report_hit(up):
+                return True
+            if self.sink.report_hit(dn):
+                return True
+        return False

@@ -132,7 +132,7 @@ def main(argv=None) -> int:
 
     paired = bool(args.mates1 or args.tabbed or args.interleaved)
     if paired:
-        from ..align.paired import PairedOracleAligner
+        from ..align.best_factories import make_paired_best_aligner
         from ..align.golden import GoldenFM
         from ..index.ebwt_io import read_bitpair_reference, unpack_reference
         idx_bw = read_ebwt(args.ebwt_base + ".rev")
@@ -145,16 +145,16 @@ def main(argv=None) -> int:
         elif args.rf:
             m1fw, m2fw = False, True
         mode = "n" if args.mismatches < 0 else "v"
-        aligner = PairedOracleAligner(
+        aligner = make_paired_best_aligner(
             g_fw, g_bw, refs, policy, mode=mode,
-            v=max(args.mismatches, 0),
-            min_insert=args.minins, max_insert=args.maxins,
-            mate1_fw=m1fw, mate2_fw=m2fw, nofw=args.nofw,
-            norc=args.norc, global_seed=args.seed,
-            pairtries=args.pairtries, seed_mms=args.seedmms,
-            seed_len=args.seedlen, qual_thresh=args.maqerr,
-            maq_round=not args.nomaqround,
-            maxbts=args.maxbts if args.maxbts is not None else 125)
+            v=max(args.mismatches, 0), seed_mms=args.seedmms,
+            seed_len=args.seedlen, qual_cutoff=args.maqerr,
+            fw1=m1fw, fw2=m2fw, min_insert=args.minins,
+            max_insert=args.maxins, pairtries=args.pairtries,
+            sym_ceiling=policy.max, nofw=args.nofw, norc=args.norc,
+            maq=not args.nomaqround, better=args.best,
+            global_seed=args.seed,
+            maxbts=args.maxbts if args.maxbts is not None else 800)
     elif args.mismatches >= 0 and (
             args.best or args.strata or args.sample_mhits is not None
             or args.mismatches == 3):

@@ -1,10 +1,5 @@
-"""Paired-end: agreement vs reference goldens + genome-level validity.
-
-Exact tie-break parity for PE requires the stateful best-first engine
-(bowtie forces it for paired input, ebwt_search.cpp:3001); until that
-lands we assert (a) >=97% identical output lines and (b) every emitted
-pair is genuinely valid against the genome and the -I/-X constraints.
-"""
+"""Paired-end parity: byte-identical output vs reference goldens
+(stateful PairedBWAlignerV1 engine) + genome-level validity."""
 import os
 
 import numpy as np
@@ -20,6 +15,9 @@ CASES = [
     ("pe_v1_u200", ["-v", "1", "-u", "200"]),
     ("pe_n2_S_u200", ["-n", "2", "-S", "-u", "200"]),
     ("pe_n2_IX_u200", ["-n", "2", "-I", "50", "-X", "170", "-u", "200"]),
+    ("pe_n2_a_u200", ["-n", "2", "-a", "-u", "200"]),
+    ("pe_ff_n2_u200", ["--ff", "-n", "2", "-u", "200"]),
+    ("pe_v0_u200", ["-v", "0", "-u", "200"]),
 ]
 
 
@@ -27,25 +25,21 @@ def run_pe(args, tmp_path):
     from bowtie_tpu.cli import align as cli
     out = tmp_path / "out.txt"
     cli.main(args + ["--quiet", "-1", R1, "-2", R2, IDX, str(out)])
-    return [l for l in out.read_bytes().splitlines()
-            if not l.startswith(b"@PG")]
+    return b"".join(l for l in out.read_bytes().splitlines(keepends=True)
+                    if not l.startswith(b"@PG"))
 
 
 @pytest.mark.parametrize("key,args", CASES)
-def test_pe_agreement(key, args, tmp_path):
-    golden = set(open(os.path.join(GOLDEN, f"{key}.out"), "rb")
-                 .read().splitlines())
-    mine = run_pe(args, tmp_path)
-    same = sum(1 for l in mine if l in golden)
-    assert len(mine) == len(golden)
-    assert same >= 0.97 * len(golden), f"{same}/{len(golden)}"
+def test_pe_parity(key, args, tmp_path):
+    golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
+    assert run_pe(args, tmp_path) == golden
 
 
 def test_pe_hits_valid_against_genome(tmp_path, ecoli_ref):
     """Every reported mate must match the genome at its position with
     the declared mismatches, and the pair must obey -I/-X."""
-    from bowtie_tpu.utils.alphabet import seq_to_codes, revcomp_codes
-    lines = run_pe(["-n", "2", "-u", "150"], tmp_path)
+    from bowtie_tpu.utils.alphabet import seq_to_codes
+    lines = run_pe(["-n", "2", "-u", "150"], tmp_path).splitlines()
     by_pair = {}
     for ln in lines:
         f = ln.split(b"\t")
