@@ -5,6 +5,7 @@ Usage: python -m bowtie_tpu.cli.align [options] <ebwt-base> <reads> [<hits>]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -98,7 +99,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="alias of --batch-size (bowtie compat)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="print aligner metrics (AlignerMetrics analog)")
     return p
+
+
+def adjust_ebwt_base(base: str) -> str:
+    """Locate the index like adjustEbwtBase (ebwt.h:4397): try the
+    given path, then $BOWTIE_INDEXES/<base>."""
+    if os.path.exists(base + ".1.ebwt"):
+        return base
+    env = os.environ.get("BOWTIE_INDEXES")
+    if env:
+        cand = os.path.join(env, base)
+        if os.path.exists(cand + ".1.ebwt"):
+            return cand
+    return base
 
 
 def main(argv=None) -> int:
@@ -117,6 +133,7 @@ def main(argv=None) -> int:
         fmt, cont = "fasta_cont", (int(k), int(i))
 
     t0 = time.time()
+    args.ebwt_base = adjust_ebwt_base(args.ebwt_base)
     idx = read_ebwt(args.ebwt_base)
     fm = from_ebwt(idx)
     if args.time:
@@ -261,6 +278,11 @@ def main(argv=None) -> int:
     max_f = open(args.maxfile, "wb") if args.maxfile else None
 
     stats = AlignStats()
+    metrics = None
+    if args.stats:
+        from ..utils.metrics import AlignerMetrics
+        metrics = AlignerMetrics()
+    args._metrics = metrics
     batch_size = args.reads_per_batch or args.batch_size
     t0 = time.time()
     if paired:
@@ -305,6 +327,9 @@ def main(argv=None) -> int:
         results = aligner.align_batch(batch)
         for read, res in zip(batch, results):
             stats.processed += 1
+            if metrics is not None:
+                metrics.next_read(read.codes_fw)
+                metrics.record_result(res)
             if res.maxed and res.sampled:
                 stats.maxed += 1
                 stats.aligned += 1
@@ -344,6 +369,8 @@ def main(argv=None) -> int:
 
 
 def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
+    if getattr(args, "_metrics", None) is not None:
+        args._metrics.print()
     if args.time:
         dt = time.time() - t0
         print(f"Time searching: {dt:.2f}s "

@@ -106,7 +106,20 @@ def convert_quals(qual: bytes, solexa: bool, phred64: bool,
     return np.clip(arr, 33, 126).astype(np.uint8).tobytes()
 
 
-def parse_fastq(path: str, **kw) -> Iterator[tuple[bytes, bytes, bytes]]:
+def parse_fastq(path: str, use_native: bool = True,
+                **kw) -> Iterator[tuple[bytes, bytes, bytes]]:
+    if use_native and not path.endswith((".gz", ".bz2")) and path != "-":
+        try:
+            from ..native.fastq_native import parse_fastq_bytes
+            with open(path, "rb") as f:
+                buf = f.read()
+            res = parse_fastq_bytes(buf)
+            if res is not None:
+                names, seqs, quals, _codes, _lens = res
+                yield from zip(names, seqs, quals)
+                return
+        except Exception:
+            pass  # fall back to the pure-Python parser
     with _open(path) as f:
         while True:
             l1 = f.readline()
