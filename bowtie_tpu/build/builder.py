@@ -52,14 +52,15 @@ def fasta_to_records(seqs: list[np.ndarray]):
     return records, frags
 
 
-def write_ref_files(basename: str, records, frags):
-    """Write `.3.ebwt` (records) and `.4.ebwt` (packed bases)."""
-    with open(basename + ".3.ebwt", "wb") as f:
+def write_ref_files(basename: str, records, frags, large: bool = False):
+    """Write `.3.ebwt(l)` (records) and `.4.ebwt(l)` (packed bases)."""
+    ext = ".ebwtl" if large else ".ebwt"
+    U = "<u8" if large else "<u4"
+    with open(basename + ".3" + ext, "wb") as f:
         f.write(np.uint32(1).tobytes())
-        f.write(np.uint32(len(records)).tobytes())
+        f.write(np.array([len(records)], dtype=U).tobytes())
         for off, ln, first in records:
-            f.write(np.uint32(off).tobytes())
-            f.write(np.uint32(ln).tobytes())
+            f.write(np.array([off, ln], dtype=U).tobytes())
             f.write(bytes([1 if first else 0]))
     joined = np.concatenate([f[2] for f in frags]) if frags else \
         np.zeros(0, np.uint8)
@@ -69,32 +70,37 @@ def write_ref_files(basename: str, records, frags):
     shifts = (2 * np.arange(4, dtype=np.uint32))[None, :]
     packed = (padded.reshape(-1, 4).astype(np.uint32) << shifts) \
         .sum(axis=1).astype(np.uint8)
-    with open(basename + ".4.ebwt", "wb") as f:
+    with open(basename + ".4" + ext, "wb") as f:
         f.write(packed.tobytes())
 
 
-def _pack_sides(bwt: np.ndarray, occ_pairs: np.ndarray) -> np.ndarray:
+def _pack_sides(bwt: np.ndarray, occ_pairs: np.ndarray,
+                off_size: int = 4) -> np.ndarray:
     """Pack the linear BWT (padding included) + per-pair occ counters
     into the alternating bw/fw 64-byte side format."""
-    n_sides = len(bwt) // SIDE_BWT_LEN
-    codes = bwt.reshape(n_sides, SIDE_BWT_LEN).copy()
+    from ..index.ebwt_io import side_geometry
+    ssz, sbs, sbl = side_geometry(off_size)
+    U = "<u4" if off_size == 4 else "<u8"
+    n_sides = len(bwt) // sbl
+    codes = bwt.reshape(n_sides, sbl).copy()
     codes[0::2] = codes[0::2, ::-1]      # backward sides fully reversed
     shifts = (2 * np.arange(4, dtype=np.uint32))[None, :]
-    by = (codes.reshape(n_sides, SIDE_BWT_SZ, 4).astype(np.uint32)
+    by = (codes.reshape(n_sides, sbs, 4).astype(np.uint32)
           << shifts[None]).sum(axis=2).astype(np.uint8)
-    sides = np.zeros((n_sides, SIDE_SZ), dtype=np.uint8)
-    sides[:, :SIDE_BWT_SZ] = by
-    ctr = sides[:, SIDE_BWT_SZ:]
-    ctr[0::2] = occ_pairs[:, 0:2].astype("<u4").view(np.uint8) \
-        .reshape(-1, 8)
-    ctr[1::2] = occ_pairs[:, 2:4].astype("<u4").view(np.uint8) \
-        .reshape(-1, 8)
+    sides = np.zeros((n_sides, ssz), dtype=np.uint8)
+    sides[:, :sbs] = by
+    ctr = sides[:, sbs:]
+    ctr[0::2] = occ_pairs[:, 0:2].astype(U).view(np.uint8) \
+        .reshape(-1, 2 * off_size)
+    ctr[1::2] = occ_pairs[:, 2:4].astype(U).view(np.uint8) \
+        .reshape(-1, 2 * off_size)
     return sides.reshape(-1)
 
 
 def build_ftab(s: np.ndarray, sa: np.ndarray, ftab_chars: int,
-               length: int):
+               length: int, off_size: int = 4):
     """ftab/eftab per buildToDisk (ebwt.h:4146-4370)."""
+    esc_mask = OFF_MASK32 if off_size == 4 else 0xFFFFFFFFFFFFFFFF
     fc = ftab_chars
     ftab_len = (1 << (2 * fc)) + 1
     n_rows = len(sa)
@@ -125,22 +131,29 @@ def build_ftab(s: np.ndarray, sa: np.ndarray, ftab_chars: int,
     ftab[0] = 0
     eftab = np.zeros(2 * fc, dtype=np.int64)
     ecur = 0
+    ftab_u = ftab.astype(np.uint64)
     for i in np.flatnonzero(ab[1:]) + 1:
         eftab[ecur * 2] = lo[i]
         eftab[ecur * 2 + 1] = hi[i]
-        ftab[i] = ecur ^ OFF_MASK32
+        ftab_u[i] = np.uint64(ecur) ^ np.uint64(esc_mask)
         ecur += 1
-    return ftab.astype(np.uint32), eftab.astype(np.uint32)
+    if off_size == 4:
+        return ftab_u.astype(np.uint32), eftab.astype(np.uint32)
+    return ftab_u, eftab.astype(np.uint64)
 
 
 def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
               refnames: list[str], out1: str, out2: str,
               off_rate: int = 5, ftab_chars: int = 10,
-              sa_fn=suffix_array):
+              sa_fn=suffix_array, off_size: int = 4):
     """Build and write one index (.1 + .2) from joined text `s`."""
+    from ..index.ebwt_io import side_geometry
     length = len(s)
     sa = sa_fn(s)
     bwt_len = length + 1
+    ssz, sbs, sbl = side_geometry(off_size)
+    line_rate = 6 if off_size == 4 else 7
+    U = "<u4" if off_size == 4 else "<u8"
 
     # BWT + zoff
     prev = sa - 1
@@ -149,64 +162,64 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
 
     # pad out to whole side pairs; padding 'A's count toward occ
     bwt_sz = length // 4 + 1
-    n_pairs = (bwt_sz + 2 * SIDE_BWT_SZ - 1) // (2 * SIDE_BWT_SZ)
-    tot_chars = n_pairs * 2 * SIDE_BWT_LEN
+    n_pairs = (bwt_sz + 2 * sbs - 1) // (2 * sbs)
+    tot_chars = n_pairs * 2 * sbl
     padded = np.zeros(tot_chars, dtype=np.uint8)
     padded[:bwt_len] = bwt
 
     # occ counters at pair boundaries: counts over rows
-    # [0, 224 + p*448), '$' excluded, padding included
-    counted = padded.copy()
-    onehot = counted.reshape(-1, SIDE_BWT_LEN, 1) == \
-        np.arange(4, dtype=np.uint8)
+    # [0, sbl + p*2*sbl), '$' excluded, padding included
+    onehot = padded.reshape(-1, sbl, 1) == np.arange(4, dtype=np.uint8)
     per_side = onehot.sum(axis=1, dtype=np.int64)       # [2P, 4]
     cum = np.cumsum(per_side, axis=0)
-    if zoff < tot_chars:
-        pass
     occ_pairs = cum[0::2].copy()                        # after bw side
-    boundaries = np.arange(n_pairs, dtype=np.int64) * 448 + 224
+    boundaries = np.arange(n_pairs, dtype=np.int64) * 2 * sbl + sbl
     occ_pairs[:, 0] -= (boundaries > zoff)              # '$' not an A
-    sides = _pack_sides(padded, occ_pairs)
+    sides = _pack_sides(padded, occ_pairs, off_size)
 
     # fchr: cumulative char counts of the text
     cc = np.bincount(s, minlength=4).astype(np.int64)
-    fchr = np.zeros(5, dtype=np.uint32)
+    fchr = np.zeros(5, dtype=np.int64)
     fchr[1:] = np.cumsum(cc)
 
-    ftab, eftab = build_ftab(s, sa, ftab_chars, length)
+    ftab, eftab = build_ftab(s, sa, ftab_chars, length,
+                             off_size=off_size)
 
-    offs = sa[::1 << off_rate].astype(np.uint32)
+    offs = sa[::1 << off_rate]
 
     with open(out1, "wb") as f:
-        hdr = np.array([1, length], dtype="<u4").tobytes()
-        hdr += np.array([6, 1, off_rate, ftab_chars, -1],
-                        dtype="<i4").tobytes()
-        f.write(hdr)
-        f.write(np.uint32(len(plen)).tobytes())
-        f.write(np.asarray(plen, dtype="<u4").tobytes())
-        f.write(np.uint32(len(rstarts)).tobytes())
-        f.write(np.asarray(rstarts, dtype="<u4").tobytes())
+        f.write(np.uint32(1).tobytes())
+        f.write(np.array([length], dtype=U).tobytes())
+        f.write(np.array([line_rate, 1, off_rate, ftab_chars, -1],
+                         dtype="<i4").tobytes())
+        f.write(np.array([len(plen)], dtype=U).tobytes())
+        f.write(np.asarray(plen).astype(U).tobytes())
+        f.write(np.array([len(rstarts)], dtype=U).tobytes())
+        f.write(np.asarray(rstarts).astype(U).tobytes())
         f.write(sides.tobytes())
-        f.write(np.uint32(zoff).tobytes())
-        f.write(fchr.astype("<u4").tobytes())
-        f.write(ftab.astype("<u4").tobytes())
-        f.write(eftab.astype("<u4").tobytes())
+        f.write(np.array([zoff], dtype=U).tobytes())
+        f.write(fchr.astype(U).tobytes())
+        f.write(ftab.astype(U).tobytes())
+        f.write(eftab.astype(U).tobytes())
         # each name is '\n'-terminated, then a final NUL
         f.write(b"".join(n.encode() + b"\n" for n in refnames) + b"\x00")
     with open(out2, "wb") as f:
         f.write(np.uint32(1).tobytes())
-        f.write(offs.astype("<u4").tobytes())
+        f.write(np.asarray(offs).astype(U).tobytes())
 
 
 def build_index(seqs, names, out_base: str, off_rate: int = 5,
                 ftab_chars: int = 10, sa_fn=suffix_array,
-                both: bool = True):
+                both: bool = True, large: bool = False):
     """Full bowtie-build: fw + mirror indexes + packed reference.
 
     seqs: list of uint8 code arrays (4 = ambiguous).
+    large=True writes the 64-bit `.ebwtl` variant (BOWTIE_64BIT_INDEX).
     """
+    ext = ".ebwtl" if large else ".ebwt"
+    osz = 8 if large else 4
     records, frags = fasta_to_records(seqs)
-    write_ref_files(out_base, records, frags)
+    write_ref_files(out_base, records, frags, large=large)
 
     plen = np.array([len(x) for x in seqs], dtype=np.uint32)
     # rstarts: (joined off, refidx, offset within ref) per fragment
@@ -220,15 +233,15 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
         np.zeros(0, np.uint8)
 
     build_one(joined, rstarts, plen, names,
-              out_base + ".1.ebwt", out_base + ".2.ebwt",
-              off_rate, ftab_chars, sa_fn)
+              out_base + ".1" + ext, out_base + ".2" + ext,
+              off_rate, ftab_chars, sa_fn, off_size=osz)
     if both:
         # mirror: each fragment reversed in place (REF_READ_REVERSE_EACH)
         rev = np.concatenate([f[2][::-1] for f in frags]) if frags else \
             np.zeros(0, np.uint8)
         build_one(rev, rstarts, plen, names,
-                  out_base + ".rev.1.ebwt", out_base + ".rev.2.ebwt",
-                  off_rate, ftab_chars, sa_fn)
+                  out_base + ".rev.1" + ext, out_base + ".rev.2" + ext,
+                  off_rate, ftab_chars, sa_fn, off_size=osz)
 
 
 def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):

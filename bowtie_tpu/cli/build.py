@@ -21,6 +21,8 @@ def main(argv=None) -> int:
                    help="don't build .3/.4 reference portion")
     p.add_argument("--norev", action="store_true",
                    help="skip the mirror (.rev) index")
+    p.add_argument("--large-index", action="store_true",
+                   help="write the 64-bit .ebwtl variant")
     p.add_argument("--jax-sa", action="store_true",
                    help="compute suffix arrays on the accelerator")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -38,12 +40,14 @@ def main(argv=None) -> int:
         builder.build_index(seqs, names, args.ebwt_base,
                             off_rate=args.offrate,
                             ftab_chars=args.ftabchars, sa_fn=sa_fn,
-                            both=not args.norev)
+                            both=not args.norev,
+                            large=args.large_index)
     else:
         builder.build_from_fasta(args.reference_in.split(","),
                                  args.ebwt_base, off_rate=args.offrate,
                                  ftab_chars=args.ftabchars, sa_fn=sa_fn,
-                                 both=not args.norev)
+                                 both=not args.norev,
+                                 large=args.large_index)
     if not args.quiet:
         print(f"Total time for build: {time.time() - t0:.2f}s",
               file=sys.stderr)

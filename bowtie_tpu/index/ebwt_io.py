@@ -83,6 +83,7 @@ class EbwtIndex:
     offs: np.ndarray = None   # SA sample
     # the BWT itself, one code (0..3) per row, '$' stored as 0 at zoff
     bwt: np.ndarray = None    # uint8 [length+1]
+    off_size: int = 4         # 4 = .ebwt (32-bit), 8 = .ebwtl (64-bit)
 
     # --- derived, built lazily ---
     _occ: np.ndarray = None       # [nck, 4] int32 checkpoints every OCC_BLOCK
@@ -127,13 +128,15 @@ class EbwtIndex:
         Search uses top = hi[i], bot = lo[i+1] (ebwt_search_backtrack.h:256).
         """
         if self._ftab_hi is None:
+            mask = np.uint64(0xFFFFFFFFFFFFFFFF) if self.off_size == 8 \
+                else np.uint32(OFF_MASK32)
             ft = self.ftab.astype(np.int64)
             esc = ft > self.length
-            eidx = (self.ftab ^ np.uint32(OFF_MASK32)).astype(np.int64)
+            eidx = (self.ftab ^ mask).astype(np.int64)
             hi = np.where(esc, self.eftab[np.where(esc, eidx * 2 + 1, 0)], ft)
             lo = np.where(esc, self.eftab[np.where(esc, eidx * 2, 0)], ft)
-            self._ftab_hi = hi.astype(np.uint32)
-            self._ftab_lo = lo.astype(np.uint32)
+            self._ftab_hi = hi.astype(np.uint64)
+            self._ftab_lo = lo.astype(np.uint64)
         return self._ftab_hi, self._ftab_lo
 
 
@@ -144,57 +147,79 @@ def _read_exact(f: io.BufferedReader, n: int) -> bytes:
     return b
 
 
-def _unpack_sides(ebwt_bytes: np.ndarray, bwt_len: int) -> np.ndarray:
+def side_geometry(off_size: int) -> tuple[int, int, int]:
+    """(side bytes, payload bytes, payload chars).
+
+    Small indexes: 64-byte sides (lineRate=6), 2x4-byte counters.
+    Large (.ebwtl): 128-byte sides (lineRate=7), 2x8-byte counters.
+    """
+    side_sz = 64 if off_size == 4 else 128
+    side_bwt_sz = side_sz - 2 * off_size
+    return side_sz, side_bwt_sz, side_bwt_sz * 4
+
+
+def _unpack_sides(ebwt_bytes: np.ndarray, bwt_len: int,
+                  off_size: int = 4) -> np.ndarray:
     """Extract the linear BWT (one uint8 code per row) from side format."""
-    n_sides = len(ebwt_bytes) // SIDE_SZ
-    sides = ebwt_bytes.reshape(n_sides, SIDE_SZ)
-    payload = sides[:, :SIDE_BWT_SZ]                    # [S, 56]
-    codes = _BYTE_TO_CODES[payload].reshape(n_sides, SIDE_BWT_LEN)
+    ssz, sbs, sbl = side_geometry(off_size)
+    n_sides = len(ebwt_bytes) // ssz
+    sides = ebwt_bytes.reshape(n_sides, ssz)
+    payload = sides[:, :sbs]
+    codes = _BYTE_TO_CODES[payload].reshape(n_sides, sbl)
     # even sides are "backward": chars stored fully reversed
     codes[0::2] = codes[0::2, ::-1]
     return codes.reshape(-1)[:bwt_len].copy()
 
 
-def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
-    """Read `<basename>.1.ebwt` + `<basename>.2.ebwt` into an EbwtIndex.
+def index_paths(basename: str) -> tuple[str, str, int]:
+    """Resolve (.1, .2, off_size) — small `.ebwt` or large `.ebwtl`
+    (the -l / BOWTIE_64BIT_INDEX variant, btypes.h)."""
+    if os.path.exists(basename + ".1.ebwt"):
+        return basename + ".1.ebwt", basename + ".2.ebwt", 4
+    if os.path.exists(basename + ".1.ebwtl"):
+        return basename + ".1.ebwtl", basename + ".2.ebwtl", 8
+    # default to small-index naming for error messages
+    return basename + ".1.ebwt", basename + ".2.ebwt", 4
 
-    Mirrors Ebwt::readIntoMemory (ebwt.h:2835).  Little-endian,
-    small-index (32-bit offsets) only for now; `.ebwtl` large-index
-    support is handled by the caller choosing 64-bit dtypes (TODO).
-    """
-    f1path = basename + ".1.ebwt"
-    f2path = basename + ".2.ebwt"
+
+def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
+    """Read a bowtie index (`.ebwt` small / `.ebwtl` large) into an
+    EbwtIndex.  Mirrors Ebwt::readIntoMemory (ebwt.h:2835);
+    little-endian only."""
+    f1path, f2path, osz = index_paths(basename)
+    U = "<u4" if osz == 4 else "<u8"
+    side_sz, side_bwt_sz, _ = side_geometry(osz)
     with open(f1path, "rb") as f:
         sentinel = np.frombuffer(_read_exact(f, 4), dtype="<u4")[0]
         if sentinel != 1:
             raise ValueError(f"{f1path}: bad endianness sentinel {sentinel:#x} "
                              "(big-endian indexes not supported)")
-        length = int(np.frombuffer(_read_exact(f, 4), dtype="<u4")[0])
+        length = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
         line_rate, lines_per_side, off_rate, ftab_chars, neg_flags = \
             np.frombuffer(_read_exact(f, 20), dtype="<i4")
         flags = -int(neg_flags)
         entire_reverse = bool(flags > 0 and (flags & 4))
 
-        if line_rate != 6 or lines_per_side != 1:
+        if (1 << line_rate) != side_sz or lines_per_side != 1:
             raise ValueError(f"unsupported side geometry lineRate={line_rate}")
 
-        npat = int(np.frombuffer(_read_exact(f, 4), dtype="<u4")[0])
-        plen = np.frombuffer(_read_exact(f, 4 * npat), dtype="<u4").copy()
-        nfrag = int(np.frombuffer(_read_exact(f, 4), dtype="<u4")[0])
+        npat = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
+        plen = np.frombuffer(_read_exact(f, osz * npat), dtype=U).copy()
+        nfrag = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
         rstarts = np.frombuffer(
-            _read_exact(f, 12 * nfrag), dtype="<u4").reshape(nfrag, 3).copy()
+            _read_exact(f, 3 * osz * nfrag), dtype=U).reshape(nfrag, 3).copy()
 
         bwt_sz = length // 4 + 1
-        n_side_pairs = (bwt_sz + 2 * SIDE_BWT_SZ - 1) // (2 * SIDE_BWT_SZ)
-        ebwt_tot = n_side_pairs * 2 * SIDE_SZ
+        n_side_pairs = (bwt_sz + 2 * side_bwt_sz - 1) // (2 * side_bwt_sz)
+        ebwt_tot = n_side_pairs * 2 * side_sz
         ebwt_bytes = np.frombuffer(_read_exact(f, ebwt_tot), dtype=np.uint8)
 
-        zoff = int(np.frombuffer(_read_exact(f, 4), dtype="<u4")[0])
-        fchr = np.frombuffer(_read_exact(f, 20), dtype="<u4").copy()
+        zoff = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
+        fchr = np.frombuffer(_read_exact(f, 5 * osz), dtype=U).copy()
         ftab_len = (1 << (2 * ftab_chars)) + 1
-        ftab = np.frombuffer(_read_exact(f, 4 * ftab_len), dtype="<u4").copy()
+        ftab = np.frombuffer(_read_exact(f, osz * ftab_len), dtype=U).copy()
         eftab_len = 2 * ftab_chars
-        eftab = np.frombuffer(_read_exact(f, 4 * eftab_len), dtype="<u4").copy()
+        eftab = np.frombuffer(_read_exact(f, osz * eftab_len), dtype=U).copy()
 
         refnames: list[str] = []
         tail = f.read()
@@ -210,9 +235,9 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
                 raise ValueError(f"{f2path}: bad endianness sentinel")
             offs_len = ((length + 1) + (1 << off_rate) - 1) >> off_rate
             offs = np.frombuffer(
-                _read_exact(f, 4 * offs_len), dtype="<u4").copy()
+                _read_exact(f, osz * offs_len), dtype=U).copy()
 
-    bwt = _unpack_sides(ebwt_bytes, length + 1)
+    bwt = _unpack_sides(ebwt_bytes, length + 1, osz)
 
     return EbwtIndex(
         length=length, line_rate=int(line_rate),
@@ -220,7 +245,7 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
         ftab_chars=int(ftab_chars), entire_reverse=entire_reverse,
         npat=npat, plen=plen, nfrag=nfrag, rstarts=rstarts,
         refnames=refnames, zoff=zoff, fchr=fchr, ftab=ftab, eftab=eftab,
-        offs=offs, bwt=bwt,
+        offs=offs, bwt=bwt, off_size=osz,
     )
 
 

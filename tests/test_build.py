@@ -88,3 +88,41 @@ def test_inspect_lf_restore_matches(built):
     inspect(built, out=a)
     inspect(built, use_ebwt=True, out=b)
     assert a.getvalue() == b.getvalue()
+
+
+GOLD_L = os.path.join(HERE, "golden", "small_index_l", "small_oracle")
+EXTS_L = [".1.ebwtl", ".2.ebwtl", ".3.ebwtl", ".4.ebwtl",
+          ".rev.1.ebwtl", ".rev.2.ebwtl"]
+
+
+@pytest.fixture(scope="module")
+def built_large(tmp_path_factory):
+    from bowtie_tpu.build.builder import build_from_fasta
+    base = str(tmp_path_factory.mktemp("idxl") / "small")
+    build_from_fasta([FASTA], base, off_rate=5, ftab_chars=7, large=True)
+    return base
+
+
+@pytest.mark.parametrize("ext", EXTS_L)
+def test_large_index_byte_identical(built_large, ext):
+    """.ebwtl (64-bit, lineRate=7 sides) matches bowtie-build -l."""
+    assert open(built_large + ext, "rb").read() == \
+           open(GOLD_L + ext, "rb").read()
+
+
+def test_large_index_reader_and_search(built_large):
+    import numpy as np
+    from bowtie_tpu.index.ebwt_io import read_ebwt
+    from bowtie_tpu.align.golden import GoldenFM
+    from bowtie_tpu.io.readers import parse_fasta
+    from bowtie_tpu.utils.alphabet import seq_to_codes
+    idx = read_ebwt(built_large)
+    assert idx.off_size == 8
+    g = GoldenFM(idx)
+    seqs = [seq_to_codes(s) for _, s, _ in parse_fasta(FASTA)]
+    q = seqs[0][200:232]
+    t, b = g.exact_range(q)
+    assert b > t
+    offs = [g.joined_to_text_off(32, g.resolve_row(r))
+            for r in range(t, b)]
+    assert (0, 200, len(seqs[0])) in offs
