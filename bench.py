@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: bowtie's published ~7,000 reads/s (>25M 35-bp reads/hour on a
 2009 workstation, MANUAL.markdown:11-14; see BASELINE.md).
 
-Methodology: distinct shuffled batches per iteration with a full host
-sync after each, so runtime-level caching/pipelining can't fake the
-number.  Each batch row is one strand search (fw or rc); reads/s
-counts fw+rc as one read, matching how bowtie counts.
+Methodology: distinct shuffled batches per iteration; each iteration is
+ONE jitted call that returns a single data-dependent checksum scalar
+(the remote runtime's block_until_ready is unreliable and bulk host
+transfers over its tunnel are slow, so a 4-byte forced read per
+iteration is the honest sync).  Each batch row is one strand search
+(fw or rc); reads/s counts fw+rc as one read, matching how bowtie
+counts.
 """
 from __future__ import annotations
 
@@ -37,8 +40,8 @@ def main():
 
     src = ReadSource(["/root/reference/reads/e_coli_1000.fq"], "fastq")
     base = [r.codes_fw for r in src.records()]
-    B = 262144
-    ITERS = 5
+    B = 524288
+    ITERS = 10
     batches = []
     for it in range(ITERS + 1):
         codes = [base[(i + it * 37) % len(base)] if (i + it) % 2 == 0
@@ -47,15 +50,19 @@ def main():
         mat, lens = right_align(codes, pad_to=36)
         batches.append((jnp.asarray(mat), jnp.asarray(lens)))
 
+    @jax.jit
+    def bench_step(fm, reads, lens):
+        t, b, o, k = sharded_align_step(fm, reads, lens)
+        return (jnp.sum(k.astype(jnp.int32)) + jnp.sum(o % 7) +
+                jnp.sum(b - t))
+
     # warm-up / compile
-    t, b, o, k = sharded_align_step(fm, *batches[0])
-    jax.block_until_ready((t, b, o, k))
+    found = int(bench_step(fm, *batches[0]))
 
     t0 = time.time()
-    found = 0
     for it in range(1, ITERS + 1):
-        t, b, o, k = sharded_align_step(fm, *batches[it])
-        found += int(np.asarray(k).sum())   # full host sync each iter
+        # int() forces a data-dependent 4-byte host read per call
+        found += int(bench_step(fm, *batches[it]))
     dt = time.time() - t0
 
     reads_per_sec = (B * ITERS / 2) / dt

@@ -101,6 +101,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--stats", action="store_true",
                    help="print aligner metrics (AlignerMetrics analog)")
+    # accepted-for-compatibility flags (no-ops in this architecture;
+    # single-stream batched output is already deterministic, and the
+    # index lives replicated in device HBM rather than mmap/SysV shm)
+    p.add_argument("--reorder", action="store_true")
+    p.add_argument("--mm", action="store_true")
+    p.add_argument("--shmem", action="store_true")
+    p.add_argument("--mmsweep", action="store_true")
+    p.add_argument("--chunkmbs", type=int, default=64)
+    p.add_argument("--pairtries-unused", dest="_pt", default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--prewidth", type=int, default=1)
+    p.add_argument("--large-index", action="store_true",
+                   help="prefer the .ebwtl variant if both exist")
+    p.add_argument("--wrapper", default=None, help=argparse.SUPPRESS)
     return p
 
 
