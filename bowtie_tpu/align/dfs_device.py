@@ -1,0 +1,1242 @@
+"""Batched lockstep GreedyDFS backtracking on device.
+
+This is the TPU-native engine for bowtie's quality-aware, randomized,
+depth-first mismatch search (GreedyDFSRangeSource,
+ebwt_search_backtrack.h:23-1787).  Where the reference runs one
+recursive DFS per thread, this module runs THOUSANDS of reads in
+lockstep: one `lax.while_loop` whose carry is the whole batch's DFS
+state, each iteration advancing every active lane by one micro-step
+(one LF quartet, one branch pick, or one row chase).
+
+Faithfulness: every state transition mirrors the host oracle
+(`backtrack_oracle.GreedyDFS`, itself validated bit-identical to the
+reference binary), including the LCG consumption order, eligibility
+caching, revisitability tightening, half-and-half constraints and
+report-time random row starts.  Lanes that exceed any fixed resource
+bound (stack depth, hit slots, partial slots, step budget) raise an
+`overflow` flag and are re-run on the host oracle from scratch — the
+per-read RNG makes that re-run bit-identical.
+
+Layout: the fw and mirror indexes are concatenated into one set of
+device arrays ("FMCat"); a lane switches index by adding per-lane base
+offsets, so one gather serves both.  Each lane executes a sequence of
+"jobs" (one per search phase/strand, mirroring search_*.c + the
+full-index workers in ebwt_search.cpp), with per-job query/qual/penalty
+rows precomputed on host by depth coordinate (qd[d] = qry[qlen-1-d]).
+
+Modes of the per-lane state machine:
+  DONE  lane finished (read fully resolved or flagged for host fallback)
+  JOB   load next job; top-level backtrack() entry incl. ftab jump
+        (ebwt_search_backtrack.h:237-297)
+  ADV   consume one position: quartet LF, elims/eligibility updates,
+        cur==0 / half-and-half checks (:363-741)
+  BR    branch-loop head: condition check, mismatch pick (RNG), frame
+        push (:743-982)
+  POP   post-child bookkeeping: eliminate tried edge, eligibility
+        rescan (:984-1058)
+  REP   one row chase of a report: dense-SA resolve + joinedToTextOff +
+        sink policy (reportFullAlignment :1521; reportChaseOne
+        ebwt.h:2693; NGoodHitSinkPerThread hit.h:937-992)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.arrays import FMIndexArrays, from_ebwt
+from ..index.ebwt_io import EbwtIndex
+
+# state-machine modes
+M_DONE, M_JOB, M_ADV, M_BR, M_POP, M_REP = 0, 1, 2, 3, 4, 5
+
+INF32 = 0x7FFFFFFF          # device stand-in for the oracle's 0xFFFFFFFF
+
+# resource bounds (per lane); overflow -> host-oracle fallback
+S_MAX = 8                   # stack frames (mismatch depth)
+H_MAX = 8                   # buffered hit slots
+MM_SLOTS = 8                # mismatch slots per stored hit
+P_MAX = 32                  # partial-alignment slots (-n phases 2/3)
+
+_A = jnp.uint32(1664525)
+_C = jnp.uint32(1013904223)
+
+
+def _rng_next(state):
+    """RandomSource::nextU32 (random_source.h:36-42), vectorized."""
+    s1 = _A * state + _C
+    ret = s1 >> jnp.uint32(16)
+    s2 = _A * s1 + _C
+    return s2, ret ^ s2
+
+
+def _g1(a, i):
+    """1-D gather as a width-1 row gather (TPU-vectorizable)."""
+    return a.reshape(-1, 1)[i][..., 0]
+
+
+def _sel_col(arr, idx):
+    """arr[b, idx[b]] without a minor-dim gather: one-hot sum (VPU)."""
+    L = arr.shape[-1]
+    m = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1) \
+        == idx[..., None]
+    return jnp.sum(jnp.where(m, arr, 0), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Concatenated fw+mirror device index
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class FMCat:
+    """fw and mirror FM indexes concatenated row-wise; per-lane base
+    offsets select the index (the device analog of SWITCH_TO_FW/BW_INDEX,
+    ebwt_search.cpp:1867-1891)."""
+    occ: jax.Array          # [(n1+1)*2, 4] full rank table (occ_every=1)
+    fchr: jax.Array         # [5] (identical for fw and mirror)
+    ftab_hi: jax.Array      # [ftabLen*2]
+    ftab_lo: jax.Array      # [ftabLen*2]
+    sa: jax.Array           # [n1*2] dense SA
+    zoff: jax.Array         # [2] per-index '$' row
+    rstarts_start: jax.Array   # [nfrag] fragment joined-offsets
+    rstarts_tidx: jax.Array    # [nfrag]
+    rstarts_toff: jax.Array    # [nfrag]
+    length: jax.Array       # int32 joined text length
+    bwt_len: jax.Array      # int32 n1 = length+1
+    occ_base: jax.Array     # [2] row base into occ per index
+    sa_base: jax.Array      # [2]
+    ftab_base: jax.Array    # [2]
+    ftab_chars: int = 10
+
+    def tree_flatten(self):
+        c = (self.occ, self.fchr, self.ftab_hi, self.ftab_lo, self.sa,
+             self.zoff, self.rstarts_start, self.rstarts_tidx,
+             self.rstarts_toff, self.length, self.bwt_len, self.occ_base,
+             self.sa_base, self.ftab_base)
+        return c, (self.ftab_chars,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, c):
+        return cls(*c, ftab_chars=aux[0])
+
+
+def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
+                fm_fw: FMIndexArrays | None = None,
+                fm_bw: FMIndexArrays | None = None) -> FMCat:
+    """Build the concatenated device index (full rank table + dense SA
+    for both strands' indexes)."""
+    if fm_fw is None:
+        fm_fw = from_ebwt(idx_fw, occ_every=1, dense_sa=True)
+    if fm_bw is None:
+        fm_bw = from_ebwt(idx_bw, occ_every=1, dense_sa=True)
+    n1 = idx_fw.bwt_len
+    ftlen = len(np.asarray(fm_fw.ftab_hi))
+    occ = jnp.concatenate([fm_fw.occ, fm_bw.occ], axis=0)
+    return FMCat(
+        occ=occ,
+        fchr=fm_fw.fchr,
+        ftab_hi=jnp.concatenate([fm_fw.ftab_hi, fm_bw.ftab_hi]),
+        ftab_lo=jnp.concatenate([fm_fw.ftab_lo, fm_bw.ftab_lo]),
+        sa=jnp.concatenate([fm_fw.sa, fm_bw.sa]),
+        zoff=jnp.stack([fm_fw.zoff, fm_bw.zoff]),
+        rstarts_start=jnp.asarray(idx_fw.rstarts[:, 0].astype(np.int32)),
+        rstarts_tidx=jnp.asarray(idx_fw.rstarts[:, 1].astype(np.int32)),
+        rstarts_toff=jnp.asarray(idx_fw.rstarts[:, 2].astype(np.int32)),
+        length=jnp.int32(idx_fw.length),
+        bwt_len=jnp.int32(n1),
+        occ_base=jnp.array([0, fm_fw.occ.shape[0]], jnp.int32),
+        sa_base=jnp.array([0, len(np.asarray(fm_fw.sa))], jnp.int32),
+        ftab_base=jnp.array([0, ftlen], jnp.int32),
+        ftab_chars=idx_fw.ftab_chars,
+    )
+
+
+def _rank4(cat: FMCat, occ_base, zoff, i):
+    """Occ(c, i) for all 4 codes at per-lane index-offset rows, with the
+    '$'-as-A correction (countFwSide, ebwt.h:2044-2052)."""
+    row = cat.occ[i + occ_base]                       # [B, 4]
+    corr = jnp.where(i > zoff, 1, 0)[..., None] * \
+        jnp.array([1, 0, 0, 0], jnp.int32)
+    return row - corr
+
+
+def _lf4pair(cat: FMCat, occ_base, zoff, top, bot):
+    """fchr + rank quartets at top and bot (mapLFEx, ebwt.h:2334)."""
+    f4 = cat.fchr[:4]
+    return f4 + _rank4(cat, occ_base, zoff, top), \
+        f4 + _rank4(cat, occ_base, zoff, bot)
+
+
+# ---------------------------------------------------------------------------
+# Job descriptors
+# ---------------------------------------------------------------------------
+
+JOB_FIELDS = [
+    # int32 per (lane, job) unless noted
+    "valid",          # 1 if this job exists for the lane
+    "qlen",           # search query length (after set_qlen)
+    "ebwt_fw",        # 1 = forward index, 0 = mirror
+    "fw",             # strand flag for reporting
+    "d5", "d3", "unrev", "rev1", "rev2", "rev3",   # setOffs
+    "ham0",           # entry ham (partial-extension prior cost)
+    "report_exacts",  # bool
+    "report_partials",  # 0 or seedMms
+    "half_and_half",  # bool
+    "max_bts",        # backtrack ceiling (INF32 = none)
+    "consider_quals",  # bool
+    "qual_thresh",    # -e budget (INF32 for -v modes)
+    "reset_rng",      # 1: rng <- read seed at job load
+    "ns_gate",        # 1: backtrack() returns False immediately (N tally)
+    "ns_ftab",        # count of Ns in the first ftabChars depths
+    "npremut",        # seed-stage mutations already applied (phase 3/4)
+    "premut_pos0", "premut_pos1", "premut_pos2",
+    "premut_refc0", "premut_refc1", "premut_refc2",
+    "collect_partials",  # 1: partials go to the lane partial buffer
+]
+
+
+def empty_jobs(B: int, J: int, L: int):
+    """Host-side job table: scalars [B, J] + per-depth rows [B, J, L]."""
+    jobs = {f: np.zeros((B, J), dtype=np.int32) for f in JOB_FIELDS}
+    jobs["qd"] = np.full((B, J, L), 4, dtype=np.int32)     # codes by depth
+    jobs["quald"] = np.zeros((B, J, L), dtype=np.int32)    # qual by depth
+    jobs["pend"] = np.zeros((B, J, L), dtype=np.int32)     # penalty by depth
+    return jobs
+
+
+# ---------------------------------------------------------------------------
+# The state machine
+# ---------------------------------------------------------------------------
+
+def _init_state(B: int, L: int, seeds: np.ndarray, count0: np.ndarray):
+    z = lambda *s: jnp.zeros(s, jnp.int32)
+    return dict(
+        mode=jnp.full((B,), M_JOB, jnp.int32),
+        job=z(B),                 # current job idx
+        result=z(B),              # 0 running, 1 done-ok, 2 done-maxed
+        overflow=jnp.zeros((B,), bool),
+        rng=jnp.asarray(seeds, jnp.uint32),
+        seed=jnp.asarray(seeds, jnp.uint32),
+        count=jnp.asarray(count0, jnp.int32),
+        # current-job registers
+        qd=z(B, L), quald=z(B, L), pend=z(B, L),
+        qlen=z(B), ebwt_fw=z(B), fwflag=z(B),
+        jd5=z(B), jd3=z(B), jrev2=z(B), jrev3=z(B),
+        rep_exacts=z(B), rep_partials=z(B), hh=z(B), maxbts=z(B),
+        cons_quals=z(B), qthresh=z(B), npremut=z(B),
+        premut_pos=z(B, 3), premut_refc=z(B, 3),
+        collect=z(B),
+        occ_base=z(B), sa_base=z(B), ftab_base=z(B), zoff=z(B),
+        num_bts=z(B), bailed=jnp.zeros((B,), bool),
+        # frame stack
+        f_depth=z(B, S_MAX), f_unrev=z(B, S_MAX), f_rev1=z(B, S_MAX),
+        f_rev2=z(B, S_MAX), f_rev3=z(B, S_MAX), f_ham=z(B, S_MAX),
+        f_d=z(B, S_MAX), f_top=z(B, S_MAX), f_bot=z(B, S_MAX),
+        f_alt=z(B, S_MAX), f_elnum=z(B, S_MAX), f_elsz=z(B, S_MAX),
+        f_eli=z(B, S_MAX), f_eltop=z(B, S_MAX), f_elbot=z(B, S_MAX),
+        f_elham=z(B, S_MAX), f_elcint=z(B, S_MAX),
+        f_elignore=z(B, S_MAX), f_lowq=z(B, S_MAX),
+        f_btdm=z(B, S_MAX), f_mustbt=z(B, S_MAX),
+        f_invhh=z(B, S_MAX), f_invex=z(B, S_MAX), f_reppart=z(B, S_MAX),
+        f_dftab=z(B, S_MAX),
+        f_bi=z(B, S_MAX), f_bj=z(B, S_MAX), f_bspread=z(B, S_MAX),
+        sd=z(B),
+        pairs=z(B * S_MAX * L, 8),
+        elims=z(B * S_MAX, L),
+        mms=z(B, S_MAX), refcs=z(B, S_MAX), mmd=z(B, S_MAX),
+        # report registers
+        r_top=z(B), r_bot=z(B), r_sd=z(B), r_ham=z(B), r_stratum=z(B),
+        r_k=z(B), r_r=z(B), r_resume=z(B),
+        # outputs
+        nhits=z(B),
+        hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
+        npart=z(B),
+        part_n=z(B, P_MAX),
+        part_pos=z(B, P_MAX, 3), part_refc=z(B, P_MAX, 3),
+    )
+
+
+def _ret_false(st, mask):
+    """A frame returns False: pop to parent (-> POP) or end the job
+    (bailed cascades straight out, :423-427)."""
+    job_fail = mask & ((st["sd"] == 0) | st["bailed"])
+    pop = mask & ~job_fail
+    st["mode"] = jnp.where(job_fail, M_JOB, st["mode"])
+    st["job"] = jnp.where(job_fail, st["job"] + 1, st["job"])
+    st["sd"] = jnp.where(pop, st["sd"] - 1, st["sd"])
+    st["mode"] = jnp.where(pop, M_POP, st["mode"])
+    return st
+
+
+def _fr(st, name):
+    """Read frame field at current sd."""
+    return _sel_col(st[name], st["sd"])
+
+
+def _fw_set(st, name, mask, val):
+    """Write frame field at current sd where mask."""
+    B, S = st[name].shape
+    m = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+         == st["sd"][:, None]) & mask[:, None]
+    st[name] = jnp.where(m, val[:, None] if val.ndim == 1 else val,
+                         st[name])
+    return st
+
+
+def _enter_frame(st, mask, depth, unrev, rev1, rev2, rev3, ham, top, bot,
+                 dftab):
+    """Initialize frame fields at the (already-set) sd (entry of _bt,
+    :187-213).  pairs/elims need no zeroing: every row read is written
+    first by ADV of the same frame."""
+    for name, val in [("f_depth", depth), ("f_unrev", unrev),
+                      ("f_rev1", rev1), ("f_rev2", rev2),
+                      ("f_rev3", rev3), ("f_ham", ham),
+                      ("f_d", depth), ("f_top", top), ("f_bot", bot),
+                      ("f_alt", jnp.zeros_like(depth)),
+                      ("f_elnum", jnp.zeros_like(depth)),
+                      ("f_elsz", jnp.zeros_like(depth)),
+                      ("f_eli", jnp.zeros_like(depth)),
+                      ("f_eltop", jnp.zeros_like(depth)),
+                      ("f_elbot", jnp.zeros_like(depth)),
+                      ("f_elham", ham),
+                      ("f_elcint", jnp.zeros_like(depth)),
+                      ("f_elignore", jnp.ones_like(depth)),
+                      ("f_lowq", jnp.full_like(depth, 0xFF)),
+                      ("f_btdm", jnp.zeros_like(depth)),
+                      ("f_mustbt", jnp.zeros_like(depth)),
+                      ("f_invhh", jnp.zeros_like(depth)),
+                      ("f_invex", jnp.zeros_like(depth)),
+                      ("f_reppart", jnp.zeros_like(depth)),
+                      ("f_dftab", dftab)]:
+        st = _fw_set(st, name, mask, val)
+    # half-and-half backtrack accounting at frame entry (:194-198)
+    hh = st["hh"] > 0
+    bail = mask & hh & (st["maxbts"] > 0) & \
+        (st["num_bts"] == st["maxbts"])
+    st["num_bts"] = jnp.where(mask & hh & ~bail, st["num_bts"] + 1,
+                              st["num_bts"])
+    st["bailed"] = st["bailed"] | bail
+    st["mode"] = jnp.where(mask & ~bail, M_ADV, st["mode"])
+    # bail: frame returns False immediately
+    st = _ret_false(st, bail)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Report entry / row chase
+# ---------------------------------------------------------------------------
+
+def _enter_report(st, mask, sd_r, top, bot, ham, resume):
+    """reportFullAlignment entry (ebwt_search_backtrack.h:1455-1540):
+    compute stratum/cost, draw the random start row.
+
+    In partial-collecting jobs (reportPartials > 0) a "report" instead
+    appends a partial alignment and returns False (:527-531), with no
+    RNG consumption."""
+    pmask = mask & (st["rep_partials"] > 0)
+    st = _store_partial(st, pmask & (sd_r > 0), sd_r)
+    st["r_resume"] = jnp.where(pmask, resume, st["r_resume"])
+    st = _report_fail(st, pmask)
+    mask = mask & ~pmask
+    B, S = st["mms"].shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    # stratum: mismatches with mms[i] >= qlen - rev3 <=> depth < rev3
+    # (:1164-1181), rev3 = the JOB-level setOffs value
+    in_seed = (ii < sd_r[:, None]) & (st["mmd"] < st["jrev3"][:, None])
+    stratum = jnp.sum(in_seed.astype(jnp.int32), axis=1) + st["npremut"]
+    spread = bot - top
+    rng, v = _rng_next(st["rng"])
+    st["rng"] = jnp.where(mask, rng, st["rng"])
+    r = top + (v % jnp.maximum(spread, 1).astype(jnp.uint32)).astype(
+        jnp.int32)
+    for name, val in [("r_top", top), ("r_bot", bot), ("r_sd", sd_r),
+                      ("r_ham", ham), ("r_stratum", stratum),
+                      ("r_k", jnp.zeros_like(top)), ("r_r", r),
+                      ("r_resume", resume)]:
+        st[name] = jnp.where(mask, val, st[name])
+    st["mode"] = jnp.where(mask, M_REP, st["mode"])
+    return st
+
+
+def _report_fail(st, mask):
+    """The row loop exhausted without a sink stop: resume per context
+    (:1521 returns false; callers at :329-331, :391, :482)."""
+    r0 = mask & (st["r_resume"] == 0)   # ADV cur==0: top=bot, branch loop
+    r1 = mask & (st["r_resume"] == 1)   # branch child (i+1==qlen): POP
+    r2 = mask & (st["r_resume"] == 2)   # frame/job-level return False
+    st = _fw_set(st, "f_top", r0, _fr(st, "f_bot"))
+    st["mode"] = jnp.where(r0, M_BR, st["mode"])
+    st["mode"] = jnp.where(r1, M_POP, st["mode"])
+    st = _ret_false(st, r2)
+    return st
+
+
+def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
+    """One row chase: dense-SA resolve + joinedToTextOff + sink
+    (reportChaseOne ebwt.h:2693; joinedToTextOff :2569-2629;
+    NGoodHitSinkPerThread::reportHit hit.h:969-985)."""
+    m = st["mode"] == M_REP
+    spread = st["r_bot"] - st["r_top"]
+    ri = st["r_r"] + st["r_k"]
+    ri = jnp.where(ri >= st["r_bot"], ri - spread, ri)
+    ri_safe = jnp.where(m, ri, 0)
+    off = _g1(cat.sa, ri_safe + st["sa_base"])
+    qlen = st["qlen"]
+    if nfrag == 1:
+        elt = jnp.zeros_like(off)
+    else:
+        elt = jnp.searchsorted(cat.rstarts_start, off, side="right") \
+            .astype(jnp.int32) - 1
+    start = _g1(cat.rstarts_start, elt)
+    upper = jnp.where(elt + 1 < nfrag,
+                      _g1(cat.rstarts_start,
+                          jnp.minimum(elt + 1, nfrag - 1)),
+                      cat.length)
+    valid = off + qlen <= upper
+    tidx = _g1(cat.rstarts_tidx, elt)
+    fragoff = off - start
+    fraglen = upper - start
+    fragoff = jnp.where(st["ebwt_fw"] == 0,
+                        fraglen - fragoff - 1 - (qlen - 1), fragoff)
+    toff = fragoff + _g1(cat.rstarts_toff, elt)
+
+    hit = m & valid
+    newcount = st["count"] + 1
+    maxed = hit & (newcount > m_max)
+    stored = hit & ~maxed
+    # assemble the hit record: search mms[0:r_sd] then the seed-stage
+    # premuts (applyPartialMutations accounting, :1489-1519)
+    B = st["count"].shape[0]
+    nmms = st["r_sd"] + st["npremut"]
+    slot_i = jax.lax.broadcasted_iota(jnp.int32, (B, MM_SLOTS), 1)
+    from_mm = slot_i < st["r_sd"][:, None]
+    pm_i = jnp.clip(slot_i - st["r_sd"][:, None], 0, 2)
+    pm_pos = jnp.take_along_axis(st["premut_pos"], pm_i, axis=1)
+    pm_refc = jnp.take_along_axis(st["premut_refc"], pm_i, axis=1)
+    mm_v = jnp.where(from_mm, st["mms"][:, :MM_SLOTS], pm_pos)
+    rc_v = jnp.where(from_mm, st["refcs"][:, :MM_SLOTS], pm_refc)
+    cost = st["r_ham"] | (st["r_stratum"] << 14)
+    rec = jnp.concatenate([
+        jnp.stack([tidx, toff,
+                   st["fwflag"] | (st["ebwt_fw"] << 1),
+                   st["r_bot"] - st["r_top"] - 1,
+                   st["r_stratum"], cost, nmms, qlen], axis=-1),
+        mm_v, rc_v], axis=-1)                       # [B, 8+2*MM_SLOTS]
+    slot_full = st["nhits"] >= H_MAX
+    mm_over = nmms > MM_SLOTS
+    over = stored & (slot_full | mm_over)
+    st["overflow"] = st["overflow"] | over
+    st["mode"] = jnp.where(over, M_DONE, st["mode"])
+    do_store = stored & ~over
+    F = rec.shape[-1]
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
+          == st["nhits"][:, None]) & do_store[:, None]
+    st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
+    st["nhits"] = jnp.where(do_store, st["nhits"] + 1, st["nhits"])
+    st["count"] = jnp.where(hit, newcount, st["count"])
+    # stop rules (hit.h:969-985 + reportHit count>max check)
+    st["result"] = jnp.where(maxed, 2, st["result"])
+    st["mode"] = jnp.where(maxed, M_DONE, st["mode"])
+    stop = do_store & (newcount == n_k) & \
+        ((m_max == INF32) | (m_max < n_k))
+    st["result"] = jnp.where(stop, 1, st["result"])
+    st["mode"] = jnp.where(stop, M_DONE, st["mode"])
+    # advance the row loop
+    go_on = m & ~maxed & ~stop & ~over
+    nk = st["r_k"] + 1
+    st["r_k"] = jnp.where(go_on, nk, st["r_k"])
+    st = _report_fail(st, go_on & (nk >= spread))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# JOB: top-level backtrack() entry
+# ---------------------------------------------------------------------------
+
+def _step_job(st, cat: FMCat, jobs, J: int, L: int):
+    m = st["mode"] == M_JOB
+    jidx = jnp.minimum(st["job"], J - 1)
+    B = jidx.shape[0]
+
+    def jf(name):
+        return _sel_col(jobs[name], jidx)
+
+    valid = (jf("valid") > 0) & (st["job"] < J)
+    done = m & ~valid
+    st["mode"] = jnp.where(done, M_DONE, st["mode"])
+    m = m & valid
+    # load job registers
+    flat = jidx + jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * J
+    for reg, row in [("qd", "qd"), ("quald", "quald"), ("pend", "pend")]:
+        rows = jobs[row].reshape(B * J, L)[flat]
+        st[reg] = jnp.where(m[:, None], rows, st[reg])
+    for reg, f in [("qlen", "qlen"), ("ebwt_fw", "ebwt_fw"),
+                   ("fwflag", "fw"), ("jd5", "d5"), ("jd3", "d3"),
+                   ("jrev2", "rev2"), ("jrev3", "rev3"),
+                   ("rep_exacts", "report_exacts"),
+                   ("rep_partials", "report_partials"),
+                   ("hh", "half_and_half"), ("maxbts", "max_bts"),
+                   ("cons_quals", "consider_quals"),
+                   ("qthresh", "qual_thresh"),
+                   ("npremut", "npremut"), ("collect", "collect_partials")]:
+        st[reg] = jnp.where(m, jf(f), st[reg])
+    for reg, fs in [("premut_pos", ("premut_pos0", "premut_pos1",
+                                    "premut_pos2")),
+                    ("premut_refc", ("premut_refc0", "premut_refc1",
+                                     "premut_refc2"))]:
+        v = jnp.stack([jf(f) for f in fs], axis=-1)
+        st[reg] = jnp.where(m[:, None], v, st[reg])
+    st["rng"] = jnp.where(m & (jf("reset_rng") > 0), st["seed"], st["rng"])
+    st["num_bts"] = jnp.where(m, 0, st["num_bts"])
+    st["bailed"] = jnp.where(m, False, st["bailed"])
+    efw = jf("ebwt_fw")
+    st["occ_base"] = jnp.where(m, jnp.where(efw > 0, cat.occ_base[0],
+                                            cat.occ_base[1]),
+                               st["occ_base"])
+    st["sa_base"] = jnp.where(m, jnp.where(efw > 0, cat.sa_base[0],
+                                           cat.sa_base[1]), st["sa_base"])
+    st["ftab_base"] = jnp.where(m, jnp.where(efw > 0, cat.ftab_base[0],
+                                             cat.ftab_base[1]),
+                                st["ftab_base"])
+    st["zoff"] = jnp.where(m, jnp.where(efw > 0, cat.zoff[0],
+                                        cat.zoff[1]), st["zoff"])
+    st["sd"] = jnp.where(m, 0, st["sd"])
+
+    # N tally gate (:1306-1343, precomputed on host)
+    gate = m & (jf("ns_gate") > 0)
+    st["mode"] = jnp.where(gate, M_JOB, st["mode"])
+    st["job"] = jnp.where(gate, st["job"] + 1, st["job"])
+    m = m & ~gate
+
+    fc = cat.ftab_chars
+    qlen = jf("qlen")
+    unrev = jf("unrev")
+    ns_ftab = jf("ns_ftab")
+    ham0 = jf("ham0")
+    use_ftab = (ns_ftab == 0) & (jnp.minimum(unrev, qlen) >= fc)
+    # calcFtabOff over depths 0..fc-1 (ebwt_search_backtrack.h:254-257)
+    w = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
+    qf = jnp.where(st["qd"][:, :fc] > 3, 0, st["qd"][:, :fc])
+    foff = jnp.sum(qf << w, axis=1)
+    ft = _g1(cat.ftab_hi, foff + st["ftab_base"])
+    fb = _g1(cat.ftab_lo, foff + 1 + st["ftab_base"])
+
+    offs6 = [jf("d5"), jf("d3"), unrev, jf("rev1"), jf("rev2"),
+             jf("rev3")]
+    z = jnp.zeros_like(qlen)
+    # case a: qlen == fc, report path (no partials) (:139-143)
+    rep_now = m & use_ftab & (qlen == fc) & (fb > ft) & \
+        (jf("report_partials") == 0)
+    st = _enter_report(st, rep_now, z, ft, fb, ham0,
+                       jnp.full_like(qlen, 2))
+    # case a': qlen == fc with partials -> plain depth-0 recursion (:140)
+    ent0p = m & use_ftab & (qlen == fc) & (fb > ft) & \
+        (jf("report_partials") > 0)
+    # case b: jump-started frame 0 at depth fc (:145-146)
+    entf = m & use_ftab & (qlen > fc) & (fb > ft)
+    # case c: empty ftab range -> job returns False (:147-148)
+    cfail = m & use_ftab & (fb <= ft)
+    st["mode"] = jnp.where(cfail, M_JOB, st["mode"])
+    st["job"] = jnp.where(cfail, st["job"] + 1, st["job"])
+    # no-ftab entry (:150-151)
+    ent0 = m & ~use_ftab
+    st = _enter_frame(st, entf, jnp.full_like(qlen, fc), unrev,
+                      offs6[3], offs6[4], offs6[5], ham0, ft, fb, z)
+    e0 = ent0 | ent0p
+    dftab = jnp.where(ent0, (ns_ftab > 0).astype(jnp.int32), 0)
+    st = _enter_frame(st, e0, z, unrev, offs6[3], offs6[4], offs6[5],
+                      ham0, z, z, dftab)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# ADV: consume one position (the for-cur loop body, :215-332,473-479)
+# ---------------------------------------------------------------------------
+
+def _branch_exit(st, mask):
+    """Fall-through after the branch loop (:473-483): fail checks, then
+    either continue ADV at the next position or handle pattern-consumed."""
+    mustbt = _fr(st, "f_mustbt") > 0
+    invhh = _fr(st, "f_invhh") > 0
+    invex = _fr(st, "f_invex") > 0
+    top = _fr(st, "f_top")
+    bot = _fr(st, "f_bot")
+    alt = _fr(st, "f_alt")
+    fail = mask & (mustbt | invhh | invex | ((top == bot) & (alt == 0)))
+    st = _ret_false(st, fail)
+    cont = mask & ~fail
+    d = _fr(st, "f_d")
+    consumed = cont & (d + 1 > st["qlen"] - 1)
+    adv = cont & ~consumed
+    st = _fw_set(st, "f_d", adv, d + 1)
+    st["mode"] = jnp.where(adv, M_ADV, st["mode"])
+    # pattern consumed (:480-483)
+    rep = consumed & (st["sd"] >= st["rep_partials"])
+    st = _enter_report(st, rep, st["sd"], top, bot, _fr(st, "f_ham"),
+                       jnp.full_like(top, 2))
+    st = _ret_false(st, consumed & ~rep)
+    return st
+
+
+def _store_partial(st, mask, n):
+    """_report_partial (:519-524): append (mms, refcs)[0:n] to the
+    lane's partial buffer."""
+    B = st["sd"].shape[0]
+    over = mask & ((st["npart"] >= P_MAX) | (n > 3))
+    st["overflow"] = st["overflow"] | over
+    st["mode"] = jnp.where(over, M_DONE, st["mode"])
+    ok = mask & ~over
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (B, P_MAX), 1)
+          == st["npart"][:, None]) & ok[:, None]
+    st["part_n"] = jnp.where(pm, n[:, None], st["part_n"])
+    st["part_pos"] = jnp.where(pm[:, :, None],
+                               st["mms"][:, None, :3], st["part_pos"])
+    st["part_refc"] = jnp.where(pm[:, :, None],
+                                st["refcs"][:, None, :3], st["part_refc"])
+    st["npart"] = jnp.where(ok, st["npart"] + 1, st["npart"])
+    return st
+
+
+def _step_adv(st, cat: FMCat, L: int):
+    m = st["mode"] == M_ADV
+    B = st["sd"].shape[0]
+    d = _fr(st, "f_d")
+    sd = st["sd"]
+    qlen = st["qlen"]
+    hh = st["hh"] > 0
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, S_MAX), 1)
+
+    # -- half-and-half entry checks (hhCheckTop, :486-508) --------------
+    mm_mask = ii < sd[:, None]
+    hi_n = jnp.sum((mm_mask & (st["mmd"] < st["jd5"][:, None]))
+                   .astype(jnp.int32), axis=1)
+    lo_n = jnp.sum((mm_mask & (st["mmd"] >= st["jd5"][:, None]) &
+                    (st["mmd"] < st["jd3"][:, None])).astype(jnp.int32),
+                   axis=1)
+    req = st["jrev2"] == st["jrev3"]
+    fail5 = (d == st["jd5"]) & jnp.where(req, sd == 0, sd < 1)
+    fail3 = (d == st["jd3"]) & jnp.where(req, sd < 2, lo_n == 0)
+    hh_fail = m & hh & (fail5 | fail3)
+    st = _ret_false(st, hh_fail)
+    m = m & ~hh_fail
+
+    # -- position character / qual / penalty -----------------------------
+    c = _sel_col(st["qd"], d)
+    q = _sel_col(st["quald"], d)
+    pen = _sel_col(st["pend"], d)
+    depth = _fr(st, "f_depth")
+    unrev = _fr(st, "f_unrev")
+    ham = _fr(st, "f_ham")
+    top = _fr(st, "f_top")
+    bot = _fr(st, "f_bot")
+    lowq = _fr(st, "f_lowq")
+    cq = st["cons_quals"] > 0
+    cur_is_alt = (d >= unrev) & (~cq | (ham + pen <= st["qthresh"]))
+    cur_is_eligible = cur_is_alt & jnp.where(cq, q <= lowq, True)
+    cur_overrides = cur_is_alt & cq & (q < lowq)
+
+    # -- quartet (:239-256): computed from the PRE-N-hack range ----------
+    pt, pb = top, bot
+    nhack = (c == 4) & (d > 0)
+    top = jnp.where(nhack, 1, top)
+    bot = jnp.where(nhack, 1, bot)
+    zero_case = (top == 0) & (bot == 0)
+    lf4t, lf4b = _lf4pair(cat, st["occ_base"], st["zoff"],
+                          jnp.where(m, pt, 0), jnp.where(m, pb, 0))
+    row_t = jnp.where(zero_case[:, None], cat.fchr[None, 0:4], lf4t)
+    row_b = jnp.where(zero_case[:, None], cat.fchr[None, 1:5], lf4b)
+    write_pairs = m & (zero_case | cur_is_alt)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX
+            + sd) * L + d
+    rec8 = jnp.concatenate([row_t, row_b], axis=-1)
+    st["pairs"] = st["pairs"].at[
+        jnp.where(write_pairs, flat, st["pairs"].shape[0])].set(
+        rec8, mode="drop")
+    cK = jnp.clip(c, 0, 3)
+    top_n = jnp.where(zero_case, _sel_col(row_t, cK), _sel_col(lf4t, cK))
+    bot_n = jnp.where(zero_case, _sel_col(row_b, cK), _sel_col(lf4b, cK))
+    is_n = c > 3
+    top = jnp.where(m & ~is_n, top_n, top)
+    bot = jnp.where(m & ~is_n, bot_n, bot)
+
+    # -- elims[d] init + alternative-char bookkeeping (:257-283) ---------
+    spreads = row_b - row_t                                # [B, 4]
+    jarange = jnp.arange(4, dtype=jnp.int32)[None, :]
+    elim0 = jnp.where(is_n, 0, 1 << cK)
+    zero_elim = jnp.where(cur_is_alt[:, None] & (jarange != c[:, None]) &
+                          (spreads == 0), 1 << jarange, 0).sum(axis=1)
+    elim_d = elim0 | zero_elim
+    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
+    st["elims"] = st["elims"].at[
+        jnp.where(m, row_bs, st["elims"].shape[0]), d].set(
+        elim_d, mode="drop")
+    live = (jarange != c[:, None]) & (spreads > 0)         # [B, 4]
+    nlive = jnp.sum(live.astype(jnp.int32), axis=1)
+    szlive = jnp.sum(jnp.where(live, spreads, 0), axis=1)
+    alt_add = jnp.where(m & cur_is_alt, nlive, 0)
+    alt = _fr(st, "f_alt") + alt_add
+    # eligibility accumulation / override reset (:268-283)
+    el_upd = m & cur_is_alt & cur_is_eligible & (nlive > 0)
+    ovr = el_upd & cur_overrides
+    jstar = jnp.argmax(live, axis=1).astype(jnp.int32)
+    elnum = jnp.where(ovr, 0, _fr(st, "f_elnum"))
+    elsz = jnp.where(ovr, 0, _fr(st, "f_elsz"))
+    elnum = jnp.where(el_upd, elnum + nlive, elnum)
+    elsz = jnp.where(el_upd, elsz + szlive, elsz)
+    st = _fw_set(st, "f_lowq", ovr, q)
+    st = _fw_set(st, "f_eli", ovr, d)
+    st = _fw_set(st, "f_eltop", ovr, _sel_col(row_t, jstar))
+    st = _fw_set(st, "f_elbot", ovr, _sel_col(row_b, jstar))
+    st = _fw_set(st, "f_elham", ovr, pen)
+    st = _fw_set(st, "f_elcint", ovr, jstar)
+    st = _fw_set(st, "f_elignore", ovr, jnp.zeros_like(d))
+    st = _fw_set(st, "f_elnum", m, elnum)
+    st = _fw_set(st, "f_elsz", m, elsz)
+    st = _fw_set(st, "f_alt", m, alt)
+
+    # -- cur==0 / partial / exact / half-and-half flags (:285-325) -------
+    cur0 = d == qlen - 1
+    btdm = jnp.zeros_like(m)
+    partial_c = m & cur0 & (top < bot) & (st["rep_partials"] > 0) & \
+        (sd < st["rep_partials"])
+    btdm = btdm | (partial_c & (alt > 0))
+    st = _store_partial(st, partial_c & (sd > 0), sd)
+    reported_partial = partial_c & (sd > 0)
+    invex = m & cur0 & (sd == 0) & (bot > top) & (st["rep_exacts"] == 0)
+    btdm = btdm | invex
+    mustbt = jnp.zeros_like(m)
+    invhh = jnp.zeros_like(m)
+    # d5-1 boundary (:304-311)
+    b5 = m & hh & (d == st["jd5"] - 1) & (top < bot)
+    invhh = invhh | (b5 & (sd == 0))
+    mustbt = mustbt | (b5 & (sd == 0) & (alt > 0))
+    btdm = btdm | (b5 & (sd == 0) & (alt > 0))
+    die5 = b5 & (sd == 0) & (alt == 0)
+    # d3-1 boundary (:312-325)
+    b3 = m & hh & (d == st["jd3"] - 1) & (top < bot)
+    inv3 = (lo_n == 0) | (hi_n == 0)
+    invhh = invhh | (b3 & inv3)
+    mb3 = b3 & ((sd < 2) | inv3) & (alt > 0)
+    mustbt = mustbt | mb3
+    btdm = btdm | mb3
+    die3 = b3 & (sd < 2) & (alt == 0)
+    st = _ret_false(st, die5 | die3)
+    m = m & ~(die5 | die3)
+
+    st = _fw_set(st, "f_top", m, top)
+    st = _fw_set(st, "f_bot", m, bot)
+    st = _fw_set(st, "f_btdm", m, btdm.astype(jnp.int32))
+    st = _fw_set(st, "f_mustbt", m, mustbt.astype(jnp.int32))
+    st = _fw_set(st, "f_invhh", m, invhh.astype(jnp.int32))
+    st = _fw_set(st, "f_invex", m, invex.astype(jnp.int32))
+    st = _fw_set(st, "f_reppart", m, reported_partial.astype(jnp.int32))
+
+    # -- report at cur==0 (:327-331) --------------------------------------
+    rep = m & cur0 & (bot > top) & ~invhh & ~invex & ~reported_partial
+    st = _enter_report(st, rep, sd, top, bot, ham, jnp.zeros_like(d))
+    m = m & ~rep
+
+    # -- branch or fall through ------------------------------------------
+    branch = m & ((top == bot) | btdm) & (alt > 0)
+    st["mode"] = jnp.where(branch, M_BR, st["mode"])
+    st = _branch_exit(st, m & ~branch)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# BR: branch-loop head — condition, mismatch pick, frame push (:334-420)
+# ---------------------------------------------------------------------------
+
+def _step_br(st, cat: FMCat, L: int):
+    m = st["mode"] == M_BR
+    B = st["sd"].shape[0]
+    sd = st["sd"]
+    top = _fr(st, "f_top")
+    bot = _fr(st, "f_bot")
+    btdm = _fr(st, "f_btdm") > 0
+    alt = _fr(st, "f_alt")
+    cond = ((top == bot) | btdm) & (alt > 0)
+    st = _branch_exit(st, m & ~cond)
+    m = m & cond
+
+    depth = _fr(st, "f_depth")
+    d = _fr(st, "f_d")
+    ham = _fr(st, "f_ham")
+    elnum = _fr(st, "f_elnum")
+    elignore = _fr(st, "f_elignore") > 0
+    lowq = _fr(st, "f_lowq")
+    cq = st["cons_quals"] > 0
+    scan = m & ((elnum > 1) | elignore)
+
+    # -- scan pick (:340-365): leftmost... highest eligible position ----
+    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
+    er = st["elims"][jnp.where(m, row_bs, 0)]              # [B, L]
+    li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    qual_ok = jnp.where(cq[:, None], st["quald"] == lowq[:, None], True)
+    elig = (li >= depth[:, None]) & (li <= d[:, None]) & \
+        (er != 15) & qual_ok
+    istar_s = jnp.max(jnp.where(elig, li, -1), axis=1)
+    no_pos = scan & (istar_s < 0)            # defensive: cannot happen
+    istar_safe = jnp.maximum(istar_s, 0)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX
+            + sd) * L + istar_safe
+    p8 = st["pairs"][jnp.where(m, flat, 0)]                # [B, 8]
+    er_i = _sel_col(er, istar_safe)
+    jar = jnp.arange(4, dtype=jnp.int32)[None, :]
+    nonelim = ((er_i[:, None] >> jar) & 1) == 0
+    spreads = p8[:, 4:8] - p8[:, 0:4]
+    msp = jnp.where(nonelim, spreads, 0)
+    pos_sz = jnp.sum(msp, axis=1)
+    no_sz = scan & (pos_sz <= 0)             # defensive: cannot happen
+    st["overflow"] = st["overflow"] | no_pos | no_sz
+    st["mode"] = jnp.where(no_pos | no_sz, M_DONE, st["mode"])
+    m = m & ~(no_pos | no_sz)
+    scan = scan & ~(no_pos | no_sz)
+    rng, v = _rng_next(st["rng"])
+    st["rng"] = jnp.where(scan, rng, st["rng"])
+    r = (v % jnp.maximum(pos_sz, 1).astype(jnp.uint32)).astype(jnp.int32)
+    cum = jnp.cumsum(msp, axis=1) - msp      # exclusive prefix
+    pickj = nonelim & (r[:, None] >= cum) & (r[:, None] < cum + msp)
+    jstar_s = jnp.argmax(pickj, axis=1).astype(jnp.int32)
+    bttop_s = _sel_col(p8[:, 0:4], jstar_s)
+    btbot_s = _sel_col(p8[:, 4:8], jstar_s)
+    btham_s = ham + _sel_col(st["pend"], istar_safe)
+
+    # -- cached single-eligible pick (:366-370) ---------------------------
+    use_cache = m & ~scan
+    istar = jnp.where(use_cache, _fr(st, "f_eli"), istar_safe)
+    jstar = jnp.where(use_cache, _fr(st, "f_elcint"), jstar_s)
+    bttop = jnp.where(use_cache, _fr(st, "f_eltop"), bttop_s)
+    btbot = jnp.where(use_cache, _fr(st, "f_elbot"), btbot_s)
+    btham = jnp.where(use_cache, ham + _fr(st, "f_elham"), btham_s)
+
+    # -- revisitability tightening (:371-380) ----------------------------
+    rev1 = _fr(st, "f_rev1")
+    rev2 = _fr(st, "f_rev2")
+    rev3 = _fr(st, "f_rev3")
+    unrev = _fr(st, "f_unrev")
+    lt1 = istar < rev1
+    lt2 = ~lt1 & (istar < rev2)
+    lt3 = ~lt1 & ~lt2 & (istar < rev3)
+    bt_unrev = jnp.where(lt1, rev1, unrev)
+    bt_rev1 = jnp.where(lt1, rev2, jnp.where(lt2, rev2, rev1))
+    bt_rev2 = jnp.where(lt1 | lt2, rev3, jnp.where(lt3, rev3, rev2))
+
+    # -- record the mismatch (:381-388) -----------------------------------
+    qlen = st["qlen"]
+    st = _fw_set(st, "mms", m, qlen - 1 - istar)
+    st = _fw_set(st, "refcs", m, jstar)
+    st = _fw_set(st, "mmd", m, istar)
+    st = _fw_set(st, "f_bi", m, istar)
+    st = _fw_set(st, "f_bj", m, jstar)
+    st = _fw_set(st, "f_bspread", m, btbot - bttop)
+
+    # -- dispatch ---------------------------------------------------------
+    fc = cat.ftab_chars
+    caseA = m & (istar + 1 == qlen)
+    st = _enter_report(st, caseA, sd + 1, bttop, btbot, btham,
+                       jnp.ones_like(sd))
+    rest = m & ~caseA
+    midftab = rest & (st["hh"] > 0) & (_fr(st, "f_dftab") == 0) & \
+        (st["jrev2"] == st["jrev3"]) & (istar + 1 < fc) & \
+        (fc <= st["jd5"])
+    # mid-recursion ftab with the mutation substituted (:393-416)
+    w = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
+    sub = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, fc), 1) == istar[:, None],
+        jstar[:, None], st["qd"][:, :fc])
+    sub = jnp.where(sub > 3, 0, sub)
+    foff = jnp.sum(sub << w, axis=1)
+    ft = _g1(cat.ftab_hi, jnp.where(midftab, foff + st["ftab_base"], 0))
+    fb = _g1(cat.ftab_lo, jnp.where(midftab, foff + 1 + st["ftab_base"],
+                                    0))
+    ft_empty = midftab & (ft == fb)
+    st["mode"] = jnp.where(ft_empty, M_POP, st["mode"])
+    push = (rest & ~midftab) | (midftab & ~ft_empty)
+    s_over = push & (sd + 1 >= S_MAX)
+    st["overflow"] = st["overflow"] | s_over
+    st["mode"] = jnp.where(s_over, M_DONE, st["mode"])
+    push = push & ~s_over
+    st["sd"] = jnp.where(push, sd + 1, st["sd"])
+    ndepth = jnp.where(midftab, fc, istar + 1)
+    ntop = jnp.where(midftab, ft, bttop)
+    nbot = jnp.where(midftab, fb, btbot)
+    st = _enter_frame(st, push, ndepth, bt_unrev, bt_rev1, bt_rev2,
+                      rev3, btham, ntop, nbot, jnp.zeros_like(sd))
+    return st
+
+
+# ---------------------------------------------------------------------------
+# POP: post-child bookkeeping (:421-472)
+# ---------------------------------------------------------------------------
+
+def _step_pop(st, L: int):
+    m = st["mode"] == M_POP
+    B = st["sd"].shape[0]
+    # bailed / backtrack-ceiling cascade (:423-427)
+    bts_hit = (st["hh"] > 0) & (st["maxbts"] > 0) & \
+        (st["num_bts"] >= st["maxbts"])
+    bail = m & (st["bailed"] | bts_hit)
+    st["bailed"] = st["bailed"] | bail
+    st = _ret_false(st, bail)
+    m = m & ~bail
+
+    sd = st["sd"]
+    i = _fr(st, "f_bi")
+    j = _fr(st, "f_bj")
+    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
+    rb_safe = jnp.where(m, row_bs, 0)
+    old = _sel_col(st["elims"][rb_safe], i)
+    st["elims"] = st["elims"].at[
+        jnp.where(m, row_bs, st["elims"].shape[0]), i].set(
+        old | (1 << j), mode="drop")
+    elsz = _fr(st, "f_elsz") - _fr(st, "f_bspread")
+    elnum = _fr(st, "f_elnum") - 1
+    alt = _fr(st, "f_alt") - 1
+    st = _fw_set(st, "f_elsz", m, elsz)
+    st = _fw_set(st, "f_elnum", m, elnum)
+    st = _fw_set(st, "f_elignore", m, jnp.ones_like(sd))
+    st = _fw_set(st, "f_alt", m, alt)
+    dead = m & (alt == 0)
+    st = _ret_false(st, dead)
+    m = m & ~dead
+    rescan = m & (elnum == 0) & (st["cons_quals"] > 0)
+
+    def do_rescan(st):
+        # eligibility rescan (:437-472), vectorized over positions
+        depth = _fr(st, "f_depth")
+        d = _fr(st, "f_d")
+        unrev = _fr(st, "f_unrev")
+        ham = _fr(st, "f_ham")
+        li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        er = st["elims"][rb_safe]                          # [B, L]
+        pf = st["pairs"].reshape(B * S_MAX, L, 8)[rb_safe]  # [B, L, 8]
+        spreads = pf[:, :, 4:8] - pf[:, :, 0:4]            # [B, L, 4]
+        jar = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        live = (((er[:, :, None] >> jar) & 1) == 0) & (spreads > 0)
+        in_rng = (li >= jnp.maximum(depth, unrev)[:, None]) & \
+            (li <= d[:, None])
+        k_alt = (ham[:, None] + st["pend"]) <= st["qthresh"][:, None]
+        nlive = jnp.sum(live.astype(jnp.int32), axis=2)
+        szs = jnp.sum(jnp.where(live, spreads, 0), axis=2)
+        valid_k = in_rng & k_alt & (nlive > 0)
+        qv = jnp.where(valid_k, st["quald"], 0x7FFF)
+        low = jnp.min(qv, axis=1)
+        at_low = valid_k & (st["quald"] == low[:, None])
+        kstar = jnp.max(jnp.where(at_low, li, -1), axis=1)
+        has = kstar >= 0
+        ks = jnp.maximum(kstar, 0)
+        n_el = jnp.sum(jnp.where(at_low, nlive, 0), axis=1)
+        s_el = jnp.sum(jnp.where(at_low, szs, 0), axis=1)
+        # first live char at kstar (ascending l, :453)
+        lk = jnp.take_along_axis(
+            live, jnp.broadcast_to(ks[:, None, None], (B, 1, 4)),
+            axis=1)[:, 0, :]                               # [B, 4]
+        lstar = jnp.argmax(lk, axis=1).astype(jnp.int32)
+        p8k = jnp.take_along_axis(
+            pf, jnp.broadcast_to(ks[:, None, None], (B, 1, 8)),
+            axis=1)[:, 0, :]                               # [B, 8]
+        mm = rescan & has
+        st2 = dict(st)
+        st2 = _fw_set(st2, "f_lowq", mm, low)
+        st2 = _fw_set(st2, "f_eli", mm, ks)
+        st2 = _fw_set(st2, "f_eltop", mm, _sel_col(p8k[:, 0:4], lstar))
+        st2 = _fw_set(st2, "f_elbot", mm, _sel_col(p8k[:, 4:8], lstar))
+        st2 = _fw_set(st2, "f_elham", mm, _sel_col(st2["pend"], ks))
+        st2 = _fw_set(st2, "f_elcint", mm, lstar)
+        st2 = _fw_set(st2, "f_elignore", mm, jnp.zeros_like(ks))
+        st2 = _fw_set(st2, "f_elnum", mm, n_el)
+        st2 = _fw_set(st2, "f_elsz", mm, s_el)
+        # no eligible found: lowq stays 0xFF, counters 0, ignore set
+        mn = rescan & ~has
+        st2 = _fw_set(st2, "f_lowq", mn, jnp.full_like(ks, 0xFF))
+        st2 = _fw_set(st2, "f_elnum", mn, jnp.zeros_like(ks))
+        st2 = _fw_set(st2, "f_elsz", mn, jnp.zeros_like(ks))
+        return st2
+
+    st = jax.lax.cond(jnp.any(rescan), do_rescan, lambda s: dict(s), st)
+    st["mode"] = jnp.where(m, M_BR, st["mode"])
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Machine driver
+# ---------------------------------------------------------------------------
+
+def _machine_step(st, cat: FMCat, jobs, J: int, L: int, nfrag: int,
+                  n_k: int, m_max: int):
+    """One lockstep micro-step: each sub-step processes the lanes in its
+    mode; a lane can flow JOB->ADV->BR->REP within one iteration."""
+    st = dict(st)
+    st = _step_job(st, cat, jobs, J, L)
+    st = _step_adv(st, cat, L)
+    st = _step_br(st, cat, L)
+    st = _step_pop(st, L)
+    st = _step_rep(st, cat, nfrag, n_k, m_max)
+    return st
+
+
+OUT_KEYS = ("result", "overflow", "count", "nhits", "hits", "npart",
+            "part_n", "part_pos", "part_refc", "rng", "mode")
+
+
+@partial(jax.jit, static_argnames=("J", "L", "nfrag", "n_k", "m_max",
+                                   "max_steps"))
+def run_machine(cat: FMCat, jobs, seeds, count0, *, J: int, L: int,
+                nfrag: int, n_k: int, m_max: int, max_steps: int):
+    B = seeds.shape[0]
+    st0 = _init_state(B, L, seeds, count0)
+
+    def cond(carry):
+        st, it = carry
+        return (it < max_steps) & jnp.any(st["mode"] != M_DONE)
+
+    def body(carry):
+        st, it = carry
+        return _machine_step(st, cat, jobs, J, L, nfrag, n_k, m_max), \
+            it + 1
+
+    st, iters = jax.lax.while_loop(cond, body, (st0, jnp.int32(0)))
+    st["overflow"] = st["overflow"] | (st["mode"] != M_DONE)
+    return {k: st[k] for k in OUT_KEYS}, iters
+
+
+# ---------------------------------------------------------------------------
+# Host-side job construction + result assembly
+# ---------------------------------------------------------------------------
+
+_QR = np.zeros(256, dtype=np.int32)     # Maq rounding (qual.cpp:4)
+_QR[5:15] = 10
+_QR[15:25] = 20
+_QR[25:] = 30
+
+
+def fill_job(jobs, b, j, read, *, fw, ebwt_fw, offs, qlen=None,
+             report_exacts=True, report_partials=0, half_and_half=False,
+             max_bts=INF32, consider_quals=False, qual_thresh=INF32,
+             reset_rng=True, ham0=0, premuts=(), collect_partials=False,
+             maq=True, fc=10, qd_override=None):
+    """Host-side analog of set_query + set_offs (+ set_qlen/set_muts):
+    precompute the by-depth query/qual/penalty rows and the N gates."""
+    if ebwt_fw:
+        qry = read.codes_fw if fw else read.codes_rc
+        qualv = read.qual if fw else read.qual[::-1]
+    else:
+        qry = (read.codes_fw if fw else read.codes_rc)[::-1]
+        qualv = read.qual[::-1] if fw else read.qual
+    qry = np.asarray(qry, dtype=np.int32)
+    if qd_override is not None:
+        qry = qd_override
+    q = np.frombuffer(bytes(qualv), dtype=np.uint8).astype(np.int32) - 33
+    plen = len(qry)
+    qlen = min(plen, qlen) if qlen is not None else plen
+    d5, d3, unrev, rev1, rev2, rev3 = offs
+    qd = qry[qlen - 1::-1]
+    quald = q[qlen - 1::-1]
+    jobs["qd"][b, j, :qlen] = qd
+    jobs["quald"][b, j, :qlen] = quald
+    jobs["pend"][b, j, :qlen] = _QR[np.clip(quald, 0, 255)] if maq \
+        else quald
+    # N tally (:163-184)
+    ns_gate = 0
+    ns_seed = 0
+    for i in range(min(rev3, qlen)):
+        if qd[i] == 4:
+            ns_seed += 1
+            if (ns_seed == 1 and i < unrev) or \
+               (ns_seed == 2 and i < rev1) or \
+               (ns_seed == 3 and i < rev2) or ns_seed > 3:
+                ns_gate = 1
+                break
+    ns_ftab = int((qd[:min(fc, qlen)] == 4).sum())
+    f = dict(valid=1, qlen=qlen, ebwt_fw=int(ebwt_fw), fw=int(fw),
+             d5=d5, d3=d3, unrev=unrev, rev1=rev1, rev2=rev2, rev3=rev3,
+             ham0=ham0, report_exacts=int(report_exacts),
+             report_partials=report_partials,
+             half_and_half=int(half_and_half), max_bts=max_bts,
+             consider_quals=int(consider_quals), qual_thresh=qual_thresh,
+             reset_rng=int(reset_rng), ns_gate=ns_gate, ns_ftab=ns_ftab,
+             npremut=len(premuts),
+             collect_partials=int(collect_partials))
+    for k, (pos, refc) in enumerate(premuts):
+        f[f"premut_pos{k}"] = pos
+        f[f"premut_refc{k}"] = refc
+    for k, v in f.items():
+        jobs[k][b, j] = v
+
+
+def build_v_jobs(reads, v: int, nofw: bool, norc: bool, L: int, fc: int):
+    """Job sequences for -v 1/2/3: mismatchSearchWorkerFull +
+    search_1mm_phase1/2.c and twoOrThreeMismatchSearchWorkerFull +
+    search_23mm_phase1/2/3.c (ebwt_search.cpp:1509-1744,2055-2341)."""
+    B = len(reads)
+    J = 7
+    jobs = empty_jobs(B, J, L)
+    for b, read in enumerate(reads):
+        s = len(read.seq)
+        s3 = s >> 1
+        s5 = s3 + (s & 1)
+        j = 0
+        if v == 1:
+            seq = []
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=True,
+                                offs=(0, 0, s, s, s, s)))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=True,
+                                offs=(0, 0, s, s, s, s)))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=True,
+                                offs=(0, 0, s5, s, s, s),
+                                report_exacts=False))
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=True,
+                                offs=(0, 0, s5, s, s, s),
+                                report_exacts=False))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=False,
+                                offs=(0, 0, s3, s, s, s),
+                                report_exacts=False))
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=False,
+                                offs=(0, 0, s3, s, s, s),
+                                report_exacts=False))
+        else:
+            two = v == 2
+            m2 = s if two else s5
+            m3 = s if two else s3
+            seq = []
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=True,
+                                offs=(0, 0, s, s, s, s)))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=True,
+                                offs=(0, 0, s5, s5, m2, s)))
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=False,
+                                offs=(0, 0, s5, s5, m2, s),
+                                report_exacts=False))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=False,
+                                offs=(0, 0, s3, s3, m3, s),
+                                report_exacts=False))
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=True,
+                                offs=(0, 0, s3, s3, m3, s),
+                                report_exacts=False))
+            if not nofw:
+                seq.append(dict(fw=True, ebwt_fw=True, half_and_half=True,
+                                offs=(s3, s, 0, s3 if two else 0,
+                                      s if two else s3, s)))
+            if not norc:
+                seq.append(dict(fw=False, ebwt_fw=True,
+                                half_and_half=True,
+                                offs=(s5, s, 0, s5 if two else 0,
+                                      s if two else s5, s)))
+        for spec in seq:
+            fill_job(jobs, b, j, read, fc=fc, **spec)
+            j += 1
+    return jobs, J
+
+
+def _bucket(n: int, buckets=(256, 1024, 4096, 16384)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
+def _len_bucket(n: int, buckets=(40, 64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"read length {n} exceeds 1024 (hit.h:66)")
+
+
+class DeviceDFSAligner:
+    """-v 1/2/3 aligner running the lockstep DFS on device, with
+    per-read host-oracle fallback on any resource overflow (the fresh
+    per-read RNG makes the re-run bit-identical)."""
+
+    def __init__(self, idx_fw: EbwtIndex, idx_bw: EbwtIndex, policy,
+                 v: int = 1, nofw: bool = False, norc: bool = False,
+                 global_seed: int = 0, max_steps: int = 20000):
+        self.idx_fw, self.idx_bw = idx_fw, idx_bw
+        self.cat = build_fmcat(idx_fw, idx_bw)
+        self.policy = policy
+        self.v = v
+        self.nofw, self.norc = nofw, norc
+        self.global_seed = global_seed
+        self.max_steps = max_steps
+        self.nfrag = int(idx_fw.nfrag)
+        self._oracle = None
+        self.fallbacks = 0
+
+    def _oracle_aligner(self):
+        if self._oracle is None:
+            from .drivers import OracleAligner
+            from .golden import GoldenFM
+            self._oracle = OracleAligner(
+                GoldenFM(self.idx_fw), GoldenFM(self.idx_bw), self.policy,
+                v=self.v, nofw=self.nofw, norc=self.norc,
+                global_seed=self.global_seed)
+        return self._oracle
+
+    def build_jobs(self, reads, L, fc):
+        return build_v_jobs(reads, self.v, self.nofw, self.norc, L, fc)
+
+    def align_batch(self, reads) -> list:
+        if not reads:
+            return []
+        B = len(reads)
+        Bp = _bucket(B)
+        L = _len_bucket(max(len(r.seq) for r in reads))
+        jobs, J = self.build_jobs(reads, L, self.cat.ftab_chars)
+        if Bp > B:   # pad with invalid lanes (valid=0 -> instant DONE)
+            for k, v in jobs.items():
+                pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
+                jobs[k] = np.concatenate([v, pad], axis=0)
+        seeds = np.zeros(Bp, dtype=np.uint32)
+        for b, r in enumerate(reads):
+            seeds[b] = r.seed(self.global_seed)
+        jobs_dev = {k: jnp.asarray(v) for k, v in jobs.items()}
+        n_k = self.policy.n if self.policy.n < INF32 else INF32
+        m_max = self.policy.max if self.policy.max < INF32 else INF32
+        out, iters = run_machine(
+            self.cat, jobs_dev, jnp.asarray(seeds),
+            jnp.zeros(Bp, jnp.int32), J=J, L=L, nfrag=self.nfrag,
+            n_k=n_k, m_max=m_max, max_steps=self.max_steps)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        return self.assemble(reads, out, seeds)
+
+    def assemble(self, reads, out, seeds) -> list:
+        from .types import Hit
+        results = []
+        for b, read in enumerate(reads):
+            if out["overflow"][b]:
+                self.fallbacks += 1
+                results.append(self._oracle_aligner().align_read(read))
+                continue
+            buffered = []
+            for t in range(int(out["nhits"][b])):
+                rec = out["hits"][b, t]
+                fw = bool(rec[2] & 1)
+                ebwt_fw = bool((rec[2] >> 1) & 1)
+                qlen = int(rec[7])
+                mms = []
+                for k in range(int(rec[6])):
+                    pos = int(rec[8 + k])
+                    refc = int(rec[8 + MM_SLOTS + k])
+                    off = qlen - pos - 1 if (ebwt_fw != fw) else pos
+                    mms.append((off, ord("acgt"[refc])))
+                buffered.append(Hit(
+                    read=read, fw=fw, tidx=int(rec[0]), toff=int(rec[1]),
+                    oms=int(rec[3]), stratum=int(rec[4]),
+                    cost=int(rec[5]), mms=sorted(mms)))
+            results.append(self.policy.finish(
+                buffered, int(out["count"][b]), int(seeds[b])))
+        return results

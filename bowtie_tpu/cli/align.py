@@ -134,6 +134,14 @@ def adjust_ebwt_base(base: str) -> str:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # arg validation (parseOptions, ebwt_search.cpp:614+)
+    if args.mismatches >= 0 and not 0 <= args.mismatches <= 3:
+        print("-v arg must be at least 0 and at most 3", file=sys.stderr)
+        return 1
+    if not 0 <= args.seedmms <= 3:
+        print("-n arg must be at least 0 and at most 3", file=sys.stderr)
+        return 1
+
     fmt = "fastq"
     if args.fasta:
         fmt = "fasta"
@@ -204,13 +212,21 @@ def main(argv=None) -> int:
         aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
                                norc=args.norc, global_seed=args.seed)
     elif args.mismatches in (1, 2, 3):
-        from ..align.drivers import OracleAligner
-        from ..align.golden import GoldenFM
         idx_bw = read_ebwt(args.ebwt_base + ".rev")
-        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
-        aligner = OracleAligner(g_fw, g_bw, policy, v=args.mismatches,
-                                nofw=args.nofw, norc=args.norc,
-                                global_seed=args.seed)
+        if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            from ..align.drivers import OracleAligner
+            from ..align.golden import GoldenFM
+            g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+            aligner = OracleAligner(g_fw, g_bw, policy,
+                                    v=args.mismatches,
+                                    nofw=args.nofw, norc=args.norc,
+                                    global_seed=args.seed)
+        else:
+            from ..align.dfs_device import DeviceDFSAligner
+            aligner = DeviceDFSAligner(idx, idx_bw, policy,
+                                       v=args.mismatches,
+                                       nofw=args.nofw, norc=args.norc,
+                                       global_seed=args.seed)
     elif args.best or args.strata or args.sample_mhits is not None:
         # seeded -n with the stateful best-first engine
         from ..align.best_factories import make_seeded_best_aligner
