@@ -255,7 +255,7 @@ def _init_state(B: int, L: int, seeds: np.ndarray, count0: np.ndarray):
         nhits=z(B),
         hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
         npart=z(B),
-        part_n=z(B, P_MAX),
+        part_n=z(B, P_MAX), part_job=z(B, P_MAX),
         part_pos=z(B, P_MAX, 3), part_refc=z(B, P_MAX, 3),
     )
 
@@ -593,6 +593,7 @@ def _store_partial(st, mask, n):
     pm = (jax.lax.broadcasted_iota(jnp.int32, (B, P_MAX), 1)
           == st["npart"][:, None]) & ok[:, None]
     st["part_n"] = jnp.where(pm, n[:, None], st["part_n"])
+    st["part_job"] = jnp.where(pm, st["job"][:, None], st["part_job"])
     st["part_pos"] = jnp.where(pm[:, :, None],
                                st["mms"][:, None, :3], st["part_pos"])
     st["part_refc"] = jnp.where(pm[:, :, None],
@@ -981,7 +982,8 @@ def _machine_step(st, cat: FMCat, jobs, J: int, L: int, nfrag: int,
 
 
 OUT_KEYS = ("result", "overflow", "count", "nhits", "hits", "npart",
-            "part_n", "part_pos", "part_refc", "rng", "mode")
+            "part_n", "part_job", "part_pos", "part_refc", "rng",
+            "mode")
 
 
 @partial(jax.jit, static_argnames=("J", "L", "nfrag", "n_k", "m_max",

@@ -1,0 +1,289 @@
+"""Seeded -n mode (bowtie's default, Maq-like) on the device DFS engine.
+
+Mirrors seededQualCutoffSearchFull + search_seeded_phase1-4.c
+(ebwt_search.cpp:2735-2952) as TWO device launches per batch:
+
+  launch A  phase 1 (exact fw + seed-cases on rc), phase 2 (seed cases
+            on the mirror index + rc partial collection), and the
+            phase-3 tail (fw partial collection) — all statically known
+            jobs per read.
+  launch B  phase 3/4 partial extensions (one job per collected
+            partial, with the seed mutations applied to the query and
+            the prior qual cost as entry ham) + the half-and-half
+            searches.  RNG/hit-count state carries from A.
+
+The host sync between launches is the device analog of the
+PartialAlignmentManager handoff (ebwt_search_util.h:168); splitting at
+that point keeps every job's query row statically precomputable.
+
+Per-read host-oracle fallback on overflow keeps bit-identical output.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.ebwt_io import EbwtIndex
+from .dfs_device import (DeviceDFSAligner, INF32, P_MAX, build_fmcat,
+                         empty_jobs, fill_job, run_machine, _bucket,
+                         _len_bucket)
+from .drivers import to_muts
+
+
+class _Pal:
+    __slots__ = ("muts",)
+
+    def __init__(self, muts):
+        self.muts = muts
+
+
+def _seed_offs(qs, s, n, half):
+    """The qs<s vs qs==s offs pattern used by phases 1/2
+    (drivers: ebwt_search.cpp:2572-2604 analog)."""
+    v = (qs >> 1) + (qs & 1) if half == 5 else (qs >> 1)
+    if qs >= s:
+        v = (s >> 1) + (s & 1) if half == 5 else (s >> 1)
+        qs = s
+    return (0, 0,
+            v if n > 0 else qs, v if n > 1 else qs,
+            v if n > 2 else qs, v if n > 3 else qs)
+
+
+def _hh_offs(qs, s, n):
+    """Half-and-half setOffs (search_seeded_phase3.c:29-92 analog)."""
+    q = min(qs, s)
+    q5 = (q >> 1) + (q & 1)
+    return (q5, q, 0, q5 if n <= 2 else 0, q if n < 3 else q5, q)
+
+
+class DeviceNAligner(DeviceDFSAligner):
+    """-n mode aligner: two device launches + host partial handoff."""
+
+    def __init__(self, idx_fw: EbwtIndex, idx_bw: EbwtIndex, policy,
+                 seed_mms: int = 2, seed_len: int = 28,
+                 qual_thresh: int = 70, maxbts: int = 125,
+                 maq_round: bool = True, nofw: bool = False,
+                 norc: bool = False, global_seed: int = 0,
+                 max_steps: int = 60000):
+        super().__init__(idx_fw, idx_bw, policy, v=0, nofw=nofw,
+                         norc=norc, global_seed=global_seed,
+                         max_steps=max_steps)
+        self.n_mms = seed_mms
+        self.seed_len = seed_len
+        self.qt = qual_thresh
+        self.maxbts = maxbts
+        self.maq = maq_round
+
+    def _oracle_aligner(self):
+        if self._oracle is None:
+            from .drivers import OracleAligner
+            from .golden import GoldenFM
+            self._oracle = OracleAligner(
+                GoldenFM(self.idx_fw), GoldenFM(self.idx_bw), self.policy,
+                mode="n", nofw=self.nofw, norc=self.norc,
+                global_seed=self.global_seed, seed_mms=self.n_mms,
+                seed_len=self.seed_len, qual_thresh=self.qt,
+                maxbts=self.maxbts, maq_round=self.maq)
+        return self._oracle
+
+    # -- launch A job table (phases 1, 2 and the phase-3 tail) ----------
+    def _jobs_a(self, reads, L, fc):
+        n, s, qt = self.n_mms, self.seed_len, self.qt
+        B = len(reads)
+        J = 5
+        jobs = empty_jobs(B, J, L)
+        self._gated = np.zeros(B, dtype=bool)
+        kw = dict(consider_quals=True, qual_thresh=qt, maq=self.maq,
+                  max_bts=self.maxbts, fc=fc)
+        for b, read in enumerate(reads):
+            plen = len(read.seq)
+            # phase-1 gates (ebwt_search.cpp seededQualSearchWorkerFull)
+            slen = min(plen, s)
+            if plen < 4 or \
+                    int((np.asarray(read.codes_fw[:slen]) == 4).sum()) > n:
+                self._gated[b] = True
+                continue
+            qs = min(plen, s)
+            j = 0
+            if not self.nofw:   # btf1: exact fw, quals off
+                fill_job(jobs, b, j, read, fw=True, ebwt_fw=True,
+                         offs=(0, plen, plen, plen, plen, plen),
+                         consider_quals=False, qual_thresh=qt,
+                         maq=self.maq, max_bts=self.maxbts, fc=fc)
+                j += 1
+            if not self.norc:   # bt1: rc seed cases on fw index
+                fill_job(jobs, b, j, read, fw=False, ebwt_fw=True,
+                         offs=_seed_offs(qs, s, n, 5), **kw)
+                j += 1
+            if not self.nofw:   # btf2: fw seed cases on mirror index
+                fill_job(jobs, b, j, read, fw=True, ebwt_fw=False,
+                         offs=_seed_offs(qs, s, n, 5),
+                         report_exacts=False, **kw)
+                j += 1
+            if n == 0:
+                continue
+            if not self.norc:   # btr2: rc partial collection (mirror)
+                fill_job(jobs, b, j, read, fw=False, ebwt_fw=False,
+                         offs=_seed_offs(qs, s, n, 3), qlen=s,
+                         report_exacts=False, report_partials=n,
+                         collect_partials=True, **kw)
+                self._j_pam_rc[b] = j
+                j += 1
+            if not self.nofw:   # btf3: fw partial collection (fw index)
+                fill_job(jobs, b, j, read, fw=True, ebwt_fw=True,
+                         offs=_seed_offs(qs, s, n, 3), qlen=s,
+                         report_partials=n, collect_partials=True, **kw)
+                self._j_pam_fw[b] = j
+                j += 1
+        return jobs, J
+
+    # -- launch B job table (phase 3/4 extensions + half-and-half) ------
+    def _jobs_b(self, reads, out_a, L, fc):
+        n, s, qt = self.n_mms, self.seed_len, self.qt
+        B = len(reads)
+        kw = dict(consider_quals=True, qual_thresh=qt, maq=self.maq,
+                  max_bts=self.maxbts, fc=fc)
+        specs = [[] for _ in range(B)]
+        for b, read in enumerate(reads):
+            if out_a["result"][b] != 0 or out_a["overflow"][b] or \
+                    self._gated[b] or n == 0:
+                continue
+            plen = len(read.seq)
+            qs = min(plen, s)
+            ext = (0, 0, qs, qs, qs, qs) if qs < s else (0, 0, s, s, s, s)
+            pam_rc, pam_fw = [], []
+            for t in range(int(out_a["npart"][b])):
+                pal = _Pal([(int(out_a["part_pos"][b, t, k]),
+                             int(out_a["part_refc"][b, t, k]))
+                            for k in range(int(out_a["part_n"][b, t]))])
+                if int(out_a["part_job"][b, t]) == self._j_pam_rc[b]:
+                    pam_rc.append(pal)
+                else:
+                    pam_fw.append(pal)
+            sp = specs[b]
+            if not self.norc:
+                # phase 3: extend rc partials on the fw index (btr3)
+                for i, pal in enumerate(pam_rc):
+                    muts, oldq = to_muts(pal, read.codes_rc,
+                                         read.qual[::-1], self.maq)
+                    qd = np.asarray(read.codes_rc, np.int32).copy()
+                    for pos, ch in muts:
+                        qd[pos] = ch
+                    sp.append(dict(fw=False, ebwt_fw=True, offs=ext,
+                                   ham0=oldq, premuts=muts,
+                                   qd_override=qd, reset_rng=(i == 0),
+                                   **kw))
+                if n >= 2:     # btr23 half-and-half
+                    sp.append(dict(fw=False, ebwt_fw=True,
+                                   offs=_hh_offs(qs, s, n),
+                                   half_and_half=True, **kw))
+            if self.nofw:
+                continue
+            # phase 4: extend fw partials on the mirror index (btf4)
+            for i, pal in enumerate(pam_fw):
+                muts, oldq = to_muts(pal, read.codes_fw[::-1],
+                                     read.qual[::-1], self.maq)
+                qd = np.asarray(read.codes_fw, np.int32)[::-1].copy()
+                for pos, ch in muts:
+                    qd[pos] = ch
+                sp.append(dict(fw=True, ebwt_fw=False, offs=ext,
+                               ham0=oldq, premuts=muts, qd_override=qd,
+                               reset_rng=(i == 0), **kw))
+            if n >= 2:         # btf24 half-and-half
+                sp.append(dict(fw=True, ebwt_fw=False,
+                               offs=_hh_offs(qs, s, n),
+                               half_and_half=True, **kw))
+        nj = max((len(sp) for sp in specs), default=0)
+        if nj == 0:
+            return None, 0
+        J = _bucket(nj, (4, 8, 16, P_MAX + 4))
+        jobs = empty_jobs(B, J, L)
+        for b, read in enumerate(reads):
+            for j, spec in enumerate(specs[b]):
+                fill_job(jobs, b, j, read, **spec)
+        return jobs, J
+
+    def align_batch(self, reads) -> list:
+        import jax.numpy as jnp
+        if not reads:
+            return []
+        B = len(reads)
+        Bp = _bucket(B)
+        L = _len_bucket(max(max(len(r.seq) for r in reads),
+                            self.seed_len))
+        fc = self.cat.ftab_chars
+        self._j_pam_rc = np.full(B, -1, np.int32)
+        self._j_pam_fw = np.full(B, -2, np.int32)
+        n_k = self.policy.n if self.policy.n < INF32 else INF32
+        m_max = self.policy.max if self.policy.max < INF32 else INF32
+        seeds = np.zeros(Bp, dtype=np.uint32)
+        for b, r in enumerate(reads):
+            seeds[b] = r.seed(self.global_seed)
+
+        def pad(jobs):
+            for k, v in jobs.items():
+                if v.shape[0] < Bp:
+                    z = np.zeros((Bp - v.shape[0],) + v.shape[1:],
+                                 dtype=v.dtype)
+                    jobs[k] = np.concatenate([v, z], axis=0)
+            return {k: jnp.asarray(v) for k, v in jobs.items()}
+
+        jobs_a, J_A = self._jobs_a(reads, L, fc)
+        out_a, _ = run_machine(
+            self.cat, pad(jobs_a), jnp.asarray(seeds),
+            jnp.zeros(Bp, jnp.int32), J=J_A, L=L, nfrag=self.nfrag,
+            n_k=n_k, m_max=m_max, max_steps=self.max_steps)
+        out_a = {k: np.asarray(v) for k, v in out_a.items()}
+
+        jobs_b, J_B = self._jobs_b(reads, out_a, L, fc)
+        if jobs_b is not None:
+            out_b, _ = run_machine(
+                self.cat, pad(jobs_b), jnp.asarray(seeds),
+                jnp.asarray(out_a["count"]), J=J_B, L=L,
+                nfrag=self.nfrag, n_k=n_k, m_max=m_max,
+                max_steps=self.max_steps)
+            out_b = {k: np.asarray(v) for k, v in out_b.items()}
+        else:
+            out_b = None
+        return self._assemble_n(reads, out_a, out_b, seeds)
+
+    def _assemble_n(self, reads, out_a, out_b, seeds) -> list:
+        results = []
+        for b, read in enumerate(reads):
+            if self._gated[b]:
+                results.append(self.policy.finish([], 0, int(seeds[b])))
+                continue
+            if bool(out_a["overflow"][b]) or \
+                    (out_b is not None and bool(out_b["overflow"][b])):
+                self.fallbacks += 1
+                results.append(self._oracle_aligner().align_read(read))
+                continue
+            # merged sink stream: A-hits then B-hits, final count
+            hits = self._raw_hits(read, out_a, b)
+            count = int(out_a["count"][b])
+            if out_b is not None and out_a["result"][b] == 0:
+                hits += self._raw_hits(read, out_b, b)
+                count = int(out_b["count"][b])
+            results.append(self.policy.finish(hits, count,
+                                              int(seeds[b])))
+        return results
+
+    def _raw_hits(self, read, out, b):
+        from .types import Hit
+        from .dfs_device import MM_SLOTS
+        hits = []
+        for t in range(int(out["nhits"][b])):
+            rec = out["hits"][b, t]
+            fw = bool(rec[2] & 1)
+            ebwt_fw = bool((rec[2] >> 1) & 1)
+            qlen = int(rec[7])
+            mms = []
+            for k in range(int(rec[6])):
+                pos = int(rec[8 + k])
+                refc = int(rec[8 + MM_SLOTS + k])
+                off = qlen - pos - 1 if (ebwt_fw != fw) else pos
+                mms.append((off, ord("acgt"[refc])))
+            hits.append(Hit(read=read, fw=fw, tidx=int(rec[0]),
+                            toff=int(rec[1]), oms=int(rec[3]),
+                            stratum=int(rec[4]), cost=int(rec[5]),
+                            mms=sorted(mms)))
+        return hits

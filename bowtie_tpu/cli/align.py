@@ -241,19 +241,25 @@ def main(argv=None) -> int:
             maxbts=args.maxbts if args.maxbts is not None else 800)
     else:
         # default seeded Maq-like -n mode
-        from ..align.drivers import OracleAligner
-        from ..align.golden import GoldenFM
-        if not 0 <= args.seedmms <= 3:
-            raise SystemExit("-n must be 0..3")
         idx_bw = read_ebwt(args.ebwt_base + ".rev")
-        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
-        aligner = OracleAligner(
-            g_fw, g_bw, policy, mode="n",
-            nofw=args.nofw, norc=args.norc, global_seed=args.seed,
-            seed_mms=args.seedmms, seed_len=args.seedlen,
-            qual_thresh=args.maqerr,
-            maxbts=args.maxbts if args.maxbts is not None else 125,
-            maq_round=not args.nomaqround)
+        mb = args.maxbts if args.maxbts is not None else 125
+        if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            from ..align.drivers import OracleAligner
+            from ..align.golden import GoldenFM
+            g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+            aligner = OracleAligner(
+                g_fw, g_bw, policy, mode="n",
+                nofw=args.nofw, norc=args.norc, global_seed=args.seed,
+                seed_mms=args.seedmms, seed_len=args.seedlen,
+                qual_thresh=args.maqerr, maxbts=mb,
+                maq_round=not args.nomaqround)
+        else:
+            from ..align.n_device import DeviceNAligner
+            aligner = DeviceNAligner(
+                idx, idx_bw, policy, seed_mms=args.seedmms,
+                seed_len=args.seedlen, qual_thresh=args.maqerr,
+                maxbts=mb, maq_round=not args.nomaqround,
+                nofw=args.nofw, norc=args.norc, global_seed=args.seed)
 
     qual_kw = dict(trim5=args.trim5, trim3=args.trim3,
                    solexa=args.solexa_quals,
