@@ -51,7 +51,7 @@ from ..index.arrays import FMIndexArrays, from_ebwt
 from ..index.ebwt_io import EbwtIndex
 
 # state-machine modes
-M_DONE, M_JOB, M_ADV, M_BR, M_POP, M_REP = 0, 1, 2, 3, 4, 5
+M_DONE, M_JOB, M_ADV, M_BR, M_POP, M_REP, M_RETF = 0, 1, 2, 3, 4, 5, 6
 
 INF32 = 0x7FFFFFFF          # device stand-in for the oracle's 0xFFFFFFFF
 
@@ -210,11 +210,28 @@ def empty_jobs(B: int, J: int, L: int):
 
 # ---------------------------------------------------------------------------
 # The state machine
+#
+# Layout strategy (the TPU-critical design decision): the CURRENT DFS
+# frame lives in per-lane registers — [B] scalars plus [B, L(,8)]
+# pairs/elims rows — which every micro-step can update with cheap
+# vectorized masked writes.  Parent frames live in stack arrays
+# ([B*S, ...]) touched ONLY at push/pop via row scatter/gather.  A naive
+# [B, S, L, 8] one-hot update would sweep ~10 KB/lane/step; this layout
+# sweeps ~1 KB, which is the difference between ~20k and ~500k
+# lane-steps/s/chip.
 # ---------------------------------------------------------------------------
 
-def _init_state(B: int, L: int, seeds: np.ndarray, count0: np.ndarray):
+# frame registers saved/restored across push/pop, in stack-slot order
+REGS = ("depth", "unrev", "rev1", "rev2", "rev3", "ham", "d", "top",
+        "bot", "alt", "elnum", "elsz", "eli", "eltop", "elbot",
+        "elham", "elcint", "elignore", "lowq", "btdm", "mustbt",
+        "invhh", "invex", "reppart", "dftab", "bi", "bj", "bspread")
+NREG = len(REGS)
+
+
+def _init_state(B: int, L: int, seeds, count0):
     z = lambda *s: jnp.zeros(s, jnp.int32)
-    return dict(
+    st = dict(
         mode=jnp.full((B,), M_JOB, jnp.int32),
         job=z(B),                 # current job idx
         result=z(B),              # 0 running, 1 done-ok, 2 done-maxed
@@ -232,21 +249,15 @@ def _init_state(B: int, L: int, seeds: np.ndarray, count0: np.ndarray):
         collect=z(B),
         occ_base=z(B), sa_base=z(B), ftab_base=z(B), zoff=z(B),
         num_bts=z(B), bailed=jnp.zeros((B,), bool),
-        # frame stack
-        f_depth=z(B, S_MAX), f_unrev=z(B, S_MAX), f_rev1=z(B, S_MAX),
-        f_rev2=z(B, S_MAX), f_rev3=z(B, S_MAX), f_ham=z(B, S_MAX),
-        f_d=z(B, S_MAX), f_top=z(B, S_MAX), f_bot=z(B, S_MAX),
-        f_alt=z(B, S_MAX), f_elnum=z(B, S_MAX), f_elsz=z(B, S_MAX),
-        f_eli=z(B, S_MAX), f_eltop=z(B, S_MAX), f_elbot=z(B, S_MAX),
-        f_elham=z(B, S_MAX), f_elcint=z(B, S_MAX),
-        f_elignore=z(B, S_MAX), f_lowq=z(B, S_MAX),
-        f_btdm=z(B, S_MAX), f_mustbt=z(B, S_MAX),
-        f_invhh=z(B, S_MAX), f_invex=z(B, S_MAX), f_reppart=z(B, S_MAX),
-        f_dftab=z(B, S_MAX),
-        f_bi=z(B, S_MAX), f_bj=z(B, S_MAX), f_bspread=z(B, S_MAX),
+        # current-frame data rows
+        pairs=z(B, L, 8),
+        elims=z(B, L),
+        # frame stack: one combined row per (lane, level) — regs,
+        # pairs rows, elims row.  A single array means ONE scatter per
+        # push and ONE gather per pop (TPU scatters have ~1 ms fixed
+        # cost each at this batch size, so fewer beats smaller).
+        stk=z(B * S_MAX, NREG + L * 8 + L),
         sd=z(B),
-        pairs=z(B * S_MAX * L, 8),
-        elims=z(B * S_MAX, L),
         mms=z(B, S_MAX), refcs=z(B, S_MAX), mmd=z(B, S_MAX),
         # report registers
         r_top=z(B), r_bot=z(B), r_sd=z(B), r_ham=z(B), r_stratum=z(B),
@@ -254,65 +265,103 @@ def _init_state(B: int, L: int, seeds: np.ndarray, count0: np.ndarray):
         # outputs
         nhits=z(B),
         hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
-        npart=z(B),
-        part_n=z(B, P_MAX), part_job=z(B, P_MAX),
+        npart=z(B), part_n=z(B, P_MAX), part_job=z(B, P_MAX),
         part_pos=z(B, P_MAX, 3), part_refc=z(B, P_MAX, 3),
     )
+    for r in REGS:
+        st["c_" + r] = z(B)
+    return st
+
+
+def _w(st, name, mask, val):
+    """Masked register write ([B] arrays — one cheap where)."""
+    st[name] = jnp.where(mask, val, st[name])
+    return st
+
+
+def _fw_set(st, name, mask, val):
+    """Masked write into a [B, S] per-stack-depth array at slot sd
+    (used only for mms/refcs/mmd)."""
+    B, S = st[name].shape
+    m = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+         == st["sd"][:, None]) & mask[:, None]
+    st[name] = jnp.where(m, val[:, None], st[name])
+    return st
+
+
+def _push_frame(st, mask):
+    """Save the current frame (registers + pairs/elims rows) to the
+    stack at slot sd — ONE row scatter."""
+    B = st["sd"].shape[0]
+    L = st["elims"].shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
+    tgt = jnp.where(mask, row, st["stk"].shape[0])
+    regs = jnp.stack([st["c_" + r] for r in REGS], axis=-1)   # [B, NREG]
+    rec = jnp.concatenate([regs, st["pairs"].reshape(B, -1),
+                           st["elims"]], axis=-1)
+    st["stk"] = st["stk"].at[tgt].set(rec, mode="drop",
+                                      unique_indices=True)
+    return st
+
+
+def _pop_frame(st, mask):
+    """Restore the parent frame from the stack at (already-decremented)
+    slot sd — ONE row gather."""
+    B = st["sd"].shape[0]
+    L = st["elims"].shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
+    src = jnp.where(mask, row, 0)
+    rec = st["stk"][src]                                      # [B, 388]
+    for k, r in enumerate(REGS):
+        st = _w(st, "c_" + r, mask, rec[:, k])
+    pr = rec[:, NREG:NREG + L * 8].reshape(B, L, 8)
+    st["pairs"] = jnp.where(mask[:, None, None], pr, st["pairs"])
+    er = rec[:, NREG + L * 8:]
+    st["elims"] = jnp.where(mask[:, None], er, st["elims"])
+    return st
 
 
 def _ret_false(st, mask):
-    """A frame returns False: pop to parent (-> POP) or end the job
-    (bailed cascades straight out, :423-427)."""
+    """A frame returns False: end the job (bailed cascades straight
+    out, :423-427) or mark the lane for a deferred pop.  The actual
+    stack restore happens once per machine step in _step_retf — having
+    a single pop site (and reading the stacks before BR's push writes
+    them) lets XLA keep the stack buffers in-place across while-loop
+    iterations instead of copying ~200 MB per step."""
     job_fail = mask & ((st["sd"] == 0) | st["bailed"])
     pop = mask & ~job_fail
     st["mode"] = jnp.where(job_fail, M_JOB, st["mode"])
     st["job"] = jnp.where(job_fail, st["job"] + 1, st["job"])
-    st["sd"] = jnp.where(pop, st["sd"] - 1, st["sd"])
-    st["mode"] = jnp.where(pop, M_POP, st["mode"])
+    st["mode"] = jnp.where(pop, M_RETF, st["mode"])
     return st
 
 
-def _fr(st, name):
-    """Read frame field at current sd."""
-    return _sel_col(st[name], st["sd"])
-
-
-def _fw_set(st, name, mask, val):
-    """Write frame field at current sd where mask."""
-    B, S = st[name].shape
-    m = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-         == st["sd"][:, None]) & mask[:, None]
-    st[name] = jnp.where(m, val[:, None] if val.ndim == 1 else val,
-                         st[name])
+def _step_retf(st):
+    """Deferred frame pop: restore the parent frame, then run its
+    post-child bookkeeping (POP)."""
+    m = st["mode"] == M_RETF
+    st["sd"] = jnp.where(m, st["sd"] - 1, st["sd"])
+    st = _pop_frame(st, m)
+    st["mode"] = jnp.where(m, M_POP, st["mode"])
     return st
 
 
-def _enter_frame(st, mask, depth, unrev, rev1, rev2, rev3, ham, top, bot,
-                 dftab):
-    """Initialize frame fields at the (already-set) sd (entry of _bt,
-    :187-213).  pairs/elims need no zeroing: every row read is written
-    first by ADV of the same frame."""
-    for name, val in [("f_depth", depth), ("f_unrev", unrev),
-                      ("f_rev1", rev1), ("f_rev2", rev2),
-                      ("f_rev3", rev3), ("f_ham", ham),
-                      ("f_d", depth), ("f_top", top), ("f_bot", bot),
-                      ("f_alt", jnp.zeros_like(depth)),
-                      ("f_elnum", jnp.zeros_like(depth)),
-                      ("f_elsz", jnp.zeros_like(depth)),
-                      ("f_eli", jnp.zeros_like(depth)),
-                      ("f_eltop", jnp.zeros_like(depth)),
-                      ("f_elbot", jnp.zeros_like(depth)),
-                      ("f_elham", ham),
-                      ("f_elcint", jnp.zeros_like(depth)),
-                      ("f_elignore", jnp.ones_like(depth)),
-                      ("f_lowq", jnp.full_like(depth, 0xFF)),
-                      ("f_btdm", jnp.zeros_like(depth)),
-                      ("f_mustbt", jnp.zeros_like(depth)),
-                      ("f_invhh", jnp.zeros_like(depth)),
-                      ("f_invex", jnp.zeros_like(depth)),
-                      ("f_reppart", jnp.zeros_like(depth)),
-                      ("f_dftab", dftab)]:
-        st = _fw_set(st, name, mask, val)
+def _init_regs(st, mask, depth, unrev, rev1, rev2, rev3, ham, top, bot,
+               dftab):
+    """Initialize the current-frame registers (entry of _bt, :187-213).
+    pairs/elims rows need no zeroing: every row read is written first by
+    ADV of the same frame."""
+    zer = jnp.zeros_like(depth)
+    vals = dict(depth=depth, unrev=unrev, rev1=rev1, rev2=rev2,
+                rev3=rev3, ham=ham, d=depth, top=top, bot=bot,
+                alt=zer, elnum=zer, elsz=zer, eli=zer, eltop=zer,
+                elbot=zer, elham=ham, elcint=zer,
+                elignore=jnp.ones_like(depth),
+                lowq=jnp.full_like(depth, 0xFF), btdm=zer, mustbt=zer,
+                invhh=zer, invex=zer, reppart=zer, dftab=dftab,
+                bi=zer, bj=zer, bspread=zer)
+    for r in REGS:
+        st = _w(st, "c_" + r, mask, vals[r])
     # half-and-half backtrack accounting at frame entry (:194-198)
     hh = st["hh"] > 0
     bail = mask & hh & (st["maxbts"] > 0) & \
@@ -321,7 +370,6 @@ def _enter_frame(st, mask, depth, unrev, rev1, rev2, rev3, ham, top, bot,
                               st["num_bts"])
     st["bailed"] = st["bailed"] | bail
     st["mode"] = jnp.where(mask & ~bail, M_ADV, st["mode"])
-    # bail: frame returns False immediately
     st = _ret_false(st, bail)
     return st
 
@@ -368,10 +416,30 @@ def _report_fail(st, mask):
     r0 = mask & (st["r_resume"] == 0)   # ADV cur==0: top=bot, branch loop
     r1 = mask & (st["r_resume"] == 1)   # branch child (i+1==qlen): POP
     r2 = mask & (st["r_resume"] == 2)   # frame/job-level return False
-    st = _fw_set(st, "f_top", r0, _fr(st, "f_bot"))
+    st = _w(st, "c_top", r0, st["c_bot"])
     st["mode"] = jnp.where(r0, M_BR, st["mode"])
     st["mode"] = jnp.where(r1, M_POP, st["mode"])
     st = _ret_false(st, r2)
+    return st
+
+
+def _store_partial(st, mask, n):
+    """_report_partial (:519-524): append (mms, refcs)[0:n] to the
+    lane's partial buffer."""
+    B = st["sd"].shape[0]
+    over = mask & ((st["npart"] >= P_MAX) | (n > 3))
+    st["overflow"] = st["overflow"] | over
+    st["mode"] = jnp.where(over, M_DONE, st["mode"])
+    ok = mask & ~over
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (B, P_MAX), 1)
+          == st["npart"][:, None]) & ok[:, None]
+    st["part_n"] = jnp.where(pm, n[:, None], st["part_n"])
+    st["part_job"] = jnp.where(pm, st["job"][:, None], st["part_job"])
+    st["part_pos"] = jnp.where(pm[:, :, None],
+                               st["mms"][:, None, :3], st["part_pos"])
+    st["part_refc"] = jnp.where(pm[:, :, None],
+                                st["refcs"][:, None, :3], st["part_refc"])
+    st["npart"] = jnp.where(ok, st["npart"] + 1, st["npart"])
     return st
 
 
@@ -415,8 +483,9 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     slot_i = jax.lax.broadcasted_iota(jnp.int32, (B, MM_SLOTS), 1)
     from_mm = slot_i < st["r_sd"][:, None]
     pm_i = jnp.clip(slot_i - st["r_sd"][:, None], 0, 2)
-    pm_pos = jnp.take_along_axis(st["premut_pos"], pm_i, axis=1)
-    pm_refc = jnp.take_along_axis(st["premut_refc"], pm_i, axis=1)
+    oh = pm_i[:, :, None] == jnp.arange(3, dtype=jnp.int32)[None, None]
+    pm_pos = jnp.sum(jnp.where(oh, st["premut_pos"][:, None, :], 0), -1)
+    pm_refc = jnp.sum(jnp.where(oh, st["premut_refc"][:, None, :], 0), -1)
     mm_v = jnp.where(from_mm, st["mms"][:, :MM_SLOTS], pm_pos)
     rc_v = jnp.where(from_mm, st["refcs"][:, :MM_SLOTS], pm_refc)
     cost = st["r_ham"] | (st["r_stratum"] << 14)
@@ -432,7 +501,6 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     st["overflow"] = st["overflow"] | over
     st["mode"] = jnp.where(over, M_DONE, st["mode"])
     do_store = stored & ~over
-    F = rec.shape[-1]
     hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
           == st["nhits"][:, None]) & do_store[:, None]
     st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
@@ -472,7 +540,7 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     # load job registers
     flat = jidx + jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * J
     for reg, row in [("qd", "qd"), ("quald", "quald"), ("pend", "pend")]:
-        rows = jobs[row].reshape(B * J, L)[flat]
+        rows = jobs[row].reshape(B * J, L)[flat].astype(jnp.int32)
         st[reg] = jnp.where(m[:, None], rows, st[reg])
     for reg, f in [("qlen", "qlen"), ("ebwt_fw", "ebwt_fw"),
                    ("fwflag", "fw"), ("jd5", "d5"), ("jd3", "d3"),
@@ -544,12 +612,12 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     st["job"] = jnp.where(cfail, st["job"] + 1, st["job"])
     # no-ftab entry (:150-151)
     ent0 = m & ~use_ftab
-    st = _enter_frame(st, entf, jnp.full_like(qlen, fc), unrev,
-                      offs6[3], offs6[4], offs6[5], ham0, ft, fb, z)
+    st = _init_regs(st, entf, jnp.full_like(qlen, fc), unrev,
+                    offs6[3], offs6[4], offs6[5], ham0, ft, fb, z)
     e0 = ent0 | ent0p
     dftab = jnp.where(ent0, (ns_ftab > 0).astype(jnp.int32), 0)
-    st = _enter_frame(st, e0, z, unrev, offs6[3], offs6[4], offs6[5],
-                      ham0, z, z, dftab)
+    st = _init_regs(st, e0, z, unrev, offs6[3], offs6[4], offs6[5],
+                    ham0, z, z, dftab)
     return st
 
 
@@ -560,52 +628,32 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
 def _branch_exit(st, mask):
     """Fall-through after the branch loop (:473-483): fail checks, then
     either continue ADV at the next position or handle pattern-consumed."""
-    mustbt = _fr(st, "f_mustbt") > 0
-    invhh = _fr(st, "f_invhh") > 0
-    invex = _fr(st, "f_invex") > 0
-    top = _fr(st, "f_top")
-    bot = _fr(st, "f_bot")
-    alt = _fr(st, "f_alt")
+    mustbt = st["c_mustbt"] > 0
+    invhh = st["c_invhh"] > 0
+    invex = st["c_invex"] > 0
+    top = st["c_top"]
+    bot = st["c_bot"]
+    alt = st["c_alt"]
     fail = mask & (mustbt | invhh | invex | ((top == bot) & (alt == 0)))
     st = _ret_false(st, fail)
     cont = mask & ~fail
-    d = _fr(st, "f_d")
+    d = st["c_d"]
     consumed = cont & (d + 1 > st["qlen"] - 1)
     adv = cont & ~consumed
-    st = _fw_set(st, "f_d", adv, d + 1)
+    st = _w(st, "c_d", adv, d + 1)
     st["mode"] = jnp.where(adv, M_ADV, st["mode"])
     # pattern consumed (:480-483)
     rep = consumed & (st["sd"] >= st["rep_partials"])
-    st = _enter_report(st, rep, st["sd"], top, bot, _fr(st, "f_ham"),
+    st = _enter_report(st, rep, st["sd"], top, bot, st["c_ham"],
                        jnp.full_like(top, 2))
     st = _ret_false(st, consumed & ~rep)
-    return st
-
-
-def _store_partial(st, mask, n):
-    """_report_partial (:519-524): append (mms, refcs)[0:n] to the
-    lane's partial buffer."""
-    B = st["sd"].shape[0]
-    over = mask & ((st["npart"] >= P_MAX) | (n > 3))
-    st["overflow"] = st["overflow"] | over
-    st["mode"] = jnp.where(over, M_DONE, st["mode"])
-    ok = mask & ~over
-    pm = (jax.lax.broadcasted_iota(jnp.int32, (B, P_MAX), 1)
-          == st["npart"][:, None]) & ok[:, None]
-    st["part_n"] = jnp.where(pm, n[:, None], st["part_n"])
-    st["part_job"] = jnp.where(pm, st["job"][:, None], st["part_job"])
-    st["part_pos"] = jnp.where(pm[:, :, None],
-                               st["mms"][:, None, :3], st["part_pos"])
-    st["part_refc"] = jnp.where(pm[:, :, None],
-                                st["refcs"][:, None, :3], st["part_refc"])
-    st["npart"] = jnp.where(ok, st["npart"] + 1, st["npart"])
     return st
 
 
 def _step_adv(st, cat: FMCat, L: int):
     m = st["mode"] == M_ADV
     B = st["sd"].shape[0]
-    d = _fr(st, "f_d")
+    d = st["c_d"]
     sd = st["sd"]
     qlen = st["qlen"]
     hh = st["hh"] > 0
@@ -629,12 +677,12 @@ def _step_adv(st, cat: FMCat, L: int):
     c = _sel_col(st["qd"], d)
     q = _sel_col(st["quald"], d)
     pen = _sel_col(st["pend"], d)
-    depth = _fr(st, "f_depth")
-    unrev = _fr(st, "f_unrev")
-    ham = _fr(st, "f_ham")
-    top = _fr(st, "f_top")
-    bot = _fr(st, "f_bot")
-    lowq = _fr(st, "f_lowq")
+    depth = st["c_depth"]
+    unrev = st["c_unrev"]
+    ham = st["c_ham"]
+    top = st["c_top"]
+    bot = st["c_bot"]
+    lowq = st["c_lowq"]
     cq = st["cons_quals"] > 0
     cur_is_alt = (d >= unrev) & (~cq | (ham + pen <= st["qthresh"]))
     cur_is_eligible = cur_is_alt & jnp.where(cq, q <= lowq, True)
@@ -651,12 +699,11 @@ def _step_adv(st, cat: FMCat, L: int):
     row_t = jnp.where(zero_case[:, None], cat.fchr[None, 0:4], lf4t)
     row_b = jnp.where(zero_case[:, None], cat.fchr[None, 1:5], lf4b)
     write_pairs = m & (zero_case | cur_is_alt)
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX
-            + sd) * L + d
     rec8 = jnp.concatenate([row_t, row_b], axis=-1)
-    st["pairs"] = st["pairs"].at[
-        jnp.where(write_pairs, flat, st["pairs"].shape[0])].set(
-        rec8, mode="drop")
+    ml = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) ==
+          d[:, None]) & write_pairs[:, None]
+    st["pairs"] = jnp.where(ml[:, :, None], rec8[:, None, :],
+                            st["pairs"])
     cK = jnp.clip(c, 0, 3)
     top_n = jnp.where(zero_case, _sel_col(row_t, cK), _sel_col(lf4t, cK))
     bot_n = jnp.where(zero_case, _sel_col(row_b, cK), _sel_col(lf4b, cK))
@@ -671,33 +718,32 @@ def _step_adv(st, cat: FMCat, L: int):
     zero_elim = jnp.where(cur_is_alt[:, None] & (jarange != c[:, None]) &
                           (spreads == 0), 1 << jarange, 0).sum(axis=1)
     elim_d = elim0 | zero_elim
-    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
-    st["elims"] = st["elims"].at[
-        jnp.where(m, row_bs, st["elims"].shape[0]), d].set(
-        elim_d, mode="drop")
+    mle = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) ==
+           d[:, None]) & m[:, None]
+    st["elims"] = jnp.where(mle, elim_d[:, None], st["elims"])
     live = (jarange != c[:, None]) & (spreads > 0)         # [B, 4]
     nlive = jnp.sum(live.astype(jnp.int32), axis=1)
     szlive = jnp.sum(jnp.where(live, spreads, 0), axis=1)
     alt_add = jnp.where(m & cur_is_alt, nlive, 0)
-    alt = _fr(st, "f_alt") + alt_add
+    alt = st["c_alt"] + alt_add
     # eligibility accumulation / override reset (:268-283)
     el_upd = m & cur_is_alt & cur_is_eligible & (nlive > 0)
     ovr = el_upd & cur_overrides
     jstar = jnp.argmax(live, axis=1).astype(jnp.int32)
-    elnum = jnp.where(ovr, 0, _fr(st, "f_elnum"))
-    elsz = jnp.where(ovr, 0, _fr(st, "f_elsz"))
+    elnum = jnp.where(ovr, 0, st["c_elnum"])
+    elsz = jnp.where(ovr, 0, st["c_elsz"])
     elnum = jnp.where(el_upd, elnum + nlive, elnum)
     elsz = jnp.where(el_upd, elsz + szlive, elsz)
-    st = _fw_set(st, "f_lowq", ovr, q)
-    st = _fw_set(st, "f_eli", ovr, d)
-    st = _fw_set(st, "f_eltop", ovr, _sel_col(row_t, jstar))
-    st = _fw_set(st, "f_elbot", ovr, _sel_col(row_b, jstar))
-    st = _fw_set(st, "f_elham", ovr, pen)
-    st = _fw_set(st, "f_elcint", ovr, jstar)
-    st = _fw_set(st, "f_elignore", ovr, jnp.zeros_like(d))
-    st = _fw_set(st, "f_elnum", m, elnum)
-    st = _fw_set(st, "f_elsz", m, elsz)
-    st = _fw_set(st, "f_alt", m, alt)
+    st = _w(st, "c_lowq", ovr, q)
+    st = _w(st, "c_eli", ovr, d)
+    st = _w(st, "c_eltop", ovr, _sel_col(row_t, jstar))
+    st = _w(st, "c_elbot", ovr, _sel_col(row_b, jstar))
+    st = _w(st, "c_elham", ovr, pen)
+    st = _w(st, "c_elcint", ovr, jstar)
+    st = _w(st, "c_elignore", ovr, jnp.zeros_like(d))
+    st = _w(st, "c_elnum", m, elnum)
+    st = _w(st, "c_elsz", m, elsz)
+    st = _w(st, "c_alt", m, alt)
 
     # -- cur==0 / partial / exact / half-and-half flags (:285-325) -------
     cur0 = d == qlen - 1
@@ -728,13 +774,13 @@ def _step_adv(st, cat: FMCat, L: int):
     st = _ret_false(st, die5 | die3)
     m = m & ~(die5 | die3)
 
-    st = _fw_set(st, "f_top", m, top)
-    st = _fw_set(st, "f_bot", m, bot)
-    st = _fw_set(st, "f_btdm", m, btdm.astype(jnp.int32))
-    st = _fw_set(st, "f_mustbt", m, mustbt.astype(jnp.int32))
-    st = _fw_set(st, "f_invhh", m, invhh.astype(jnp.int32))
-    st = _fw_set(st, "f_invex", m, invex.astype(jnp.int32))
-    st = _fw_set(st, "f_reppart", m, reported_partial.astype(jnp.int32))
+    st = _w(st, "c_top", m, top)
+    st = _w(st, "c_bot", m, bot)
+    st = _w(st, "c_btdm", m, btdm.astype(jnp.int32))
+    st = _w(st, "c_mustbt", m, mustbt.astype(jnp.int32))
+    st = _w(st, "c_invhh", m, invhh.astype(jnp.int32))
+    st = _w(st, "c_invex", m, invex.astype(jnp.int32))
+    st = _w(st, "c_reppart", m, reported_partial.astype(jnp.int32))
 
     # -- report at cur==0 (:327-331) --------------------------------------
     rep = m & cur0 & (bot > top) & ~invhh & ~invex & ~reported_partial
@@ -756,26 +802,25 @@ def _step_br(st, cat: FMCat, L: int):
     m = st["mode"] == M_BR
     B = st["sd"].shape[0]
     sd = st["sd"]
-    top = _fr(st, "f_top")
-    bot = _fr(st, "f_bot")
-    btdm = _fr(st, "f_btdm") > 0
-    alt = _fr(st, "f_alt")
+    top = st["c_top"]
+    bot = st["c_bot"]
+    btdm = st["c_btdm"] > 0
+    alt = st["c_alt"]
     cond = ((top == bot) | btdm) & (alt > 0)
     st = _branch_exit(st, m & ~cond)
     m = m & cond
 
-    depth = _fr(st, "f_depth")
-    d = _fr(st, "f_d")
-    ham = _fr(st, "f_ham")
-    elnum = _fr(st, "f_elnum")
-    elignore = _fr(st, "f_elignore") > 0
-    lowq = _fr(st, "f_lowq")
+    depth = st["c_depth"]
+    d = st["c_d"]
+    ham = st["c_ham"]
+    elnum = st["c_elnum"]
+    elignore = st["c_elignore"] > 0
+    lowq = st["c_lowq"]
     cq = st["cons_quals"] > 0
     scan = m & ((elnum > 1) | elignore)
 
-    # -- scan pick (:340-365): leftmost... highest eligible position ----
-    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
-    er = st["elims"][jnp.where(m, row_bs, 0)]              # [B, L]
+    # -- scan pick (:340-365): highest eligible position -----------------
+    er = st["elims"]                                       # [B, L]
     li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     qual_ok = jnp.where(cq[:, None], st["quald"] == lowq[:, None], True)
     elig = (li >= depth[:, None]) & (li <= d[:, None]) & \
@@ -783,9 +828,9 @@ def _step_br(st, cat: FMCat, L: int):
     istar_s = jnp.max(jnp.where(elig, li, -1), axis=1)
     no_pos = scan & (istar_s < 0)            # defensive: cannot happen
     istar_safe = jnp.maximum(istar_s, 0)
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX
-            + sd) * L + istar_safe
-    p8 = st["pairs"][jnp.where(m, flat, 0)]                # [B, 8]
+    onehot_i = li == istar_safe[:, None]                   # [B, L]
+    p8 = jnp.sum(jnp.where(onehot_i[:, :, None], st["pairs"], 0),
+                 axis=1)                                   # [B, 8]
     er_i = _sel_col(er, istar_safe)
     jar = jnp.arange(4, dtype=jnp.int32)[None, :]
     nonelim = ((er_i[:, None] >> jar) & 1) == 0
@@ -809,17 +854,17 @@ def _step_br(st, cat: FMCat, L: int):
 
     # -- cached single-eligible pick (:366-370) ---------------------------
     use_cache = m & ~scan
-    istar = jnp.where(use_cache, _fr(st, "f_eli"), istar_safe)
-    jstar = jnp.where(use_cache, _fr(st, "f_elcint"), jstar_s)
-    bttop = jnp.where(use_cache, _fr(st, "f_eltop"), bttop_s)
-    btbot = jnp.where(use_cache, _fr(st, "f_elbot"), btbot_s)
-    btham = jnp.where(use_cache, ham + _fr(st, "f_elham"), btham_s)
+    istar = jnp.where(use_cache, st["c_eli"], istar_safe)
+    jstar = jnp.where(use_cache, st["c_elcint"], jstar_s)
+    bttop = jnp.where(use_cache, st["c_eltop"], bttop_s)
+    btbot = jnp.where(use_cache, st["c_elbot"], btbot_s)
+    btham = jnp.where(use_cache, ham + st["c_elham"], btham_s)
 
     # -- revisitability tightening (:371-380) ----------------------------
-    rev1 = _fr(st, "f_rev1")
-    rev2 = _fr(st, "f_rev2")
-    rev3 = _fr(st, "f_rev3")
-    unrev = _fr(st, "f_unrev")
+    rev1 = st["c_rev1"]
+    rev2 = st["c_rev2"]
+    rev3 = st["c_rev3"]
+    unrev = st["c_unrev"]
     lt1 = istar < rev1
     lt2 = ~lt1 & (istar < rev2)
     lt3 = ~lt1 & ~lt2 & (istar < rev3)
@@ -832,9 +877,9 @@ def _step_br(st, cat: FMCat, L: int):
     st = _fw_set(st, "mms", m, qlen - 1 - istar)
     st = _fw_set(st, "refcs", m, jstar)
     st = _fw_set(st, "mmd", m, istar)
-    st = _fw_set(st, "f_bi", m, istar)
-    st = _fw_set(st, "f_bj", m, jstar)
-    st = _fw_set(st, "f_bspread", m, btbot - bttop)
+    st = _w(st, "c_bi", m, istar)
+    st = _w(st, "c_bj", m, jstar)
+    st = _w(st, "c_bspread", m, btbot - bttop)
 
     # -- dispatch ---------------------------------------------------------
     fc = cat.ftab_chars
@@ -842,7 +887,7 @@ def _step_br(st, cat: FMCat, L: int):
     st = _enter_report(st, caseA, sd + 1, bttop, btbot, btham,
                        jnp.ones_like(sd))
     rest = m & ~caseA
-    midftab = rest & (st["hh"] > 0) & (_fr(st, "f_dftab") == 0) & \
+    midftab = rest & (st["hh"] > 0) & (st["c_dftab"] == 0) & \
         (st["jrev2"] == st["jrev3"]) & (istar + 1 < fc) & \
         (fc <= st["jd5"])
     # mid-recursion ftab with the mutation substituted (:393-416)
@@ -862,12 +907,13 @@ def _step_br(st, cat: FMCat, L: int):
     st["overflow"] = st["overflow"] | s_over
     st["mode"] = jnp.where(s_over, M_DONE, st["mode"])
     push = push & ~s_over
+    st = _push_frame(st, push)
     st["sd"] = jnp.where(push, sd + 1, st["sd"])
     ndepth = jnp.where(midftab, fc, istar + 1)
     ntop = jnp.where(midftab, ft, bttop)
     nbot = jnp.where(midftab, fb, btbot)
-    st = _enter_frame(st, push, ndepth, bt_unrev, bt_rev1, bt_rev2,
-                      rev3, btham, ntop, nbot, jnp.zeros_like(sd))
+    st = _init_regs(st, push, ndepth, bt_unrev, bt_rev1, bt_rev2,
+                    rev3, btham, ntop, nbot, jnp.zeros_like(sd))
     return st
 
 
@@ -887,21 +933,19 @@ def _step_pop(st, L: int):
     m = m & ~bail
 
     sd = st["sd"]
-    i = _fr(st, "f_bi")
-    j = _fr(st, "f_bj")
-    row_bs = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + sd
-    rb_safe = jnp.where(m, row_bs, 0)
-    old = _sel_col(st["elims"][rb_safe], i)
-    st["elims"] = st["elims"].at[
-        jnp.where(m, row_bs, st["elims"].shape[0]), i].set(
-        old | (1 << j), mode="drop")
-    elsz = _fr(st, "f_elsz") - _fr(st, "f_bspread")
-    elnum = _fr(st, "f_elnum") - 1
-    alt = _fr(st, "f_alt") - 1
-    st = _fw_set(st, "f_elsz", m, elsz)
-    st = _fw_set(st, "f_elnum", m, elnum)
-    st = _fw_set(st, "f_elignore", m, jnp.ones_like(sd))
-    st = _fw_set(st, "f_alt", m, alt)
+    i = st["c_bi"]
+    j = st["c_bj"]
+    li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    me = (li == i[:, None]) & m[:, None]
+    st["elims"] = jnp.where(me, st["elims"] | (1 << j)[:, None],
+                            st["elims"])
+    elsz = st["c_elsz"] - st["c_bspread"]
+    elnum = st["c_elnum"] - 1
+    alt = st["c_alt"] - 1
+    st = _w(st, "c_elsz", m, elsz)
+    st = _w(st, "c_elnum", m, elnum)
+    st = _w(st, "c_elignore", m, jnp.ones_like(sd))
+    st = _w(st, "c_alt", m, alt)
     dead = m & (alt == 0)
     st = _ret_false(st, dead)
     m = m & ~dead
@@ -909,13 +953,12 @@ def _step_pop(st, L: int):
 
     def do_rescan(st):
         # eligibility rescan (:437-472), vectorized over positions
-        depth = _fr(st, "f_depth")
-        d = _fr(st, "f_d")
-        unrev = _fr(st, "f_unrev")
-        ham = _fr(st, "f_ham")
-        li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-        er = st["elims"][rb_safe]                          # [B, L]
-        pf = st["pairs"].reshape(B * S_MAX, L, 8)[rb_safe]  # [B, L, 8]
+        depth = st["c_depth"]
+        d = st["c_d"]
+        unrev = st["c_unrev"]
+        ham = st["c_ham"]
+        er = st["elims"]                                   # [B, L]
+        pf = st["pairs"]                                   # [B, L, 8]
         spreads = pf[:, :, 4:8] - pf[:, :, 0:4]            # [B, L, 4]
         jar = jnp.arange(4, dtype=jnp.int32)[None, None, :]
         live = (((er[:, :, None] >> jar) & 1) == 0) & (spreads > 0)
@@ -933,30 +976,28 @@ def _step_pop(st, L: int):
         ks = jnp.maximum(kstar, 0)
         n_el = jnp.sum(jnp.where(at_low, nlive, 0), axis=1)
         s_el = jnp.sum(jnp.where(at_low, szs, 0), axis=1)
+        ohk = (li == ks[:, None])
         # first live char at kstar (ascending l, :453)
-        lk = jnp.take_along_axis(
-            live, jnp.broadcast_to(ks[:, None, None], (B, 1, 4)),
-            axis=1)[:, 0, :]                               # [B, 4]
+        lk = jnp.sum(jnp.where(ohk[:, :, None], live, False)
+                     .astype(jnp.int32), axis=1) > 0      # [B, 4]
         lstar = jnp.argmax(lk, axis=1).astype(jnp.int32)
-        p8k = jnp.take_along_axis(
-            pf, jnp.broadcast_to(ks[:, None, None], (B, 1, 8)),
-            axis=1)[:, 0, :]                               # [B, 8]
+        p8k = jnp.sum(jnp.where(ohk[:, :, None], pf, 0), axis=1)
         mm = rescan & has
         st2 = dict(st)
-        st2 = _fw_set(st2, "f_lowq", mm, low)
-        st2 = _fw_set(st2, "f_eli", mm, ks)
-        st2 = _fw_set(st2, "f_eltop", mm, _sel_col(p8k[:, 0:4], lstar))
-        st2 = _fw_set(st2, "f_elbot", mm, _sel_col(p8k[:, 4:8], lstar))
-        st2 = _fw_set(st2, "f_elham", mm, _sel_col(st2["pend"], ks))
-        st2 = _fw_set(st2, "f_elcint", mm, lstar)
-        st2 = _fw_set(st2, "f_elignore", mm, jnp.zeros_like(ks))
-        st2 = _fw_set(st2, "f_elnum", mm, n_el)
-        st2 = _fw_set(st2, "f_elsz", mm, s_el)
+        st2 = _w(st2, "c_lowq", mm, low)
+        st2 = _w(st2, "c_eli", mm, ks)
+        st2 = _w(st2, "c_eltop", mm, _sel_col(p8k[:, 0:4], lstar))
+        st2 = _w(st2, "c_elbot", mm, _sel_col(p8k[:, 4:8], lstar))
+        st2 = _w(st2, "c_elham", mm, _sel_col(st2["pend"], ks))
+        st2 = _w(st2, "c_elcint", mm, lstar)
+        st2 = _w(st2, "c_elignore", mm, jnp.zeros_like(ks))
+        st2 = _w(st2, "c_elnum", mm, n_el)
+        st2 = _w(st2, "c_elsz", mm, s_el)
         # no eligible found: lowq stays 0xFF, counters 0, ignore set
         mn = rescan & ~has
-        st2 = _fw_set(st2, "f_lowq", mn, jnp.full_like(ks, 0xFF))
-        st2 = _fw_set(st2, "f_elnum", mn, jnp.zeros_like(ks))
-        st2 = _fw_set(st2, "f_elsz", mn, jnp.zeros_like(ks))
+        st2 = _w(st2, "c_lowq", mn, jnp.full_like(ks, 0xFF))
+        st2 = _w(st2, "c_elnum", mn, jnp.zeros_like(ks))
+        st2 = _w(st2, "c_elsz", mn, jnp.zeros_like(ks))
         return st2
 
     st = jax.lax.cond(jnp.any(rescan), do_rescan, lambda s: dict(s), st)
@@ -973,11 +1014,12 @@ def _machine_step(st, cat: FMCat, jobs, J: int, L: int, nfrag: int,
     """One lockstep micro-step: each sub-step processes the lanes in its
     mode; a lane can flow JOB->ADV->BR->REP within one iteration."""
     st = dict(st)
+    st = _step_retf(st)       # stack reads first (in-place friendliness)
     st = _step_job(st, cat, jobs, J, L)
     st = _step_adv(st, cat, L)
-    st = _step_br(st, cat, L)
     st = _step_pop(st, L)
     st = _step_rep(st, cat, nfrag, n_k, m_max)
+    st = _step_br(st, cat, L)     # the only stack write (push) last
     return st
 
 
@@ -1189,7 +1231,9 @@ class DeviceDFSAligner:
         return self._oracle
 
     def build_jobs(self, reads, L, fc):
-        return build_v_jobs(reads, self.v, self.nofw, self.norc, L, fc)
+        from .dfs_jobs import build_v_jobs_vec
+        return build_v_jobs_vec(reads, self.v, self.nofw, self.norc, L,
+                                fc)
 
     def align_batch(self, reads) -> list:
         if not reads:
@@ -1208,11 +1252,10 @@ class DeviceDFSAligner:
         jobs_dev = {k: jnp.asarray(v) for k, v in jobs.items()}
         n_k = self.policy.n if self.policy.n < INF32 else INF32
         m_max = self.policy.max if self.policy.max < INF32 else INF32
-        out, iters = run_machine(
-            self.cat, jobs_dev, jnp.asarray(seeds),
-            jnp.zeros(Bp, jnp.int32), J=J, L=L, nfrag=self.nfrag,
+        out = run_compacting(
+            self.cat, jobs_dev, np.asarray(seeds),
+            np.zeros(Bp, np.int32), J=J, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
-        out = {k: np.asarray(v) for k, v in out.items()}
         return self.assemble(reads, out, seeds)
 
     def assemble(self, reads, out, seeds) -> list:
@@ -1242,3 +1285,116 @@ class DeviceDFSAligner:
             results.append(self.policy.finish(
                 buffered, int(out["count"][b]), int(seeds[b])))
         return results
+
+
+# ---------------------------------------------------------------------------
+# Chunked execution with lane compaction
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("J", "L", "nfrag", "n_k", "m_max",
+                                   "chunk"))
+def run_chunk(cat: FMCat, jobs, st, *, J: int, L: int, nfrag: int,
+              n_k: int, m_max: int, chunk: int):
+    """Advance the machine by up to `chunk` micro-steps."""
+    def cond(c):
+        s, it = c
+        return (it < chunk) & jnp.any(s["mode"] != M_DONE)
+
+    def body(c):
+        s, it = c
+        return _machine_step(s, cat, jobs, J, L, nfrag, n_k, m_max), \
+            it + 1
+
+    st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st, st["mode"]
+
+
+@jax.jit
+def _compact(st, jobs, idxs, pad):
+    """Gather live lanes into a smaller bucket.  idxs: [newB] lane ids
+    (pads repeat a live lane); pad: [newB] bool marks pad lanes, which
+    are forced DONE so they do no work and report nothing."""
+    B_old = st["mode"].shape[0]
+
+    def take(v):
+        if v.ndim >= 2 and v.shape[0] == B_old * S_MAX:   # stacked rows
+            return v.reshape(B_old, S_MAX, *v.shape[1:])[idxs].reshape(
+                idxs.shape[0] * S_MAX, *v.shape[1:])
+        return v[idxs]
+
+    st2 = {k: take(v) for k, v in st.items()}
+    st2["mode"] = jnp.where(pad, M_DONE, st2["mode"])
+    st2["result"] = jnp.where(pad, 0, st2["result"])
+    st2["overflow"] = jnp.where(pad, False, st2["overflow"])
+    st2["nhits"] = jnp.where(pad, 0, st2["nhits"])
+    st2["npart"] = jnp.where(pad, 0, st2["npart"])
+    jobs2 = {k: v[idxs] for k, v in jobs.items()}
+    return st2, jobs2
+
+
+@jax.jit
+def _harvest(st, idxs):
+    """Gather the OUT_KEYS rows of the given lanes (for host download)."""
+    return {k: st[k][idxs] for k in OUT_KEYS if k != "mode"}
+
+
+def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
+                   L: int, nfrag: int, n_k: int, m_max: int,
+                   max_steps: int, chunk: int = 192,
+                   min_bucket: int = 512):
+    """Run the machine in chunks, compacting live lanes into smaller
+    buckets as reads finish.  Per-step cost scales with the bucket
+    size, so this converts total cost from B * max(lane steps) to
+    ~ sum(lane steps) — the straggler-dilution fix for lockstep DFS.
+
+    Returns host-side outputs at the ORIGINAL lane indexing."""
+    B0 = seeds.shape[0]
+    st = _init_state(B0, L, jnp.asarray(seeds), jnp.asarray(count0))
+    jobs_d = jobs_dev
+    orig = np.arange(B0)
+    out = None
+    steps = 0
+    while True:
+        st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
+                          n_k=n_k, m_max=m_max, chunk=chunk)
+        steps += chunk
+        mode = np.asarray(st["mode"])
+        act = np.flatnonzero(mode != M_DONE)
+        live = orig >= 0
+        if len(act) == 0 or steps >= max_steps:
+            sub = np.flatnonzero(live)
+            h = _harvest(st, jnp.asarray(sub))
+            h = {k: np.asarray(v) for k, v in h.items()}
+            if steps >= max_steps and len(act):
+                # ran out of budget: flag still-active lanes
+                still = np.isin(sub, act)
+                h["overflow"] = h["overflow"] | still
+            out = _merge_out(out, h, orig[sub], B0)
+            return out
+        newB = _bucket(len(act), (min_bucket, min_bucket * 4,
+                                  min_bucket * 16, min_bucket * 64))
+        if newB < mode.shape[0]:
+            done_live = np.flatnonzero((mode == M_DONE) & live)
+            if len(done_live):
+                h = _harvest(st, jnp.asarray(done_live))
+                out = _merge_out(out, {k: np.asarray(v)
+                                       for k, v in h.items()},
+                                 orig[done_live], B0)
+            pad_n = newB - len(act)
+            idxs = np.concatenate([act, np.full(pad_n, act[0],
+                                                np.int64)])
+            pad = np.zeros(newB, bool)
+            pad[len(act):] = True
+            st, jobs_d = _compact(st, jobs_d, jnp.asarray(idxs),
+                                  jnp.asarray(pad))
+            orig = np.concatenate([orig[act], np.full(pad_n, -1)])
+
+
+def _merge_out(out, h, ids, B0):
+    """Place harvested lane rows at their original indices."""
+    if out is None:
+        out = {k: np.zeros((B0,) + v.shape[1:], v.dtype)
+               for k, v in h.items()}
+    for k, v in h.items():
+        out[k][ids] = v
+    return out

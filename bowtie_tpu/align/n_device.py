@@ -24,7 +24,7 @@ import numpy as np
 
 from ..index.ebwt_io import EbwtIndex
 from .dfs_device import (DeviceDFSAligner, INF32, P_MAX, build_fmcat,
-                         empty_jobs, fill_job, run_machine, _bucket,
+                         empty_jobs, fill_job, run_compacting, _bucket,
                          _len_bucket)
 from .drivers import to_muts
 
@@ -34,18 +34,6 @@ class _Pal:
 
     def __init__(self, muts):
         self.muts = muts
-
-
-def _seed_offs(qs, s, n, half):
-    """The qs<s vs qs==s offs pattern used by phases 1/2
-    (drivers: ebwt_search.cpp:2572-2604 analog)."""
-    v = (qs >> 1) + (qs & 1) if half == 5 else (qs >> 1)
-    if qs >= s:
-        v = (s >> 1) + (s & 1) if half == 5 else (s >> 1)
-        qs = s
-    return (0, 0,
-            v if n > 0 else qs, v if n > 1 else qs,
-            v if n > 2 else qs, v if n > 3 else qs)
 
 
 def _hh_offs(qs, s, n):
@@ -84,57 +72,6 @@ class DeviceNAligner(DeviceDFSAligner):
                 seed_len=self.seed_len, qual_thresh=self.qt,
                 maxbts=self.maxbts, maq_round=self.maq)
         return self._oracle
-
-    # -- launch A job table (phases 1, 2 and the phase-3 tail) ----------
-    def _jobs_a(self, reads, L, fc):
-        n, s, qt = self.n_mms, self.seed_len, self.qt
-        B = len(reads)
-        J = 5
-        jobs = empty_jobs(B, J, L)
-        self._gated = np.zeros(B, dtype=bool)
-        kw = dict(consider_quals=True, qual_thresh=qt, maq=self.maq,
-                  max_bts=self.maxbts, fc=fc)
-        for b, read in enumerate(reads):
-            plen = len(read.seq)
-            # phase-1 gates (ebwt_search.cpp seededQualSearchWorkerFull)
-            slen = min(plen, s)
-            if plen < 4 or \
-                    int((np.asarray(read.codes_fw[:slen]) == 4).sum()) > n:
-                self._gated[b] = True
-                continue
-            qs = min(plen, s)
-            j = 0
-            if not self.nofw:   # btf1: exact fw, quals off
-                fill_job(jobs, b, j, read, fw=True, ebwt_fw=True,
-                         offs=(0, plen, plen, plen, plen, plen),
-                         consider_quals=False, qual_thresh=qt,
-                         maq=self.maq, max_bts=self.maxbts, fc=fc)
-                j += 1
-            if not self.norc:   # bt1: rc seed cases on fw index
-                fill_job(jobs, b, j, read, fw=False, ebwt_fw=True,
-                         offs=_seed_offs(qs, s, n, 5), **kw)
-                j += 1
-            if not self.nofw:   # btf2: fw seed cases on mirror index
-                fill_job(jobs, b, j, read, fw=True, ebwt_fw=False,
-                         offs=_seed_offs(qs, s, n, 5),
-                         report_exacts=False, **kw)
-                j += 1
-            if n == 0:
-                continue
-            if not self.norc:   # btr2: rc partial collection (mirror)
-                fill_job(jobs, b, j, read, fw=False, ebwt_fw=False,
-                         offs=_seed_offs(qs, s, n, 3), qlen=s,
-                         report_exacts=False, report_partials=n,
-                         collect_partials=True, **kw)
-                self._j_pam_rc[b] = j
-                j += 1
-            if not self.nofw:   # btf3: fw partial collection (fw index)
-                fill_job(jobs, b, j, read, fw=True, ebwt_fw=True,
-                         offs=_seed_offs(qs, s, n, 3), qlen=s,
-                         report_partials=n, collect_partials=True, **kw)
-                self._j_pam_fw[b] = j
-                j += 1
-        return jobs, J
 
     # -- launch B job table (phase 3/4 extensions + half-and-half) ------
     def _jobs_b(self, reads, out_a, L, fc):
@@ -227,21 +164,24 @@ class DeviceNAligner(DeviceDFSAligner):
                     jobs[k] = np.concatenate([v, z], axis=0)
             return {k: jnp.asarray(v) for k, v in jobs.items()}
 
-        jobs_a, J_A = self._jobs_a(reads, L, fc)
-        out_a, _ = run_machine(
-            self.cat, pad(jobs_a), jnp.asarray(seeds),
-            jnp.zeros(Bp, jnp.int32), J=J_A, L=L, nfrag=self.nfrag,
+        from .dfs_jobs import build_n_jobs_a_vec
+        jobs_a, J_A, self._gated, jrc, jfw = build_n_jobs_a_vec(
+            reads, self.n_mms, self.seed_len, self.qt, self.maxbts,
+            self.maq, self.nofw, self.norc, L, fc)
+        self._j_pam_rc[:] = jrc
+        self._j_pam_fw[:] = jfw
+        out_a = run_compacting(
+            self.cat, pad(jobs_a), seeds,
+            np.zeros(Bp, np.int32), J=J_A, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
-        out_a = {k: np.asarray(v) for k, v in out_a.items()}
 
         jobs_b, J_B = self._jobs_b(reads, out_a, L, fc)
         if jobs_b is not None:
-            out_b, _ = run_machine(
-                self.cat, pad(jobs_b), jnp.asarray(seeds),
-                jnp.asarray(out_a["count"]), J=J_B, L=L,
+            out_b = run_compacting(
+                self.cat, pad(jobs_b), seeds,
+                np.asarray(out_a["count"], np.int32), J=J_B, L=L,
                 nfrag=self.nfrag, n_k=n_k, m_max=m_max,
                 max_steps=self.max_steps)
-            out_b = {k: np.asarray(v) for k, v in out_b.items()}
         else:
             out_b = None
         return self._assemble_n(reads, out_a, out_b, seeds)

@@ -53,9 +53,14 @@ class ReadRecord:
             self._codes_rc = revcomp_codes(self.codes_fw)
         return self._codes_rc
 
+    _seed_cache: tuple = None
+
     def seed(self, global_seed: int) -> np.uint32:
-        """Per-read RNG seed (genRandSeed, pat.cpp:21)."""
-        return gen_rand_seed(self.codes_fw, self.qual, self.name, global_seed)
+        """Per-read RNG seed (genRandSeed, pat.cpp:21), cached."""
+        if self._seed_cache is None or self._seed_cache[0] != global_seed:
+            self._seed_cache = (global_seed, gen_rand_seed(
+                self.codes_fw, self.qual, self.name, global_seed))
+        return self._seed_cache[1]
 
     def __len__(self):
         return len(self.seq)
