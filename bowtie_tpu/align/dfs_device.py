@@ -95,12 +95,23 @@ def _sel_col(arr, idx):
 class FMCat:
     """fw and mirror FM indexes concatenated row-wise; per-lane base
     offsets select the index (the device analog of SWITCH_TO_FW/BW_INDEX,
-    ebwt_search.cpp:1867-1891)."""
-    occ: jax.Array          # [(n1+1)*2, 4] full rank table (occ_every=1)
+    ebwt_search.cpp:1867-1891).
+
+    Two layouts (static `occ_every` / `dense`):
+    - dense (small genomes): full per-row rank table + dense SA —
+      one gather per LF step, one per offset resolution (36 B/row).
+    - compact (hg-scale): rank checkpoints every `occ_every` rows +
+      2-bit BWT words (rank = checkpoint row + register popcounts,
+      the countUpTo analog, ebwt.h:1897) and the 2^offRate-sampled SA
+      with a walk-left resolve (reportChaseOne, ebwt.h:2727-2746) —
+      ~0.4 B/row, so a human-genome pair of indexes fits one chip."""
+    occ: jax.Array          # [(n1+1)*2, 4] full, or per-block rows
     fchr: jax.Array         # [5] (identical for fw and mirror)
     ftab_hi: jax.Array      # [ftabLen*2]
     ftab_lo: jax.Array      # [ftabLen*2]
-    sa: jax.Array           # [n1*2] dense SA
+    sa: jax.Array           # dense SA [n1*2] or sampled offs
+    bwt: jax.Array          # uint32 packed words (compact mode; [2] stub
+                            # in dense mode)
     zoff: jax.Array         # [2] per-index '$' row
     rstarts_start: jax.Array   # [nfrag] fragment joined-offsets
     rstarts_tidx: jax.Array    # [nfrag]
@@ -110,38 +121,55 @@ class FMCat:
     occ_base: jax.Array     # [2] row base into occ per index
     sa_base: jax.Array      # [2]
     ftab_base: jax.Array    # [2]
+    blk_base: jax.Array     # [2] block base into bwt words per index
     ftab_chars: int = 10
+    occ_every: int = 1      # rows per rank checkpoint (1 = full table)
+    off_rate: int = 5
+    dense: bool = True      # dense SA vs sampled + walk-left
 
     def tree_flatten(self):
         c = (self.occ, self.fchr, self.ftab_hi, self.ftab_lo, self.sa,
-             self.zoff, self.rstarts_start, self.rstarts_tidx,
+             self.bwt, self.zoff, self.rstarts_start, self.rstarts_tidx,
              self.rstarts_toff, self.length, self.bwt_len, self.occ_base,
-             self.sa_base, self.ftab_base)
-        return c, (self.ftab_chars,)
+             self.sa_base, self.ftab_base, self.blk_base)
+        return c, (self.ftab_chars, self.occ_every, self.off_rate,
+                   self.dense)
 
     @classmethod
     def tree_unflatten(cls, aux, c):
-        return cls(*c, ftab_chars=aux[0])
+        return cls(*c, ftab_chars=aux[0], occ_every=aux[1],
+                   off_rate=aux[2], dense=aux[3])
 
 
 def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
                 fm_fw: FMIndexArrays | None = None,
-                fm_bw: FMIndexArrays | None = None) -> FMCat:
-    """Build the concatenated device index (full rank table + dense SA
-    for both strands' indexes)."""
+                fm_bw: FMIndexArrays | None = None,
+                occ_every: int = 1, dense_sa: bool = True) -> FMCat:
+    """Build the concatenated device index.  occ_every=1 + dense_sa is
+    the small-genome fast path; occ_every=128 + dense_sa=False is the
+    hg-scale compact layout (see FMCat)."""
     if fm_fw is None:
-        fm_fw = from_ebwt(idx_fw, occ_every=1, dense_sa=True)
+        fm_fw = from_ebwt(idx_fw, occ_every=occ_every, dense_sa=dense_sa)
     if fm_bw is None:
-        fm_bw = from_ebwt(idx_bw, occ_every=1, dense_sa=True)
+        fm_bw = from_ebwt(idx_bw, occ_every=occ_every, dense_sa=dense_sa)
     n1 = idx_fw.bwt_len
     ftlen = len(np.asarray(fm_fw.ftab_hi))
     occ = jnp.concatenate([fm_fw.occ, fm_bw.occ], axis=0)
+    if dense_sa:
+        sa = jnp.concatenate([fm_fw.sa, fm_bw.sa])
+        bwt = jnp.zeros(2, jnp.uint32)
+        nblk = 0
+    else:
+        sa = jnp.concatenate([fm_fw.offs, fm_bw.offs])
+        bwt = jnp.concatenate([fm_fw.bwt, fm_bw.bwt])
+        nblk = len(np.asarray(fm_fw.bwt)) // (occ_every // 16)
     return FMCat(
         occ=occ,
         fchr=fm_fw.fchr,
         ftab_hi=jnp.concatenate([fm_fw.ftab_hi, fm_bw.ftab_hi]),
         ftab_lo=jnp.concatenate([fm_fw.ftab_lo, fm_bw.ftab_lo]),
-        sa=jnp.concatenate([fm_fw.sa, fm_bw.sa]),
+        sa=sa,
+        bwt=bwt,
         zoff=jnp.stack([fm_fw.zoff, fm_bw.zoff]),
         rstarts_start=jnp.asarray(idx_fw.rstarts[:, 0].astype(np.int32)),
         rstarts_tidx=jnp.asarray(idx_fw.rstarts[:, 1].astype(np.int32)),
@@ -149,26 +177,57 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
         length=jnp.int32(idx_fw.length),
         bwt_len=jnp.int32(n1),
         occ_base=jnp.array([0, fm_fw.occ.shape[0]], jnp.int32),
-        sa_base=jnp.array([0, len(np.asarray(fm_fw.sa))], jnp.int32),
+        sa_base=jnp.array([0, sa.shape[0] // 2], jnp.int32),
         ftab_base=jnp.array([0, ftlen], jnp.int32),
+        blk_base=jnp.array([0, nblk], jnp.int32),
         ftab_chars=idx_fw.ftab_chars,
+        occ_every=occ_every,
+        off_rate=idx_fw.off_rate,
+        dense=dense_sa,
     )
 
 
-def _rank4(cat: FMCat, occ_base, zoff, i):
+_CHAR_PATTERNS = jnp.array(
+    [0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF], dtype=jnp.uint32)
+_LANE_EVEN = jnp.uint32(0x55555555)
+
+
+def _rank4(cat: FMCat, occ_base, zoff, i, blk_base=0):
     """Occ(c, i) for all 4 codes at per-lane index-offset rows, with the
-    '$'-as-A correction (countFwSide, ebwt.h:2044-2052)."""
-    row = cat.occ[i + occ_base]                       # [B, 4]
+    '$'-as-A correction (countFwSide, ebwt.h:2044-2052).
+
+    Dense mode: one checkpoint-row gather.  Compact mode: checkpoint
+    row + in-register 2-bit popcounts over the block's packed words
+    (countUpToEx, ebwt.h:1963)."""
     corr = jnp.where(i > zoff, 1, 0)[..., None] * \
         jnp.array([1, 0, 0, 0], jnp.int32)
-    return row - corr
+    if cat.occ_every == 1:
+        return cat.occ[i + occ_base] - corr
+    blk = cat.occ_every
+    wpb = blk // 16
+    block = i // blk
+    base = cat.occ[block + occ_base]                   # [B, 4]
+    rem = i - block * blk
+    words = cat.bwt.reshape(-1, wpb)[block + blk_base]  # [B, wpb]
+    nl = jnp.clip(rem[..., None] -
+                  16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
+    shift = (32 - 2 * jnp.clip(nl, 1, 16)).astype(jnp.uint32)
+    keep = jnp.where(nl <= 0, jnp.uint32(0),
+                     jnp.uint32(0xFFFFFFFF) >> shift)    # [B, wpb]
+    cnts = []
+    for c in range(4):
+        x = ~(words ^ _CHAR_PATTERNS[c])
+        hits = x & (x >> 1) & _LANE_EVEN
+        cnts.append(jax.lax.population_count(hits & keep)
+                    .astype(jnp.int32).sum(axis=-1))
+    return base + jnp.stack(cnts, axis=-1) - corr
 
 
-def _lf4pair(cat: FMCat, occ_base, zoff, top, bot):
+def _lf4pair(cat: FMCat, occ_base, zoff, top, bot, blk_base=0):
     """fchr + rank quartets at top and bot (mapLFEx, ebwt.h:2334)."""
     f4 = cat.fchr[:4]
-    return f4 + _rank4(cat, occ_base, zoff, top), \
-        f4 + _rank4(cat, occ_base, zoff, bot)
+    return f4 + _rank4(cat, occ_base, zoff, top, blk_base), \
+        f4 + _rank4(cat, occ_base, zoff, bot, blk_base)
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +307,7 @@ def _init_state(B: int, L: int, seeds, count0):
         premut_pos=z(B, 3), premut_refc=z(B, 3),
         collect=z(B),
         occ_base=z(B), sa_base=z(B), ftab_base=z(B), zoff=z(B),
+        blk_base=z(B),
         num_bts=z(B), bailed=jnp.zeros((B,), bool),
         # current-frame data rows
         pairs=z(B, L, 8),
@@ -259,9 +319,11 @@ def _init_state(B: int, L: int, seeds, count0):
         stk=z(B * S_MAX, NREG + L * 8 + L),
         sd=z(B),
         mms=z(B, S_MAX), refcs=z(B, S_MAX), mmd=z(B, S_MAX),
-        # report registers
+        # report registers (r_row/r_jumps/r_walk: walk-left resolve
+        # state for the compact layout)
         r_top=z(B), r_bot=z(B), r_sd=z(B), r_ham=z(B), r_stratum=z(B),
         r_k=z(B), r_r=z(B), r_resume=z(B),
+        r_row=z(B), r_jumps=z(B), r_walk=z(B),
         # outputs
         nhits=z(B),
         hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
@@ -404,7 +466,8 @@ def _enter_report(st, mask, sd_r, top, bot, ham, resume):
     for name, val in [("r_top", top), ("r_bot", bot), ("r_sd", sd_r),
                       ("r_ham", ham), ("r_stratum", stratum),
                       ("r_k", jnp.zeros_like(top)), ("r_r", r),
-                      ("r_resume", resume)]:
+                      ("r_resume", resume),
+                      ("r_walk", jnp.zeros_like(top))]:
         st[name] = jnp.where(mask, val, st[name])
     st["mode"] = jnp.where(mask, M_REP, st["mode"])
     return st
@@ -452,7 +515,36 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     ri = st["r_r"] + st["r_k"]
     ri = jnp.where(ri >= st["r_bot"], ri - spread, ri)
     ri_safe = jnp.where(m, ri, 0)
-    off = _g1(cat.sa, ri_safe + st["sa_base"])
+    if cat.dense:
+        off = _g1(cat.sa, ri_safe + st["sa_base"])
+    else:
+        # walk left to a marked row (reportChaseOne, ebwt.h:2727-2746):
+        # one LF per machine step; rows are marked every 2^offRate
+        start = m & (st["r_walk"] == 0)
+        row = jnp.where(start, ri_safe, st["r_row"])
+        jumps = jnp.where(start, 0, st["r_jumps"])
+        omask = (1 << cat.off_rate) - 1
+        at_z = row == st["zoff"]
+        marked = ((row & omask) == 0) | at_z
+        resolved = m & marked
+        off = jnp.where(
+            at_z, jumps,
+            _g1(cat.sa, jnp.where(m, row >> cat.off_rate, 0)
+                + st["sa_base"]) + jumps)
+        walkers = m & ~marked
+        wpb = cat.occ_every // 16
+        word = _g1(cat.bwt, jnp.where(walkers, (row >> 4) +
+                                       st["blk_base"] * wpb, 0))
+        sh = (2 * (row & 15)).astype(jnp.uint32)
+        ch = ((word >> sh) & 3).astype(jnp.int32)
+        r4 = _rank4(cat, st["occ_base"], st["zoff"],
+                    jnp.where(walkers, row, 0), st["blk_base"])
+        lf = _sel_col(cat.fchr[:4] + r4, ch)
+        st["r_row"] = jnp.where(walkers, lf, row)
+        st["r_jumps"] = jnp.where(walkers, jumps + 1, jumps)
+        st["r_walk"] = jnp.where(m, jnp.where(resolved, 0, 1),
+                                 st["r_walk"])
+        m = resolved
     qlen = st["qlen"]
     if nfrag == 1:
         elt = jnp.zeros_like(off)
@@ -572,6 +664,9 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
                                 st["ftab_base"])
     st["zoff"] = jnp.where(m, jnp.where(efw > 0, cat.zoff[0],
                                         cat.zoff[1]), st["zoff"])
+    st["blk_base"] = jnp.where(m, jnp.where(efw > 0, cat.blk_base[0],
+                                            cat.blk_base[1]),
+                               st["blk_base"])
     st["sd"] = jnp.where(m, 0, st["sd"])
 
     # N tally gate (:1306-1343, precomputed on host)
@@ -695,7 +790,8 @@ def _step_adv(st, cat: FMCat, L: int):
     bot = jnp.where(nhack, 1, bot)
     zero_case = (top == 0) & (bot == 0)
     lf4t, lf4b = _lf4pair(cat, st["occ_base"], st["zoff"],
-                          jnp.where(m, pt, 0), jnp.where(m, pb, 0))
+                          jnp.where(m, pt, 0), jnp.where(m, pb, 0),
+                          st["blk_base"])
     row_t = jnp.where(zero_case[:, None], cat.fchr[None, 0:4], lf4t)
     row_b = jnp.where(zero_case[:, None], cat.fchr[None, 1:5], lf4b)
     write_pairs = m & (zero_case | cur_is_alt)
@@ -1206,11 +1302,22 @@ class DeviceDFSAligner:
     per-read host-oracle fallback on any resource overflow (the fresh
     per-read RNG makes the re-run bit-identical)."""
 
+    # above this genome length the dense layout (36 B/row of HBM) no
+    # longer fits comfortably; switch to checkpoints + walk-left
+    DENSE_LIMIT = 1 << 28
+
     def __init__(self, idx_fw: EbwtIndex, idx_bw: EbwtIndex, policy,
                  v: int = 1, nofw: bool = False, norc: bool = False,
-                 global_seed: int = 0, max_steps: int = 20000):
+                 global_seed: int = 0, max_steps: int = 20000,
+                 compact: bool | None = None):
+        import os
         self.idx_fw, self.idx_bw = idx_fw, idx_bw
-        self.cat = build_fmcat(idx_fw, idx_bw)
+        if compact is None:
+            compact = (idx_fw.length > self.DENSE_LIMIT or
+                       bool(os.environ.get("BOWTIE_TPU_COMPACT")))
+        self.cat = build_fmcat(idx_fw, idx_bw,
+                               occ_every=128 if compact else 1,
+                               dense_sa=not compact)
         self.policy = policy
         self.v = v
         self.nofw, self.norc = nofw, norc

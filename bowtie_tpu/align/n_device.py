@@ -51,10 +51,10 @@ class DeviceNAligner(DeviceDFSAligner):
                  qual_thresh: int = 70, maxbts: int = 125,
                  maq_round: bool = True, nofw: bool = False,
                  norc: bool = False, global_seed: int = 0,
-                 max_steps: int = 60000):
+                 max_steps: int = 60000, compact: bool | None = None):
         super().__init__(idx_fw, idx_bw, policy, v=0, nofw=nofw,
                          norc=norc, global_seed=global_seed,
-                         max_steps=max_steps)
+                         max_steps=max_steps, compact=compact)
         self.n_mms = seed_mms
         self.seed_len = seed_len
         self.qt = qual_thresh

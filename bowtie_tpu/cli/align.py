@@ -131,8 +131,24 @@ def adjust_ebwt_base(base: str) -> str:
     return base
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: CLI invocations are separate
+    processes, and the DFS-engine compiles are expensive (~30-60 s per
+    batch/length/policy shape)."""
+    import jax
+    cache = os.environ.get("BOWTIE_TPU_CACHE",
+                           os.path.expanduser("~/.cache/bowtie-tpu-xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
 
     # arg validation (parseOptions, ebwt_search.cpp:614+)
     if args.mismatches >= 0 and not 0 <= args.mismatches <= 3:
