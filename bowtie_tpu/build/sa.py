@@ -12,10 +12,64 @@ builds; both produce the identical SA.
 """
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+_SAIS = None
+
+
+def _load_sais():
+    """Native SA-IS library (native/sais.cpp), compiled on demand."""
+    global _SAIS
+    if _SAIS is not None:
+        return _SAIS or None
+    here = os.path.join(os.path.dirname(__file__), "..", "native")
+    lib_path = os.path.join(here, "libbtsais.so")
+    src_path = os.path.join(here, "sais.cpp")
+    try:
+        if (not os.path.exists(lib_path) or
+                os.path.getmtime(lib_path) < os.path.getmtime(src_path)):
+            import subprocess
+            subprocess.run(["g++", "-O3", "-march=native", "-shared",
+                            "-fPIC", "-o", lib_path, src_path],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(lib_path)
+        lib.sais_bowtie.restype = ctypes.c_int
+        lib.sais_bowtie32.restype = ctypes.c_int
+        _SAIS = lib
+        return lib
+    except Exception:
+        _SAIS = False
+        return None
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Bowtie-order SA (empty suffix last).  Uses the native linear-time
+    SA-IS when available; falls back to vectorized prefix doubling."""
+    lib = _load_sais()
+    n = len(codes)
+    if lib is not None:
+        c = np.ascontiguousarray(codes, dtype=np.uint8)
+        if n < 2**31 - 2:
+            sa = np.empty(n + 1, dtype=np.int32)
+            rc = lib.sais_bowtie32(
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int32(n),
+                sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        else:
+            sa = np.empty(n + 1, dtype=np.int64)
+            rc = lib.sais_bowtie(
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(n),
+                sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc == 0:
+            return sa.astype(np.int64)
+    return _suffix_array_doubling(codes)
+
+
+def _suffix_array_doubling(codes: np.ndarray) -> np.ndarray:
     """SA of `codes` + implicit terminal sentinel, with bowtie's
     ordering convention: the sentinel is LARGER than every character,
     i.e. a suffix that is a proper prefix of another sorts AFTER it
@@ -27,7 +81,9 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     with numpy lexsort.
     """
     n = len(codes)
-    BIG = np.int64(n + 2)
+    # sentinel rank must exceed every char rank (codes+1 <= 4), even
+    # for tiny texts where n+2 < 6
+    BIG = np.int64(max(n + 2, 6))
     # rank[i] of suffix i under first-char ordering; sentinel sorts last
     r = np.zeros(n + 1, dtype=np.int64)
     r[:n] = codes.astype(np.int64) + 1
