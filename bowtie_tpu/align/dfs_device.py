@@ -56,7 +56,9 @@ M_DONE, M_JOB, M_ADV, M_BR, M_POP, M_REP, M_RETF = 0, 1, 2, 3, 4, 5, 6
 INF32 = 0x7FFFFFFF          # device stand-in for the oracle's 0xFFFFFFFF
 
 # resource bounds (per lane); overflow -> host-oracle fallback
-S_MAX = 8                   # stack frames (mismatch depth)
+S_MAX = 6                   # stack frames (mismatch depth; deeper
+                            # searches fall back to the host oracle —
+                            # qual budgets almost never allow >5)
 H_MAX = 8                   # buffered hit slots
 MM_SLOTS = 8                # mismatch slots per stored hit
 P_MAX = 32                  # partial-alignment slots (-n phases 2/3)
@@ -578,8 +580,12 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     oh = pm_i[:, :, None] == jnp.arange(3, dtype=jnp.int32)[None, None]
     pm_pos = jnp.sum(jnp.where(oh, st["premut_pos"][:, None, :], 0), -1)
     pm_refc = jnp.sum(jnp.where(oh, st["premut_refc"][:, None, :], 0), -1)
-    mm_v = jnp.where(from_mm, st["mms"][:, :MM_SLOTS], pm_pos)
-    rc_v = jnp.where(from_mm, st["refcs"][:, :MM_SLOTS], pm_refc)
+    def _padmm(a):
+        if S_MAX >= MM_SLOTS:
+            return a[:, :MM_SLOTS]
+        return jnp.pad(a, ((0, 0), (0, MM_SLOTS - S_MAX)))
+    mm_v = jnp.where(from_mm, _padmm(st["mms"]), pm_pos)
+    rc_v = jnp.where(from_mm, _padmm(st["refcs"]), pm_refc)
     cost = st["r_ham"] | (st["r_stratum"] << 14)
     rec = jnp.concatenate([
         jnp.stack([tidx, toff,
@@ -1447,7 +1453,7 @@ def _harvest(st, idxs):
 
 def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
                    L: int, nfrag: int, n_k: int, m_max: int,
-                   max_steps: int, chunk: int = 192,
+                   max_steps: int, chunk: int | None = None,
                    min_bucket: int = 512):
     """Run the machine in chunks, compacting live lanes into smaller
     buckets as reads finish.  Per-step cost scales with the bucket
@@ -1461,10 +1467,11 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
     orig = np.arange(B0)
     out = None
     steps = 0
+    csteps = chunk or 192
     while True:
         st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
-                          n_k=n_k, m_max=m_max, chunk=chunk)
-        steps += chunk
+                          n_k=n_k, m_max=m_max, chunk=csteps)
+        steps += csteps
         mode = np.asarray(st["mode"])
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0

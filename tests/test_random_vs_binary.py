@@ -1,0 +1,127 @@
+"""Randomized end-to-end parity vs the ACTUAL reference binary.
+
+The port of pillar 2 of the reference's test strategy
+(scripts/test/random_bowtie_tests.pl): random references (with N/gap
+runs), random read sets (sampled substrings with mutations, plus pure
+garbage), and random policies; every case must produce byte-identical
+output from `bowtie_tpu.cli.align` and the compiled bowtie 1.3.1
+binary on an index built by OUR builder (which is itself byte-compared
+against the reference builder in test_build.py).
+
+Skipped when the oracle binary isn't present (build it with
+scripts/make_golden.sh).
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, ".oracle", "bowtie-align-s")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                reason="oracle binary not built")
+
+CHARS = np.array(list("ACGT"))
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def _random_genome(rng, tmp):
+    """Random multi-fragment reference with N runs (randGap analog,
+    random_bowtie_tests.pl:137-150)."""
+    path = os.path.join(tmp, "ref.fa")
+    with open(path, "w") as f:
+        for ri in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(300, 3000))
+            s = list(CHARS[rng.integers(0, 4, n)])
+            for _ in range(int(rng.integers(0, 4))):   # N runs
+                p = int(rng.integers(0, n))
+                ln = int(rng.integers(1, 12))
+                for j in range(p, min(n, p + ln)):
+                    s[j] = "N"
+            f.write(f">ref{ri}\n")
+            seq = "".join(s)
+            for i in range(0, n, 60):
+                f.write(seq[i:i + 60] + "\n")
+    return path
+
+
+def _random_reads(rng, fasta, tmp, nreads=60):
+    seqs = []
+    cur = None
+    for line in open(fasta):
+        if line.startswith(">"):
+            cur = []
+            seqs.append(cur)
+        else:
+            cur.extend(line.strip())
+    path = os.path.join(tmp, "reads.fq")
+    with open(path, "w") as f:
+        for i in range(nreads):
+            src = seqs[int(rng.integers(0, len(seqs)))]
+            rl = int(rng.integers(20, 40))
+            if rng.random() < 0.1 or len(src) <= rl:   # garbage read
+                r = list(CHARS[rng.integers(0, 4, rl)])
+            else:
+                p = int(rng.integers(0, len(src) - rl))
+                r = list(src[p:p + rl])
+                for _ in range(int(rng.integers(0, 4))):
+                    r[int(rng.integers(0, rl))] = \
+                        str(CHARS[int(rng.integers(0, 4))])
+            if rng.random() < 0.5:
+                r = [COMP[c] for c in reversed(r)]
+            q = "".join(chr(33 + int(rng.integers(0, 41)))
+                        for _ in range(rl))
+            f.write(f"@rd{i}\n{''.join(r)}\n+\n{q}\n")
+    return path
+
+
+def _random_policy(rng):
+    """A random mode + reporting policy (random_bowtie_tests.pl:63-101).
+    Modes currently byte-verified through the CLI: -v 0..2 and
+    -n 0..3 without --best."""
+    args = []
+    if rng.random() < 0.5:
+        args += ["-v", str(int(rng.integers(0, 3)))]
+    else:
+        args += ["-n", str(int(rng.integers(0, 4)))]
+        if rng.random() < 0.5:
+            args += ["-l", str(int(rng.integers(5, 32)))]
+        if rng.random() < 0.5:
+            args += ["-e", str(int(rng.integers(40, 200)))]
+        if rng.random() < 0.3:
+            args += ["--nomaqround"]
+    p = rng.random()
+    if p < 0.3:
+        args += ["-k", str(int(rng.integers(1, 4)))]
+    elif p < 0.5:
+        args += ["-a"]
+    if rng.random() < 0.3:
+        args += ["-m", str(int(rng.integers(1, 5)))]
+    if rng.random() < 0.15:
+        args += ["--nofw"] if rng.random() < 0.5 else ["--norc"]
+    if rng.random() < 0.3:
+        args += ["-S", "--sam-nohead"]
+    return args
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_case_matches_binary(seed, tmp_path):
+    rng = np.random.default_rng(1000 + seed)
+    tmp = str(tmp_path)
+    fasta = _random_genome(rng, tmp)
+    reads = _random_reads(rng, fasta, tmp)
+    base = os.path.join(tmp, "idx")
+    from bowtie_tpu.build.builder import build_from_fasta
+    build_from_fasta([fasta], base)
+    args = _random_policy(rng)
+    ref_out = os.path.join(tmp, "ref.out")
+    subprocess.run([ORACLE, "--wrapper", "basic-0", *args, base, reads,
+                    ref_out], check=True, capture_output=True)
+    my_out = os.path.join(tmp, "my.out")
+    from bowtie_tpu.cli.align import main
+    rc = main([*args, base, reads, my_out])
+    assert rc in (0, None)
+    assert open(my_out, "rb").read() == open(ref_out, "rb").read(), \
+        f"output differs for args={args}"
