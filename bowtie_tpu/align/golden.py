@@ -14,14 +14,29 @@ import numpy as np
 from ..index.ebwt_io import EbwtIndex
 
 
+# below this genome size keep dense per-row rank/SA tables on host:
+# O(1) rank/resolve instead of per-call block scans / walk-left loops —
+# a large constant-factor win for the scalar engines (oracle fallback,
+# best-first, paired-end)
+DENSE_HOST_LIMIT = 1 << 27
+
+
 class GoldenFM:
     """Scalar FM-index operations over a parsed EbwtIndex."""
 
-    def __init__(self, idx: EbwtIndex):
+    def __init__(self, idx: EbwtIndex, dense: bool | None = None):
         self.idx = idx
         self.occ = idx.occ_checkpoints()
         self.B = idx.OCC_BLOCK
         self.ftab_hi, self.ftab_lo = idx.ftab_resolved()
+        if dense is None:
+            dense = idx.length <= DENSE_HOST_LIMIT
+        self._occ_full = None
+        self._sa_dense = None
+        if dense:
+            from ..index.arrays import build_full_rank, build_dense_sa
+            self._occ_full = build_full_rank(idx.bwt)
+            self._sa_dense = build_dense_sa(idx)
 
     # -- rank ----------------------------------------------------------
     def rank(self, c: int, i: int) -> int:
@@ -31,6 +46,11 @@ class GoldenFM:
         (ebwt.h:2044-2052): subtract it from A-counts when i > zoff.
         """
         idx = self.idx
+        if self._occ_full is not None:
+            cnt = int(self._occ_full[i, c])
+            if c == 0 and i > idx.zoff:
+                cnt -= 1
+            return cnt
         k, r = divmod(i, self.B)
         cnt = int(self.occ[k, c]) + int(np.count_nonzero(
             idx.bwt[k * self.B: k * self.B + r] == c))
@@ -110,6 +130,8 @@ class GoldenFM:
         """Joined-text offset of the suffix at BWT row i
         (reportChaseOne walk-left, ebwt.h:2727-2746)."""
         idx = self.idx
+        if self._sa_dense is not None:
+            return int(self._sa_dense[i])
         mask = (1 << idx.off_rate) - 1
         jumps = 0
         while (i & mask) != 0 and i != idx.zoff:
