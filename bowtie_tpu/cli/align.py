@@ -114,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prewidth", type=int, default=1)
     p.add_argument("--large-index", action="store_true",
                    help="prefer the .ebwtl variant if both exist")
+    p.add_argument("-o", "--offrate", type=int, default=-1,
+                   help="re-thin the SA sample at load (must be >= the"
+                        " index's offrate; ebwt.h:438-441)")
+    p.add_argument("--no-unal", action="store_true",
+                   help="suppress SAM records for unaligned reads")
+    p.add_argument("--version", action="store_true")
+    p.add_argument("-Q", "--quals", default=None,
+                   help="QV files for -f input (comma-separated)")
     p.add_argument("--wrapper", default=None, help=argparse.SUPPRESS)
     return p
 
@@ -147,6 +155,12 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    if "--version" in (argv if argv is not None else sys.argv[1:]):
+        import platform
+        print("bowtie-tpu version 1.3.1-tpu")
+        print("64-bit")
+        print(f"Python {platform.python_version()}")
+        return 0
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
 
@@ -173,6 +187,17 @@ def main(argv=None) -> int:
     t0 = time.time()
     args.ebwt_base = adjust_ebwt_base(args.ebwt_base)
     idx = read_ebwt(args.ebwt_base)
+    if args.offrate >= 0:
+        # re-thin the SA sample at load (Ebwt ctor offRate override,
+        # ebwt.h:438-441): keep every 2^(new-old)'th entry
+        if args.offrate < idx.off_rate:
+            print(f"Warning: -o/--offrate {args.offrate} is less than "
+                  f"the index's offrate ({idx.off_rate}); ignoring",
+                  file=sys.stderr)
+        else:
+            step = 1 << (args.offrate - idx.off_rate)
+            idx.offs = idx.offs[::step].copy()
+            idx.off_rate = args.offrate
     fm = from_ebwt(idx)
     if args.time:
         print(f"Time loading ebwt: {time.time()-t0:.2f}s", file=sys.stderr)
@@ -344,7 +369,7 @@ def main(argv=None) -> int:
                 stats.processed += 1
                 if res.maxed:
                     stats.maxed += 1
-                    if args.sam:
+                    if args.sam and not args.no_unal:
                         writer.unaligned(r1, nhits=res.nbuffered,
                                          paired=True, second=False)
                         writer.unaligned(r2, nhits=res.nbuffered,
@@ -354,7 +379,7 @@ def main(argv=None) -> int:
                         _dump_read(max_f, r2, fmt)
                 elif not res.hits:
                     stats.failed += 1
-                    if args.sam:
+                    if args.sam and not args.no_unal:
                         writer.unaligned(r1, nhits=0, paired=True,
                                          second=False)
                         writer.unaligned(r2, nhits=0, paired=True,
@@ -396,13 +421,13 @@ def main(argv=None) -> int:
                     _dump_read(max_f, read, fmt)
             elif res.maxed:
                 stats.maxed += 1
-                if args.sam:
+                if args.sam and not args.no_unal:
                     writer.unaligned(read, nhits=res.nbuffered)
                 if max_f:
                     _dump_read(max_f, read, fmt)
             elif not res.hits:
                 stats.failed += 1
-                if args.sam:
+                if args.sam and not args.no_unal:
                     writer.unaligned(read, nhits=0)
                 if un_f:
                     _dump_read(un_f, read, fmt)
