@@ -121,7 +121,36 @@ def build_parser() -> argparse.ArgumentParser:
                    help="suppress SAM records for unaligned reads")
     p.add_argument("--version", action="store_true")
     p.add_argument("-Q", "--quals", default=None,
-                   help="QV files for -f input (comma-separated)")
+                   help="QV files (colorspace-era; ignored, like the "
+                        "reference since colorspace removal in 1.3.0)")
+    # long aliases (getopt table, ebwt_search.cpp:332-428)
+    p.add_argument("--khits", dest="khits", type=int)
+    p.add_argument("--mhits", dest="mhits", type=int)
+    p.add_argument("--sam-noSQ", dest="sam_nosq", action="store_true")
+    p.add_argument("--sam-no-qname-trunc", dest="no_qname_trunc",
+                   action="store_true")
+    p.add_argument("--hadoopout", action="store_true",
+                   help="Hadoop streaming counters on stderr "
+                        "(hit.h:338-344)")
+    # legacy/debug/perf-tuning flags accepted for compatibility; they
+    # select internal strategies that have no analog (or are always-on)
+    # in the batched TPU architecture
+    for flag in ("--filepar", "--noreconcile", "--pev2", "--strandfix",
+                 "--better", "--oldbest", "--stateful", "--phased",
+                 "--reportopps", "--sanity", "--startverbose",
+                 "--chunkverbose", "--pause"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
+    for flag, dv in (("--cachelim", 0), ("--cachesz", 0),
+                     ("--chunksz", 0), ("--isarate", -1),
+                     ("--mixthresh", 4), ("--thread-ceiling", 0),
+                     ("--reportse", 0)):
+        p.add_argument(flag, type=int, default=dv,
+                       help=argparse.SUPPRESS)
+    p.add_argument("--thread-piddir", default=None,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--orig", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--range", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--wrapper", default=None, help=argparse.SUPPRESS)
     return p
 
@@ -468,6 +497,21 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
                   f"({100.0*stats.maxed/max(1,stats.processed):.2f}%)",
                   file=sys.stderr)
         print(f"Reported {stats.reported} alignments", file=sys.stderr)
+    if getattr(args, "hadoopout", False):
+        # Hadoop streaming counters (hit.h:338-344)
+        print(f"reporter:counter:Bowtie,Reads with reported alignments,"
+              f"{stats.aligned}", file=sys.stderr)
+        print(f"reporter:counter:Bowtie,Reads with no alignments,"
+              f"{stats.failed}", file=sys.stderr)
+        print(f"reporter:counter:Bowtie,Reads exceeding -m limit,"
+              f"{stats.maxed}", file=sys.stderr)
+        paired = bool(args.mates1 or args.tabbed or args.interleaved)
+        nup = 0 if paired else stats.reported
+        npp = stats.reported if paired else 0
+        print(f"reporter:counter:Bowtie,Unpaired alignments reported,"
+              f"{nup}", file=sys.stderr)
+        print(f"reporter:counter:Bowtie,Paired alignments reported,"
+              f"{npp}", file=sys.stderr)
 
     for f in (un_f, al_f, max_f):
         if f:
