@@ -200,6 +200,15 @@ def main(argv=None) -> int:
     if not 0 <= args.seedmms <= 3:
         print("-n arg must be at least 0 and at most 3", file=sys.stderr)
         return 1
+    if args.strata and not args.best:
+        print("--strata must be combined with --best", file=sys.stderr)
+        return 1
+    if args.strata and not (args.all or args.mhits is not None or
+                            args.khits > 1 or
+                            args.sample_mhits is not None):
+        print("--strata has no effect unless combined with -m, -a, or "
+              "-k N where N > 1", file=sys.stderr)
+        return 1
 
     fmt = "fastq"
     if args.fasta:

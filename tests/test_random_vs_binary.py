@@ -101,12 +101,21 @@ def _random_policy(rng):
         args += ["-m", str(int(rng.integers(1, 5)))]
     if rng.random() < 0.15:
         args += ["--nofw"] if rng.random() < 0.5 else ["--norc"]
+    if rng.random() < 0.35:           # stateful best-first engine
+        args += ["--best"]
+        # --strata requires -m, -a or -k>1 (parseOptions check)
+        if rng.random() < 0.4 and ("-a" in args or "-m" in args or
+                                   ("-k" in args and
+                                    args[args.index("-k") + 1] != "1")):
+            args += ["--strata"]
+        if rng.random() < 0.3 and "-m" not in args and "-a" not in args:
+            args += ["-M", "1"]
     if rng.random() < 0.3:
         args += ["-S", "--sam-nohead"]
     return args
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_random_case_matches_binary(seed, tmp_path):
     rng = np.random.default_rng(1000 + seed)
     tmp = str(tmp_path)
@@ -125,3 +134,72 @@ def test_random_case_matches_binary(seed, tmp_path):
     assert rc in (0, None)
     assert open(my_out, "rb").read() == open(ref_out, "rb").read(), \
         f"output differs for args={args}"
+
+
+def _random_pairs(rng, fasta, tmp, npairs=40):
+    """Mate pairs sampled --fr from the reference (pe analog of
+    random_bowtie_tests.pl read generation)."""
+    seqs = []
+    cur = None
+    for line in open(fasta):
+        if line.startswith(">"):
+            cur = []
+            seqs.append(cur)
+        else:
+            cur.extend(line.strip())
+    p1 = os.path.join(tmp, "r_1.fq")
+    p2 = os.path.join(tmp, "r_2.fq")
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(npairs):
+            src = seqs[int(rng.integers(0, len(seqs)))]
+            rl = 25
+            ins = int(rng.integers(60, 220))
+            if len(src) < ins + 10 or rng.random() < 0.15:
+                m1 = list(CHARS[rng.integers(0, 4, rl)])
+                m2 = list(CHARS[rng.integers(0, 4, rl)])
+            else:
+                p = int(rng.integers(0, len(src) - ins))
+                m1 = list(src[p:p + rl])
+                m2 = [COMP[c] for c in
+                      reversed(src[p + ins - rl:p + ins])]
+                for m in (m1, m2):
+                    for _ in range(int(rng.integers(0, 3))):
+                        m[int(rng.integers(0, rl))] = \
+                            str(CHARS[int(rng.integers(0, 4))])
+            q = "".join(chr(33 + int(rng.integers(0, 41)))
+                        for _ in range(rl))
+            f1.write(f"@p{i}/1\n{''.join(m1)}\n+\n{q}\n")
+            f2.write(f"@p{i}/2\n{''.join(m2)}\n+\n{q}\n")
+    return p1, p2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_paired_matches_binary(seed, tmp_path):
+    rng = np.random.default_rng(9000 + seed)
+    tmp = str(tmp_path)
+    fasta = _random_genome(rng, tmp)
+    m1, m2 = _random_pairs(rng, fasta, tmp)
+    base = os.path.join(tmp, "idx")
+    from bowtie_tpu.build.builder import build_from_fasta
+    build_from_fasta([fasta], base)
+    args = []
+    if rng.random() < 0.5:
+        args += ["-v", str(int(rng.integers(0, 3)))]
+    else:
+        args += ["-n", str(int(rng.integers(0, 4)))]
+    args += ["-I", str(int(rng.integers(0, 60))),
+             "-X", str(int(rng.integers(150, 300)))]
+    if rng.random() < 0.3:
+        args += ["-k", str(int(rng.integers(1, 3)))]
+    if rng.random() < 0.3:
+        args += ["--best"]
+    ref_out = os.path.join(tmp, "ref.out")
+    subprocess.run([ORACLE, "--wrapper", "basic-0", *args,
+                    "-1", m1, "-2", m2, base, ref_out],
+                   check=True, capture_output=True)
+    my_out = os.path.join(tmp, "my.out")
+    from bowtie_tpu.cli.align import main
+    rc = main([*args, "-1", m1, "-2", m2, base, my_out])
+    assert rc in (0, None)
+    assert open(my_out, "rb").read() == open(ref_out, "rb").read(), \
+        f"paired output differs for args={args}"
