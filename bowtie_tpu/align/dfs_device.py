@@ -1296,11 +1296,15 @@ def _bucket(n: int, buckets=(256, 1024, 4096, 16384)) -> int:
     return -(-n // buckets[-1]) * buckets[-1]
 
 
-def _len_bucket(n: int, buckets=(40, 64, 128, 256, 512, 1024)) -> int:
+def _len_bucket(n: int, buckets=(40, 64, 128, 256, 512, 1024,
+                                 2048, 4096)) -> int:
+    """Length bucket for kernel shapes.  The reference caps reported
+    mismatch masks at 1024 positions (hit.h:66) but still processes
+    longer reads; so do we."""
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"read length {n} exceeds 1024 (hit.h:66)")
+    raise ValueError(f"read length {n} unsupported")
 
 
 class DeviceDFSAligner:
@@ -1446,9 +1450,55 @@ def _compact(st, jobs, idxs, pad):
 
 
 @jax.jit
+def _harvest_small(st, idxs):
+    """Per-lane scalars of the given lanes (cheap download)."""
+    return {k: st[k][idxs] for k in
+            ("result", "overflow", "count", "nhits", "npart", "rng")}
+
+
+@jax.jit
+def _gather_rows(arr, lanes, slots):
+    return arr[lanes, slots]
+
+
+def _pad_pow2(a, fill=0, lo=64):
+    n = max(lo, 1 << int(np.ceil(np.log2(max(1, len(a))))))
+    if len(a) == n:
+        return a
+    return np.concatenate([a, np.full(n - len(a), fill, a.dtype)])
+
+
 def _harvest(st, idxs):
-    """Gather the OUT_KEYS rows of the given lanes (for host download)."""
-    return {k: st[k][idxs] for k in OUT_KEYS if k != "mode"}
+    """Download the outputs of the given lanes, dense-packing the hit
+    and partial buffers first: [total, fields] instead of
+    [B, H_MAX/P_MAX, fields] — an order of magnitude less transfer on
+    slow device links."""
+    import jax.numpy as jnp
+    dev_idx = jnp.asarray(idxs)
+    out = {k: np.asarray(v) for k, v in _harvest_small(st, dev_idx)
+           .items()}
+    n = len(idxs)
+
+    def pack(counts, arr, width_shape):
+        total = int(counts.sum())
+        full = np.zeros((n,) + width_shape, np.int32)
+        if total:
+            lanes_rel = np.repeat(np.arange(n), counts)
+            slots = np.concatenate([np.arange(c) for c in counts])
+            la = _pad_pow2(idxs[lanes_rel].astype(np.int64))
+            sl = _pad_pow2(slots.astype(np.int64))
+            packed = np.asarray(_gather_rows(arr, jnp.asarray(la),
+                                             jnp.asarray(sl)))[:total]
+            full[lanes_rel, slots] = packed
+        return full
+
+    out["hits"] = pack(out["nhits"], st["hits"], (H_MAX,
+                                                  8 + 2 * MM_SLOTS))
+    out["part_n"] = pack(out["npart"], st["part_n"], (P_MAX,))
+    out["part_job"] = pack(out["npart"], st["part_job"], (P_MAX,))
+    out["part_pos"] = pack(out["npart"], st["part_pos"], (P_MAX, 3))
+    out["part_refc"] = pack(out["npart"], st["part_refc"], (P_MAX, 3))
+    return out
 
 
 def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
@@ -1477,8 +1527,7 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         live = orig >= 0
         if len(act) == 0 or steps >= max_steps:
             sub = np.flatnonzero(live)
-            h = _harvest(st, jnp.asarray(sub))
-            h = {k: np.asarray(v) for k, v in h.items()}
+            h = _harvest(st, sub)
             if steps >= max_steps and len(act):
                 # ran out of budget: flag still-active lanes
                 still = np.isin(sub, act)
@@ -1490,9 +1539,7 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         if newB < mode.shape[0]:
             done_live = np.flatnonzero((mode == M_DONE) & live)
             if len(done_live):
-                h = _harvest(st, jnp.asarray(done_live))
-                out = _merge_out(out, {k: np.asarray(v)
-                                       for k, v in h.items()},
+                out = _merge_out(out, _harvest(st, done_live),
                                  orig[done_live], B0)
             pad_n = newB - len(act)
             idxs = np.concatenate([act, np.full(pad_n, act[0],

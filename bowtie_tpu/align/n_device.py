@@ -74,7 +74,7 @@ class DeviceNAligner(DeviceDFSAligner):
         return self._oracle
 
     # -- launch B job table (phase 3/4 extensions + half-and-half) ------
-    def _jobs_b(self, reads, out_a, L, fc):
+    def _jobs_b(self, reads, out_a, L, fc, gated, jrc):
         n, s, qt = self.n_mms, self.seed_len, self.qt
         B = len(reads)
         kw = dict(consider_quals=True, qual_thresh=qt, maq=self.maq,
@@ -82,7 +82,7 @@ class DeviceNAligner(DeviceDFSAligner):
         specs = [[] for _ in range(B)]
         for b, read in enumerate(reads):
             if out_a["result"][b] != 0 or out_a["overflow"][b] or \
-                    self._gated[b] or n == 0:
+                    gated[b] or n == 0:
                 continue
             plen = len(read.seq)
             qs = min(plen, s)
@@ -92,7 +92,7 @@ class DeviceNAligner(DeviceDFSAligner):
                 pal = _Pal([(int(out_a["part_pos"][b, t, k]),
                              int(out_a["part_refc"][b, t, k]))
                             for k in range(int(out_a["part_n"][b, t]))])
-                if int(out_a["part_job"][b, t]) == self._j_pam_rc[b]:
+                if int(out_a["part_job"][b, t]) == jrc:
                     pam_rc.append(pal)
                 else:
                     pam_fw.append(pal)
@@ -148,8 +148,6 @@ class DeviceNAligner(DeviceDFSAligner):
         L = _len_bucket(max(max(len(r.seq) for r in reads),
                             self.seed_len))
         fc = self.cat.ftab_chars
-        self._j_pam_rc = np.full(B, -1, np.int32)
-        self._j_pam_fw = np.full(B, -2, np.int32)
         n_k = self.policy.n if self.policy.n < INF32 else INF32
         m_max = self.policy.max if self.policy.max < INF32 else INF32
         seeds = np.zeros(Bp, dtype=np.uint32)
@@ -165,17 +163,15 @@ class DeviceNAligner(DeviceDFSAligner):
             return {k: jnp.asarray(v) for k, v in jobs.items()}
 
         from .dfs_jobs import build_n_jobs_a_vec
-        jobs_a, J_A, self._gated, jrc, jfw = build_n_jobs_a_vec(
+        jobs_a, J_A, gated, jrc, jfw = build_n_jobs_a_vec(
             reads, self.n_mms, self.seed_len, self.qt, self.maxbts,
             self.maq, self.nofw, self.norc, L, fc)
-        self._j_pam_rc[:] = jrc
-        self._j_pam_fw[:] = jfw
         out_a = run_compacting(
             self.cat, pad(jobs_a), seeds,
             np.zeros(Bp, np.int32), J=J_A, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
 
-        jobs_b, J_B = self._jobs_b(reads, out_a, L, fc)
+        jobs_b, J_B = self._jobs_b(reads, out_a, L, fc, gated, jrc)
         if jobs_b is not None:
             out_b = run_compacting(
                 self.cat, pad(jobs_b), seeds,
@@ -184,12 +180,12 @@ class DeviceNAligner(DeviceDFSAligner):
                 max_steps=self.max_steps)
         else:
             out_b = None
-        return self._assemble_n(reads, out_a, out_b, seeds)
+        return self._assemble_n(reads, out_a, out_b, seeds, gated)
 
-    def _assemble_n(self, reads, out_a, out_b, seeds) -> list:
+    def _assemble_n(self, reads, out_a, out_b, seeds, gated) -> list:
         results = []
         for b, read in enumerate(reads):
-            if self._gated[b]:
+            if gated[b]:
                 results.append(self.policy.finish([], 0, int(seeds[b])))
                 continue
             if bool(out_a["overflow"][b]) or \

@@ -400,9 +400,25 @@ def main(argv=None) -> int:
     args._metrics = metrics
     batch_size = args.reads_per_batch or args.batch_size
     t0 = time.time()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pipelined(batches, align):
+        """Depth-1 pipeline: batch k+1 aligns (device) while batch k's
+        results are formatted and written (host) — the batched analog
+        of the reference's overlapped worker threads."""
+        with ThreadPoolExecutor(1) as ex:
+            pending = None
+            for batch in batches:
+                fut = ex.submit(align, batch)
+                if pending is not None:
+                    yield pending[0], pending[1].result()
+                pending = (batch, fut)
+            if pending is not None:
+                yield pending[0], pending[1].result()
+
     if paired:
-        for batch in src.batches(batch_size):
-            results = aligner.align_batch(batch)
+        for batch, results in pipelined(src.batches(batch_size),
+                                        aligner.align_batch):
             for (r1, r2), res in zip(batch, results):
                 stats.processed += 1
                 if res.maxed:
@@ -438,8 +454,8 @@ def main(argv=None) -> int:
                         _dump_read(al_f, r1, fmt)
                         _dump_read(al_f, r2, fmt)
         return _finish(args, stats, t0, out, un_f, al_f, max_f)
-    for batch in src.batches(batch_size):
-        results = aligner.align_batch(batch)
+    for batch, results in pipelined(src.batches(batch_size),
+                                    aligner.align_batch):
         for read, res in zip(batch, results):
             stats.processed += 1
             if metrics is not None:

@@ -118,6 +118,11 @@ def parse_fastq(path: str, use_native: bool = True,
             from ..native.fastq_native import parse_fastq_bytes
             with open(path, "rb") as f:
                 buf = f.read()
+            if not buf.strip():
+                import sys
+                print("Error: reads file does not look like a "
+                      "FASTQ file", file=sys.stderr)
+                raise SystemExit(1)
             res = parse_fastq_bytes(buf)
             if res is not None:
                 names, seqs, quals, _codes, _lens = res
@@ -126,10 +131,19 @@ def parse_fastq(path: str, use_native: bool = True,
         except Exception:
             pass  # fall back to the pure-Python parser
     with _open(path) as f:
+        first = True
         while True:
             l1 = f.readline()
             if not l1:
+                if first:
+                    # match the reference on an empty reads file
+                    # (FastqPatternSource first-char check, pat.cpp)
+                    import sys
+                    print("Error: reads file does not look like a "
+                          "FASTQ file", file=sys.stderr)
+                    raise SystemExit(1)
                 return
+            first = False
             l1 = l1.rstrip()
             if not l1:
                 continue
