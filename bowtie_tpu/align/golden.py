@@ -33,7 +33,7 @@ class GoldenFM:
             dense = idx.length <= DENSE_HOST_LIMIT
         self._occ_full = None
         self._sa_dense = None
-        if dense:
+        if dense and idx.offs is not None:
             from ..index.arrays import build_full_rank, build_dense_sa
             self._occ_full = build_full_rank(idx.bwt)
             self._sa_dense = build_dense_sa(idx)
