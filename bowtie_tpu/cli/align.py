@@ -142,10 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     for flag, dv in (("--cachelim", 0), ("--cachesz", 0),
                      ("--chunksz", 0), ("--isarate", -1),
-                     ("--mixthresh", 4), ("--thread-ceiling", 0),
-                     ("--reportse", 0)):
+                     ("--mixthresh", 4), ("--thread-ceiling", 0)):
         p.add_argument(flag, type=int, default=dv,
                        help=argparse.SUPPRESS)
+    p.add_argument("--reportse", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--thread-piddir", default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("--orig", default=None, help=argparse.SUPPRESS)
@@ -199,6 +200,10 @@ def main(argv=None) -> int:
         return 1
     if not 0 <= args.seedmms <= 3:
         print("-n arg must be at least 0 and at most 3", file=sys.stderr)
+        return 1
+    if args.reportse:
+        print("Error: --reportse is not supported yet by bowtie-tpu",
+              file=sys.stderr)
         return 1
     if args.strata and not args.best:
         print("--strata must be combined with --best", file=sys.stderr)
