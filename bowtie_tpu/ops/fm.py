@@ -9,8 +9,8 @@ These are the TPU re-expression of bowtie's hot loop:
 - bwt_char         <-> rowL (ebwt.h:1696)
 
 All functions operate on int32 row indices and are shaped for vmap over
-a read batch.  A Pallas kernel variant lives in ops/pallas_fm.py for the
-latency-critical inner loop.
+a read batch.  (A Pallas VMEM-resident variant of the machine step is
+planned — see docs/device_best_design.md and the README roadmap.)
 """
 from __future__ import annotations
 
