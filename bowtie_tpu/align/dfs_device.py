@@ -253,6 +253,7 @@ JOB_FIELDS = [
     "reset_rng",      # 1: rng <- read seed at job load
     "ns_gate",        # 1: backtrack() returns False immediately (N tally)
     "ns_ftab",        # count of Ns in the first ftabChars depths
+    "maq_round",      # Maq penalty rounding for derived pend rows
     "npremut",        # seed-stage mutations already applied (phase 3/4)
     "premut_pos0", "premut_pos1", "premut_pos2",
     "premut_refc0", "premut_refc1", "premut_refc2",
@@ -635,11 +636,13 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     done = m & ~valid
     st["mode"] = jnp.where(done, M_DONE, st["mode"])
     m = m & valid
-    # load job registers
+    derive = "base_codes" in jobs     # static at trace time
     flat = jidx + jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * J
-    for reg, row in [("qd", "qd"), ("quald", "quald"), ("pend", "pend")]:
-        rows = jobs[row].reshape(B * J, L)[flat].astype(jnp.int32)
-        st[reg] = jnp.where(m[:, None], rows, st[reg])
+    if not derive:
+        for reg, row in [("qd", "qd"), ("quald", "quald"),
+                         ("pend", "pend")]:
+            rows = jobs[row].reshape(B * J, L)[flat].astype(jnp.int32)
+            st[reg] = jnp.where(m[:, None], rows, st[reg])
     for reg, f in [("qlen", "qlen"), ("ebwt_fw", "ebwt_fw"),
                    ("fwflag", "fw"), ("jd5", "d5"), ("jd3", "d3"),
                    ("jrev2", "rev2"), ("jrev3", "rev3"),
@@ -675,8 +678,69 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
                                st["blk_base"])
     st["sd"] = jnp.where(m, 0, st["sd"])
 
-    # N tally gate (:1306-1343, precomputed on host)
-    gate = m & (jf("ns_gate") > 0)
+    if derive:
+        # derive the by-depth query/qual/penalty rows from the base
+        # read arrays (set_query semantics, see dfs_jobs.py identities)
+        # — removes the per-batch [B, J, L] uploads.
+        codes = jobs["base_codes"].astype(jnp.int32)       # [B, L]
+        qual = jobs["base_qual"].astype(jnp.int32)         # [B, L]
+        plen = jobs["base_plen"]                           # [B]
+        qs = jf("qlen")
+        fwj = jf("fw")
+        efw2 = jf("ebwt_fw")
+        di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        rev = (fwj == efw2)[:, None]
+        take = jnp.where(rev, qs[:, None] - 1 - di,
+                         plen[:, None] - qs[:, None] + di)
+        take = jnp.clip(take, 0, L - 1)
+        oh = take[:, :, None] == \
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+        qd = jnp.sum(jnp.where(oh, codes[:, None, :], 0), axis=2)
+        qv = jnp.sum(jnp.where(oh, qual[:, None, :], 0), axis=2)
+        comp = (fwj == 0)[:, None]
+        qd = jnp.where(comp & (qd < 4), 3 - qd, qd)
+        in_q = di < qs[:, None]
+        qd = jnp.where(in_q, qd, 4)
+        qv = jnp.where(in_q, qv, 0)
+        # seed-stage mutations (phase 3/4 extension jobs)
+        npm = jf("npremut")
+        for k, (pf, cf) in enumerate((("premut_pos0", "premut_refc0"),
+                                      ("premut_pos1", "premut_refc1"),
+                                      ("premut_pos2", "premut_refc2"))):
+            pos = jf(pf)
+            # premut positions are query coords; depth = qs-1-pos
+            hit_d = (di == (qs - 1 - pos)[:, None]) & (npm > k)[:, None]
+            qd = jnp.where(hit_d, jf(cf)[:, None], qd)
+        pend = jnp.where(jf("maq_round")[:, None] > 0,
+                         jnp.minimum(30, ((qv + 5) // 10) * 10), qv)
+        st["qd"] = jnp.where(m[:, None], qd, st["qd"])
+        st["quald"] = jnp.where(m[:, None], qv, st["quald"])
+        st["pend"] = jnp.where(m[:, None], pend, st["pend"])
+        # N tally gate computed on device (_tally_ns, :1306-1343)
+        rev3j = jf("rev3")
+        region = in_q & (di < rev3j[:, None])
+        isn = (qd == 4) & region
+        nsc = jnp.cumsum(isn.astype(jnp.int32), axis=1)
+        def kth(kk):
+            at = isn & (nsc == kk)
+            has = jnp.any(at, axis=1)
+            pos = jnp.argmax(at, axis=1).astype(jnp.int32)
+            return has, pos
+        h1, p1 = kth(1)
+        h2, p2 = kth(2)
+        h3, p3 = kth(3)
+        total = nsc[:, -1]
+        ns_gate_v = ((h1 & (p1 < jf("unrev"))) |
+                     (h2 & (p2 < jf("rev1"))) |
+                     (h3 & (p3 < jf("rev2"))) | (total > 3))
+        fcs = cat.ftab_chars
+        ns_ftab_v = jnp.sum(((qd[:, :fcs] == 4) & in_q[:, :fcs])
+                            .astype(jnp.int32), axis=1)
+        gate = m & ns_gate_v
+    else:
+        ns_gate_v = jf("ns_gate") > 0
+        ns_ftab_v = jf("ns_ftab")
+        gate = m & ns_gate_v
     st["mode"] = jnp.where(gate, M_JOB, st["mode"])
     st["job"] = jnp.where(gate, st["job"] + 1, st["job"])
     m = m & ~gate
@@ -684,7 +748,7 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     fc = cat.ftab_chars
     qlen = jf("qlen")
     unrev = jf("unrev")
-    ns_ftab = jf("ns_ftab")
+    ns_ftab = ns_ftab_v
     ham0 = jf("ham0")
     use_ftab = (ns_ftab == 0) & (jnp.minimum(unrev, qlen) >= fc)
     # calcFtabOff over depths 0..fc-1 (ebwt_search_backtrack.h:254-257)
@@ -1183,10 +1247,11 @@ def fill_job(jobs, b, j, read, *, fw, ebwt_fw, offs, qlen=None,
     d5, d3, unrev, rev1, rev2, rev3 = offs
     qd = qry[qlen - 1::-1]
     quald = q[qlen - 1::-1]
-    jobs["qd"][b, j, :qlen] = qd
-    jobs["quald"][b, j, :qlen] = quald
-    jobs["pend"][b, j, :qlen] = _QR[np.clip(quald, 0, 255)] if maq \
-        else quald
+    if "qd" in jobs:
+        jobs["qd"][b, j, :qlen] = qd
+        jobs["quald"][b, j, :qlen] = quald
+        jobs["pend"][b, j, :qlen] = _QR[np.clip(quald, 0, 255)] if maq \
+            else quald
     # N tally (:163-184)
     ns_gate = 0
     ns_seed = 0
@@ -1205,6 +1270,7 @@ def fill_job(jobs, b, j, read, *, fw, ebwt_fw, offs, qlen=None,
              report_partials=report_partials,
              half_and_half=int(half_and_half), max_bts=max_bts,
              consider_quals=int(consider_quals), qual_thresh=qual_thresh,
+             maq_round=int(maq),
              reset_rng=int(reset_rng), ns_gate=ns_gate, ns_ftab=ns_ftab,
              npremut=len(premuts),
              collect_partials=int(collect_partials))

@@ -44,11 +44,23 @@ def read_matrices(reads, L: int):
     return fwm, qm - 33, lens
 
 
-def empty_jobs_vec(B: int, J: int, L: int):
+def empty_jobs_vec(B: int, J: int, L: int, rows: bool = False):
+    """Scalar job table; with rows=True also the by-depth row arrays
+    (the device derives rows itself from base read arrays otherwise —
+    see _step_job's derive path)."""
     jobs = {f: np.zeros((B, J), dtype=np.int32) for f in JOB_FIELDS}
-    jobs["qd"] = np.full((B, J, L), 4, dtype=np.int8)
-    jobs["quald"] = np.zeros((B, J, L), dtype=np.int8)
-    jobs["pend"] = np.zeros((B, J, L), dtype=np.int8)
+    if rows:
+        jobs["qd"] = np.full((B, J, L), 4, dtype=np.int8)
+        jobs["quald"] = np.zeros((B, J, L), dtype=np.int8)
+        jobs["pend"] = np.zeros((B, J, L), dtype=np.int8)
+    return jobs
+
+
+def attach_base(jobs, fwm, qm, lens):
+    """Base read arrays for device-side row derivation."""
+    jobs["base_codes"] = fwm
+    jobs["base_qual"] = np.clip(qm, 0, 127).astype(np.int8)
+    jobs["base_plen"] = lens
     return jobs
 
 
@@ -66,42 +78,49 @@ def fill_job_vec(jobs, j, fwm, qm, lens, qs, *, fw, ebwt_fw, offs,
     qs = np.broadcast_to(np.asarray(qs, np.int32), (B,))
     plen = lens
     in_q = d < qs[:, None]
-    if (ebwt_fw and fw) or (not ebwt_fw and not fw):
-        take = qs[:, None] - 1 - d
+    with_rows = "qd" in jobs
+    if not with_rows:
+        d5, d3, unrev, rev1, rev2, rev3 = [
+            np.broadcast_to(np.asarray(o, np.int32), (B,)) for o in offs]
+        gate = np.zeros(B, np.int32)          # device computes gates
+        ns_ftab = np.zeros(B, np.int32)
     else:
-        take = plen[:, None] - qs[:, None] + d
-    take = np.clip(take, 0, L - 1)
-    qd = np.take_along_axis(fwm, take, axis=1)
-    if not fw:             # rc-based variants read the complement
-        qd = np.where(qd < 4, 3 - qd, 4).astype(np.int8)
-    qd = np.where(in_q, qd, 4).astype(np.int8)
-    quald = np.take_along_axis(qm, take, axis=1)
-    quald = np.where(in_q, quald, 0)
-    jobs["qd"][:, j, :] = qd
-    jobs["quald"][:, j, :] = np.clip(quald, 0, 127).astype(np.int8)
-    jobs["pend"][:, j, :] = _QR[np.clip(quald, 0, 255)] if maq \
-        else np.clip(quald, 0, 127).astype(np.int8)
+        if (ebwt_fw and fw) or (not ebwt_fw and not fw):
+            take = qs[:, None] - 1 - d
+        else:
+            take = plen[:, None] - qs[:, None] + d
+        take = np.clip(take, 0, L - 1)
+        qd = np.take_along_axis(fwm, take, axis=1)
+        if not fw:             # rc-based variants read the complement
+            qd = np.where(qd < 4, 3 - qd, 4).astype(np.int8)
+        qd = np.where(in_q, qd, 4).astype(np.int8)
+        quald = np.take_along_axis(qm, take, axis=1)
+        quald = np.where(in_q, quald, 0)
+        jobs["qd"][:, j, :] = qd
+        jobs["quald"][:, j, :] = np.clip(quald, 0, 127).astype(np.int8)
+        jobs["pend"][:, j, :] = _QR[np.clip(quald, 0, 255)] if maq \
+            else np.clip(quald, 0, 127).astype(np.int8)
 
-    d5, d3, unrev, rev1, rev2, rev3 = [
-        np.broadcast_to(np.asarray(o, np.int32), (B,)) for o in offs]
-    # N tally gate (_tally_ns, backtrack_oracle.py:163-184)
-    region = in_q & (d < rev3[:, None])
-    isn = (qd == 4) & region
-    nscum = np.cumsum(isn, axis=1)
-    total = nscum[:, -1]
+        d5, d3, unrev, rev1, rev2, rev3 = [
+            np.broadcast_to(np.asarray(o, np.int32), (B,)) for o in offs]
+        # N tally gate (_tally_ns, backtrack_oracle.py:163-184)
+        region = in_q & (d < rev3[:, None])
+        isn = (qd == 4) & region
+        nscum = np.cumsum(isn, axis=1)
+        total = nscum[:, -1]
 
-    def kth_pos(k):
-        at = isn & (nscum == k)
-        has = at.any(axis=1)
-        pos = np.argmax(at, axis=1)
-        return has, pos
+        def kth_pos(k):
+            at = isn & (nscum == k)
+            has = at.any(axis=1)
+            pos = np.argmax(at, axis=1)
+            return has, pos
 
-    h1, p1 = kth_pos(1)
-    h2, p2 = kth_pos(2)
-    h3, p3 = kth_pos(3)
-    gate = ((h1 & (p1 < unrev)) | (h2 & (p2 < rev1)) |
-            (h3 & (p3 < rev2)) | (total > 3))
-    ns_ftab = ((qd[:, :fc] == 4) & in_q[:, :fc]).sum(axis=1)
+        h1, p1 = kth_pos(1)
+        h2, p2 = kth_pos(2)
+        h3, p3 = kth_pos(3)
+        gate = ((h1 & (p1 < unrev)) | (h2 & (p2 < rev1)) |
+                (h3 & (p3 < rev2)) | (total > 3))
+        ns_ftab = ((qd[:, :fc] == 4) & in_q[:, :fc]).sum(axis=1)
 
     jobs["valid"][:, j] = 1 if valid is None else valid.astype(np.int32)
     jobs["qlen"][:, j] = qs
@@ -120,13 +139,27 @@ def fill_job_vec(jobs, j, fwm, qm, lens, qs, *, fw, ebwt_fw, offs,
     jobs["consider_quals"][:, j] = int(consider_quals)
     jobs["qual_thresh"][:, j] = qual_thresh
     jobs["reset_rng"][:, j] = int(reset_rng)
+    jobs["maq_round"][:, j] = int(maq)
     jobs["ns_gate"][:, j] = gate.astype(np.int32)
     jobs["ns_ftab"][:, j] = ns_ftab.astype(np.int32)
     jobs["collect_partials"][:, j] = int(report_partials > 0)
 
 
+def derive_rows_enabled() -> bool:
+    """Device-side row derivation: removes the per-batch [B, J, L]
+    uploads and job-row gathers (+~50% -v throughput on TPU).  Default
+    on accelerators; off on CPU where the extra kernel mainly costs
+    compile time.  Override with BOWTIE_TPU_DERIVE_ROWS=0/1."""
+    import os
+    v = os.environ.get("BOWTIE_TPU_DERIVE_ROWS")
+    if v is not None:
+        return v not in ("", "0")
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def build_v_jobs_vec(reads, v: int, nofw: bool, norc: bool, L: int,
-                     fc: int):
+                     fc: int, rows: bool | None = None):
     """Vectorized job tables for -v 1/2/3 (see build_v_jobs for the
     phase structure source mapping)."""
     B = len(reads)
@@ -185,9 +218,13 @@ def build_v_jobs_vec(reads, v: int, nofw: bool, norc: bool, L: int,
                             offs=(s5, s, z, s5 if two else z,
                                   s if two else s5, s)))
     J = len(seq)
-    jobs = empty_jobs_vec(B, J, L)
+    if rows is None:
+        rows = not derive_rows_enabled()
+    jobs = empty_jobs_vec(B, J, L, rows=rows)
     for j, spec in enumerate(seq):
         fill_job_vec(jobs, j, fwm, qm, lens, lens, fc=fc, **spec)
+    if not rows:
+        attach_base(jobs, fwm, qm, lens)
     return jobs, J
 
 
@@ -247,9 +284,12 @@ def build_n_jobs_a_vec(reads, n: int, s_seed: int, qt: int, mb: int,
                                        offs=offs3, report_partials=n,
                                        **kw)))
     J = len(specs)
-    jobs = empty_jobs_vec(B, J, L)
+    rows = not derive_rows_enabled()
+    jobs = empty_jobs_vec(B, J, L, rows=rows)
     for j, (name, spec) in enumerate(specs):
         is_partial = spec.get("report_partials", 0) > 0
         qlen_j = qs if is_partial else plen
         fill_job_vec(jobs, j, fwm, qm, lens, qlen_j, valid=ok, **spec)
+    if not rows:
+        attach_base(jobs, fwm, qm, lens)
     return jobs, J, gated, j_pam_rc, j_pam_fw

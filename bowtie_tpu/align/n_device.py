@@ -24,8 +24,8 @@ import numpy as np
 
 from ..index.ebwt_io import EbwtIndex
 from .dfs_device import (DeviceDFSAligner, INF32, P_MAX, build_fmcat,
-                         empty_jobs, fill_job, run_compacting, _bucket,
-                         _len_bucket)
+                         fill_job, run_compacting, _bucket, _len_bucket)
+from .dfs_jobs import attach_base, empty_jobs_vec, read_matrices
 from .drivers import to_muts
 
 
@@ -132,11 +132,19 @@ class DeviceNAligner(DeviceDFSAligner):
         nj = max((len(sp) for sp in specs), default=0)
         if nj == 0:
             return None, 0
+        from .dfs_jobs import derive_rows_enabled
         J = _bucket(nj, (4, 8, 16, P_MAX + 4))
-        jobs = empty_jobs(B, J, L)
+        derive = derive_rows_enabled()
+        jobs = empty_jobs_vec(B, J, L, rows=not derive)
         for b, read in enumerate(reads):
             for j, spec in enumerate(specs[b]):
+                if derive:
+                    spec = dict(spec)
+                    spec.pop("qd_override", None)  # device applies muts
                 fill_job(jobs, b, j, read, **spec)
+        if derive:
+            fwm, qm, lens = read_matrices(reads, L)
+            attach_base(jobs, fwm, qm, lens)
         return jobs, J
 
     def align_batch(self, reads) -> list:

@@ -19,7 +19,7 @@ READS = "/root/reference/reads/e_coli_1000.fq"
 def test_vec_matches_scalar(v, nofw, norc):
     reads = list(ReadSource([READS], "fastq", upto=150).records())
     a, Ja = build_v_jobs(reads, v, nofw, norc, 40, 10)
-    b, Jb = build_v_jobs_vec(reads, v, nofw, norc, 40, 10)
+    b, Jb = build_v_jobs_vec(reads, v, nofw, norc, 40, 10, rows=True)
     for k in a:
         assert np.array_equal(a[k][:, :Jb].astype(np.int64),
                               b[k].astype(np.int64)), k
