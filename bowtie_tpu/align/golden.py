@@ -36,7 +36,7 @@ class GoldenFM:
         if dense and idx.offs is not None:
             from ..index.arrays import build_full_rank, build_dense_sa
             self._occ_full = build_full_rank(idx.bwt)
-            self._sa_dense = build_dense_sa(idx)
+            self._sa_dense = build_dense_sa(idx, full_rank=self._occ_full)
 
     # -- rank ----------------------------------------------------------
     def rank(self, c: int, i: int) -> int:

@@ -17,19 +17,10 @@ import numpy as np
 from ..index.arrays import FMIndexArrays
 from ..index.ebwt_io import EbwtIndex
 from .exact import exact_ranges, resolve_rows, right_align
-from .policy import KPolicy, ReadResult
+from .policy import AlignStats, KPolicy, ReadResult  # noqa: F401 (re-export)
 from .types import Hit
 from ..utils.rng import next_u32
 from ..utils.alphabet import DNA_CHARS
-
-
-@dataclass
-class AlignStats:
-    processed: int = 0
-    aligned: int = 0
-    failed: int = 0
-    maxed: int = 0
-    reported: int = 0
 
 
 class JoinedResolver:

@@ -16,6 +16,16 @@ INF = 0xFFFFFFFF
 
 
 @dataclass
+class AlignStats:
+    """End-of-run summary counters (HitSink::finish, hit.h:270-346)."""
+    processed: int = 0
+    aligned: int = 0
+    failed: int = 0
+    maxed: int = 0
+    reported: int = 0
+
+
+@dataclass
 class ReadResult:
     hits: list            # reported hits (possibly empty)
     maxed: bool = False   # exceeded -m

@@ -52,12 +52,13 @@ def fasta_to_records(seqs: list[np.ndarray]):
     return records, frags
 
 
-def write_ref_files(basename: str, records, frags, large: bool = False):
+def write_ref_files(basename: str, records, frags, large: bool = False,
+                    byteorder: str = "<"):
     """Write `.3.ebwt(l)` (records) and `.4.ebwt(l)` (packed bases)."""
     ext = ".ebwtl" if large else ".ebwt"
-    U = "<u8" if large else "<u4"
+    U = byteorder + ("u8" if large else "u4")
     with open(basename + ".3" + ext, "wb") as f:
-        f.write(np.uint32(1).tobytes())
+        f.write(np.array([1], dtype=byteorder + "u4").tobytes())
         f.write(np.array([len(records)], dtype=U).tobytes())
         for off, ln, first in records:
             f.write(np.array([off, ln], dtype=U).tobytes())
@@ -75,12 +76,12 @@ def write_ref_files(basename: str, records, frags, large: bool = False):
 
 
 def _pack_sides(bwt: np.ndarray, occ_pairs: np.ndarray,
-                off_size: int = 4) -> np.ndarray:
+                off_size: int = 4, byteorder: str = "<") -> np.ndarray:
     """Pack the linear BWT (padding included) + per-pair occ counters
     into the alternating bw/fw 64-byte side format."""
     from ..index.ebwt_io import side_geometry
     ssz, sbs, sbl = side_geometry(off_size)
-    U = "<u4" if off_size == 4 else "<u8"
+    U = byteorder + ("u4" if off_size == 4 else "u8")
     n_sides = len(bwt) // sbl
     codes = bwt.reshape(n_sides, sbl).copy()
     codes[0::2] = codes[0::2, ::-1]      # backward sides fully reversed
@@ -145,7 +146,8 @@ def build_ftab(s: np.ndarray, sa: np.ndarray, ftab_chars: int,
 def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
               refnames: list[str], out1: str, out2: str,
               off_rate: int = 5, ftab_chars: int = 10,
-              sa_fn=suffix_array, off_size: int = 4):
+              sa_fn=suffix_array, off_size: int = 4,
+              byteorder: str = "<"):
     """Build and write one index (.1 + .2) from joined text `s`."""
     from ..index.ebwt_io import side_geometry
     length = len(s)
@@ -153,7 +155,7 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
     bwt_len = length + 1
     ssz, sbs, sbl = side_geometry(off_size)
     line_rate = 6 if off_size == 4 else 7
-    U = "<u4" if off_size == 4 else "<u8"
+    U = byteorder + ("u4" if off_size == 4 else "u8")
 
     # BWT + zoff
     prev = sa - 1
@@ -175,7 +177,7 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
     occ_pairs = cum[0::2].copy()                        # after bw side
     boundaries = np.arange(n_pairs, dtype=np.int64) * 2 * sbl + sbl
     occ_pairs[:, 0] -= (boundaries > zoff)              # '$' not an A
-    sides = _pack_sides(padded, occ_pairs, off_size)
+    sides = _pack_sides(padded, occ_pairs, off_size, byteorder)
 
     # fchr: cumulative char counts of the text
     cc = np.bincount(s, minlength=4).astype(np.int64)
@@ -188,10 +190,10 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
     offs = sa[::1 << off_rate]
 
     with open(out1, "wb") as f:
-        f.write(np.uint32(1).tobytes())
+        f.write(np.array([1], dtype=byteorder + "u4").tobytes())
         f.write(np.array([length], dtype=U).tobytes())
         f.write(np.array([line_rate, 1, off_rate, ftab_chars, -1],
-                         dtype="<i4").tobytes())
+                         dtype=byteorder + "i4").tobytes())
         f.write(np.array([len(plen)], dtype=U).tobytes())
         f.write(np.asarray(plen).astype(U).tobytes())
         f.write(np.array([len(rstarts)], dtype=U).tobytes())
@@ -204,22 +206,37 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
         # each name is '\n'-terminated, then a final NUL
         f.write(b"".join(n.encode() + b"\n" for n in refnames) + b"\x00")
     with open(out2, "wb") as f:
-        f.write(np.uint32(1).tobytes())
+        f.write(np.array([1], dtype=byteorder + "u4").tobytes())
         f.write(np.asarray(offs).astype(U).tobytes())
 
 
 def build_index(seqs, names, out_base: str, off_rate: int = 5,
                 ftab_chars: int = 10, sa_fn=suffix_array,
-                both: bool = True, large: bool = False):
+                both: bool = True, large: bool = False,
+                ntoa: bool = False, write_ref: bool = True,
+                just_ref: bool = False, byteorder: str = "<"):
     """Full bowtie-build: fw + mirror indexes + packed reference.
 
     seqs: list of uint8 code arrays (4 = ambiguous).
     large=True writes the 64-bit `.ebwtl` variant (BOWTIE_64BIT_INDEX).
+    ntoa converts ambiguous chars to A before splitting into records
+    (ebwt_build.cpp --ntoa); write_ref=False skips `.3/.4` (-r/--noref);
+    just_ref=True writes ONLY `.3/.4` (-3/--justref); byteorder ">"
+    emits a big-endian `.3` file, matching the reference's quirky --big
+    semantics exactly: only the RefRecord emission honors the flag
+    (ebwt_build.cpp:379-383) while `.1/.2` are always written in the
+    host's native byte order (ebwt.h:361 uses currentlyBigEndian()).
     """
     ext = ".ebwtl" if large else ".ebwt"
     osz = 8 if large else 4
+    if ntoa:
+        seqs = [np.where(s > 3, 0, s).astype(np.uint8) for s in seqs]
     records, frags = fasta_to_records(seqs)
-    write_ref_files(out_base, records, frags, large=large)
+    if write_ref or just_ref:
+        write_ref_files(out_base, records, frags, large=large,
+                        byteorder=byteorder)
+    if just_ref:
+        return
 
     plen = np.array([len(x) for x in seqs], dtype=np.uint32)
     # rstarts: (joined off, refidx, offset within ref) per fragment

@@ -115,36 +115,45 @@ def _suffix_array_doubling(codes: np.ndarray) -> np.ndarray:
 
 
 def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
-    """Same SA computed on-device (TPU): each doubling round is one
-    64-bit key sort (rank*base + shifted-rank packed into one int64)."""
+    """Same SA computed on-device (TPU): prefix doubling where each
+    round is one stable two-key `lax.sort`.
+
+    Matches `_suffix_array_doubling`'s bowtie ordering exactly: the
+    sentinel rank and the missing-extension rank are both BIG
+    (empty-suffix-LAST, the convention of Ebwt::restore ebwt.h:2767).
+    Two-operand `lax.sort` avoids packing ranks into one integer, so
+    plain int32 is safe for any n < 2**31 (no x64 requirement).
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     n = len(codes)
-    base = n + 2
+    if n >= 2**31 - 2:
+        raise ValueError("suffix_array_jax supports n < 2**31-2")
+    BIG = np.int32(max(n + 2, 6))
 
     @jax.jit
     def round_fn(r, k):
-        r2 = jnp.where(jnp.arange(n + 1) + k <= n,
-                       jnp.roll(r, -k).at[-1].set(0), 0)
-        # guard: roll wraps, mask anything past the end
-        idx = jnp.arange(n + 1)
-        r2 = jnp.where(idx + k <= n, r2, 0)
-        key = r * base + r2
-        order = jnp.argsort(key)
-        sk = key[order]
-        grp = jnp.concatenate([jnp.zeros(1, jnp.int64),
-                               jnp.cumsum((sk[1:] != sk[:-1])
-                                          .astype(jnp.int64))])
-        nr = jnp.zeros(n + 1, jnp.int64).at[order].set(grp)
+        idx = jnp.arange(n + 1, dtype=jnp.int32)
+        # rank of suffix i+k; BIG when suffix i is shorter than k
+        r2 = jnp.where(idx + k <= n, jnp.roll(r, -k), BIG)
+        # stable two-key sort: primary r, secondary r2, payload idx
+        sk1, sk2, order = lax.sort((r, r2, idx), num_keys=2,
+                                   is_stable=True)
+        grp = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(((sk1[1:] != sk1[:-1]) |
+                         (sk2[1:] != sk2[:-1])).astype(jnp.int32))])
+        nr = jnp.zeros(n + 1, jnp.int32).at[order].set(grp)
         return nr, order, grp[-1]
 
-    r = np.zeros(n + 1, dtype=np.int64)
-    r[:n] = codes.astype(np.int64) + 1
-    r = __import__("jax.numpy", fromlist=["asarray"]).asarray(r)
+    r0 = np.full(n + 1, BIG, dtype=np.int32)
+    r0[:n] = codes.astype(np.int32) + 1
+    r = jnp.asarray(r0)
     k = 1
     while True:
-        r, order, maxg = round_fn(r, k)
+        r, order, maxg = round_fn(r, np.int32(min(k, n + 1)))
         if int(maxg) == n:
-            return np.asarray(order)
+            return np.asarray(order).astype(np.int64)
         k *= 2

@@ -11,9 +11,7 @@ import time
 
 import numpy as np
 
-from ..align.pipeline import AlignStats, ExactAligner
 from ..align.policy import INF, KPolicy
-from ..index.arrays import from_ebwt
 from ..index.ebwt_io import read_ebwt
 from ..io.readers import ReadSource
 from ..io.sam import SamWriter
@@ -156,6 +154,56 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_IDX_CACHE: "OrderedDict" = None
+_GFM_CACHE: "OrderedDict" = None
+
+
+def _index_key(base: str):
+    from ..index.ebwt_io import index_paths
+    f1, _f2, _ = index_paths(base)
+    st = os.stat(f1)
+    return (base, st.st_mtime_ns, st.st_size)
+
+
+def read_ebwt_cached(base: str):
+    """Process-level LRU of parsed indexes: repeated in-process CLI
+    invocations (tests, library use, the -A argfile batch mode) skip
+    the ~1 s parse + side unpack.  Mutating callers must copy first."""
+    global _IDX_CACHE
+    from collections import OrderedDict
+    if _IDX_CACHE is None:
+        _IDX_CACHE = OrderedDict()
+    key = _index_key(base)
+    if key in _IDX_CACHE:
+        _IDX_CACHE.move_to_end(key)
+        return _IDX_CACHE[key]
+    idx = read_ebwt(base)
+    _IDX_CACHE[key] = idx
+    while len(_IDX_CACHE) > 4:
+        _IDX_CACHE.popitem(last=False)
+    return idx
+
+
+def golden_cached(base: str, idx):
+    """LRU of GoldenFM oracles (dense host tables take seconds to
+    build).  Keyed by index file identity + effective offrate."""
+    global _GFM_CACHE
+    from collections import OrderedDict
+    from ..align.golden import GoldenFM
+    if _GFM_CACHE is None:
+        _GFM_CACHE = OrderedDict()
+    nsamp = len(idx.offs) if idx.offs is not None else 0
+    key = _index_key(base) + (idx.off_rate, nsamp)
+    if key in _GFM_CACHE:
+        _GFM_CACHE.move_to_end(key)
+        return _GFM_CACHE[key]
+    g = GoldenFM(idx)
+    _GFM_CACHE[key] = g
+    while len(_GFM_CACHE) > 4:
+        _GFM_CACHE.popitem(last=False)
+    return g
+
+
 def adjust_ebwt_base(base: str) -> str:
     """Locate the index like adjustEbwtBase (ebwt.h:4397): try the
     given path, then $BOWTIE_INDEXES/<base>."""
@@ -192,7 +240,6 @@ def main(argv=None) -> int:
         print(f"Python {platform.python_version()}")
         return 0
     args = build_parser().parse_args(argv)
-    _enable_compile_cache()
 
     # arg validation (parseOptions, ebwt_search.cpp:614+)
     if args.mismatches >= 0 and not 0 <= args.mismatches <= 3:
@@ -229,7 +276,7 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     args.ebwt_base = adjust_ebwt_base(args.ebwt_base)
-    idx = read_ebwt(args.ebwt_base)
+    idx = read_ebwt_cached(args.ebwt_base)
     if args.offrate >= 0:
         # re-thin the SA sample at load (Ebwt ctor offRate override,
         # ebwt.h:438-441): keep every 2^(new-old)'th entry
@@ -238,10 +285,11 @@ def main(argv=None) -> int:
                   f"the index's offrate ({idx.off_rate}); ignoring",
                   file=sys.stderr)
         else:
+            import copy
             step = 1 << (args.offrate - idx.off_rate)
+            idx = copy.copy(idx)            # don't mutate the cache
             idx.offs = idx.offs[::step].copy()
             idx.off_rate = args.offrate
-    fm = from_ebwt(idx)
     if args.time:
         print(f"Time loading ebwt: {time.time()-t0:.2f}s", file=sys.stderr)
 
@@ -254,12 +302,14 @@ def main(argv=None) -> int:
                      sample_max=args.sample_mhits is not None)
 
     paired = bool(args.mates1 or args.tabbed or args.interleaved)
+    host_engine = False        # pure-Python engine -> -p fork pool
     if paired:
+        host_engine = True
         from ..align.best_factories import make_paired_best_aligner
-        from ..align.golden import GoldenFM
         from ..index.ebwt_io import read_bitpair_reference, unpack_reference
-        idx_bw = read_ebwt(args.ebwt_base + ".rev")
-        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
+        g_fw = golden_cached(args.ebwt_base, idx)
+        g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
         recs, packed = read_bitpair_reference(args.ebwt_base)
         refs = unpack_reference(recs, packed)
         m1fw, m2fw = True, False          # --fr default
@@ -283,29 +333,36 @@ def main(argv=None) -> int:
             or args.mismatches == 3):
         # stateful best-first engine (bowtie forces it for --best, -M,
         # --strata and -v 3; ebwt_search.cpp:852,877)
+        host_engine = True
         from ..align.best_factories import make_best_aligner
-        from ..align.golden import GoldenFM
-        idx_bw = read_ebwt(args.ebwt_base + ".rev")
-        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
+        g_fw = golden_cached(args.ebwt_base, idx)
+        g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
         aligner = make_best_aligner(
             g_fw, g_bw, args.mismatches, policy, strata=args.strata,
             all_hits=args.all, nofw=args.nofw, norc=args.norc,
             maq=not args.nomaqround, global_seed=args.seed,
             maxbts=args.maxbts if args.maxbts is not None else 800)
     elif args.mismatches == 0:
-        aligner = ExactAligner(fm, idx, policy, nofw=args.nofw,
+        _enable_compile_cache()
+        from ..align.pipeline import ExactAligner
+        from ..index.arrays import from_ebwt
+        aligner = ExactAligner(from_ebwt(idx), idx, policy,
+                               nofw=args.nofw,
                                norc=args.norc, global_seed=args.seed)
     elif args.mismatches in (1, 2, 3):
-        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
         if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            host_engine = True
             from ..align.drivers import OracleAligner
-            from ..align.golden import GoldenFM
-            g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+            g_fw = golden_cached(args.ebwt_base, idx)
+            g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
             aligner = OracleAligner(g_fw, g_bw, policy,
                                     v=args.mismatches,
                                     nofw=args.nofw, norc=args.norc,
                                     global_seed=args.seed)
         else:
+            _enable_compile_cache()
             from ..align.dfs_device import DeviceDFSAligner
             aligner = DeviceDFSAligner(idx, idx_bw, policy,
                                        v=args.mismatches,
@@ -313,10 +370,11 @@ def main(argv=None) -> int:
                                        global_seed=args.seed)
     elif args.best or args.strata or args.sample_mhits is not None:
         # seeded -n with the stateful best-first engine
+        host_engine = True
         from ..align.best_factories import make_seeded_best_aligner
-        from ..align.golden import GoldenFM
-        idx_bw = read_ebwt(args.ebwt_base + ".rev")
-        g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+        idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
+        g_fw = golden_cached(args.ebwt_base, idx)
+        g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
         aligner = make_seeded_best_aligner(
             g_fw, g_bw, args.seedmms, args.seedlen, args.maqerr,
             policy, strata=args.strata, all_hits=args.all,
@@ -325,12 +383,13 @@ def main(argv=None) -> int:
             maxbts=args.maxbts if args.maxbts is not None else 800)
     else:
         # default seeded Maq-like -n mode
-        idx_bw = read_ebwt(args.ebwt_base + ".rev")
+        idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
         mb = args.maxbts if args.maxbts is not None else 125
         if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            host_engine = True
             from ..align.drivers import OracleAligner
-            from ..align.golden import GoldenFM
-            g_fw, g_bw = GoldenFM(idx), GoldenFM(idx_bw)
+            g_fw = golden_cached(args.ebwt_base, idx)
+            g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
             aligner = OracleAligner(
                 g_fw, g_bw, policy, mode="n",
                 nofw=args.nofw, norc=args.norc, global_seed=args.seed,
@@ -338,12 +397,19 @@ def main(argv=None) -> int:
                 qual_thresh=args.maqerr, maxbts=mb,
                 maq_round=not args.nomaqround)
         else:
+            _enable_compile_cache()
             from ..align.n_device import DeviceNAligner
             aligner = DeviceNAligner(
                 idx, idx_bw, policy, seed_mms=args.seedmms,
                 seed_len=args.seedlen, qual_thresh=args.maqerr,
                 maxbts=mb, maq_round=not args.nomaqround,
                 nofw=args.nofw, norc=args.norc, global_seed=args.seed)
+
+    if host_engine and args.threads > 1:
+        # -p for the host engines: fork pool over read-batch slices,
+        # byte-identical output (align/parallel_host.py)
+        from ..align.parallel_host import ParallelHostAligner
+        aligner = ParallelHostAligner(aligner, args.threads)
 
     qual_kw = dict(trim5=args.trim5, trim3=args.trim3,
                    solexa=args.solexa_quals,
@@ -397,6 +463,7 @@ def main(argv=None) -> int:
     al_f = open(args.al, "wb") if args.al else None
     max_f = open(args.maxfile, "wb") if args.maxfile else None
 
+    from ..align.policy import AlignStats
     stats = AlignStats()
     metrics = None
     if args.stats:

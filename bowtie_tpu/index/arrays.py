@@ -102,49 +102,52 @@ def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK
 
 
 def build_full_rank(bwt_codes: np.ndarray) -> np.ndarray:
-    """occ[i, c] = count of stored code c in rows [0, i) — full table."""
+    """occ[i, c] = count of stored code c in rows [0, i) — full table.
+    Per-char cumsums into pre-allocated int32 columns (avoids the
+    [n, 4] one-hot materialization)."""
     n = len(bwt_codes)
-    onehot = bwt_codes[:, None] == np.arange(4, dtype=np.uint8)
     ck = np.zeros((n + 1, 4), dtype=np.int32)
-    np.cumsum(onehot, axis=0, out=ck[1:])
+    for c in range(4):
+        np.cumsum(bwt_codes == c, out=ck[1:, c])
     return ck
 
 
-def build_dense_sa(idx: EbwtIndex) -> np.ndarray:
+def build_dense_sa(idx: EbwtIndex,
+                   full_rank: np.ndarray | None = None) -> np.ndarray:
     """sa[row] = joined-text offset of the suffix at BWT row, for every
     row — built by pointer-doubling over the LF permutation from the
     2^offRate-sampled offs[] (the batch equivalent of walk-left:
     reportChaseOne, ebwt.h:2727-2746, amortized over all rows at once).
-    ~log2(max walk) rounds of two gathers each."""
+    ~log2(max walk) rounds of two gathers each, all int32."""
     n1 = idx.length + 1
-    bwt = idx.bwt.astype(np.int64)
-    occ = (idx.occ_checkpoints().astype(np.int64))
-    B = idx.OCC_BLOCK
-    rows = np.arange(n1, dtype=np.int64)
-    # vectorized rank-at-own-char: checkpoint + within-block count
-    base = occ[rows // B, bwt]
-    within = np.zeros(n1, dtype=np.int64)
-    for c in range(4):
-        mask = bwt == c
-        cs = np.cumsum(mask)
-        nblocks = (n1 + B - 1) // B
-        block_cs0 = np.concatenate([[0], cs[B - 1::B]])[:nblocks]
-        within[mask] = (cs - np.repeat(block_cs0, B)[:n1] - 1)[mask]
-    lf = idx.fchr[np.minimum(bwt, 3)].astype(np.int64) + base + within
-    lf -= ((bwt == 0) & (rows > idx.zoff)).astype(np.int64)  # '$' corr.
+    bwt = idx.bwt
+    rows = np.arange(n1, dtype=np.int32)
+    # vectorized LF at each row's own char: fchr[c] + rank(c, row)
+    lf = np.empty(n1, dtype=np.int32)
+    if full_rank is not None:
+        for c in range(4):
+            mask = bwt == c
+            lf[mask] = np.int32(idx.fchr[c]) + full_rank[:-1, c][mask]
+    else:
+        for c in range(4):
+            mask = bwt == c
+            cs = np.cumsum(mask, dtype=np.int32)   # count in [0, i]
+            lf[mask] = np.int32(idx.fchr[c]) + cs[mask] - 1
+    # '$' stored as 'A' at zoff: A-rows after it over-counted by one
+    lf[(bwt == 0) & (rows > idx.zoff)] -= 1
     # pointer doubling toward marked rows (row % 2^offRate == 0 or zoff)
     marked = (rows & ((1 << idx.off_rate) - 1)) == 0
     marked[idx.zoff] = True
     ptr = np.where(marked, rows, lf)
-    dist = np.where(marked, 0, 1).astype(np.int64)
+    dist = (~marked).astype(np.int32)
     for _ in range(26):   # 2^26 exceeds any possible walk length
-        dist = dist + dist[ptr]
+        dist += dist[ptr]
         ptr = ptr[ptr]
         if marked[ptr].all():
             break
     assert marked[ptr].all()
     base_off = np.where(ptr == idx.zoff, 0,
-                        idx.offs[ptr >> idx.off_rate].astype(np.int64))
+                        idx.offs[ptr >> idx.off_rate].astype(np.int32))
     # rows whose walk stops at a marked row that is ALSO zoff use
     # jumps only; offs[zoff>>offRate] is 0 there anyway when sampled
     return (base_off + dist).astype(np.int32)

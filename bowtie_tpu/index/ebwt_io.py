@@ -187,16 +187,22 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
     EbwtIndex.  Mirrors Ebwt::readIntoMemory (ebwt.h:2835);
     little-endian only."""
     f1path, f2path, osz = index_paths(basename)
-    U = "<u4" if osz == 4 else "<u8"
     side_sz, side_bwt_sz, _ = side_geometry(osz)
     with open(f1path, "rb") as f:
         sentinel = np.frombuffer(_read_exact(f, 4), dtype="<u4")[0]
-        if sentinel != 1:
-            raise ValueError(f"{f1path}: bad endianness sentinel {sentinel:#x} "
-                             "(big-endian indexes not supported)")
+        # endianness sentinel (ebwt.h:2923-2937): a byteswapped 1 means
+        # the file was written big-endian; swap every numeric read
+        if sentinel == 1:
+            bo = "<"
+        elif sentinel == 0x01000000:
+            bo = ">"
+        else:
+            raise ValueError(f"{f1path}: bad endianness sentinel "
+                             f"{sentinel:#x}")
+        U = bo + ("u4" if osz == 4 else "u8")
         length = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
         line_rate, lines_per_side, off_rate, ftab_chars, neg_flags = \
-            np.frombuffer(_read_exact(f, 20), dtype="<i4")
+            np.frombuffer(_read_exact(f, 20), dtype=bo + "i4")
         flags = -int(neg_flags)
         entire_reverse = bool(flags > 0 and (flags & 4))
 
@@ -231,11 +237,23 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
     if load_offs:
         with open(f2path, "rb") as f:
             sentinel = np.frombuffer(_read_exact(f, 4), dtype="<u4")[0]
-            if sentinel != 1:
+            if sentinel not in (1, 0x01000000):
                 raise ValueError(f"{f2path}: bad endianness sentinel")
+            U2 = ("<" if sentinel == 1 else ">") + \
+                ("u4" if osz == 4 else "u8")
             offs_len = ((length + 1) + (1 << off_rate) - 1) >> off_rate
             offs = np.frombuffer(
-                _read_exact(f, osz * offs_len), dtype=U).copy()
+                _read_exact(f, osz * offs_len), dtype=U2).copy()
+
+    if bo == ">":   # normalize to native little-endian arrays
+        nat = "u4" if osz == 4 else "u8"
+        plen = plen.astype(nat)
+        rstarts = rstarts.astype(nat)
+        fchr = fchr.astype(nat)
+        ftab = ftab.astype(nat)
+        eftab = eftab.astype(nat)
+        if offs is not None:
+            offs = offs.astype(nat)
 
     bwt = _unpack_sides(ebwt_bytes, length + 1, osz)
 
@@ -284,12 +302,16 @@ def read_bitpair_reference(basename: str):
     """
     with open(basename + ".3.ebwt", "rb") as f:
         sentinel = np.frombuffer(_read_exact(f, 4), dtype="<u4")[0]
-        if sentinel != 1:
+        if sentinel == 1:
+            u4 = "<u4"
+        elif sentinel == 0x01000000:
+            u4 = ">u4"
+        else:
             raise ValueError("bad sentinel in .3.ebwt")
-        sz = int(np.frombuffer(_read_exact(f, 4), dtype="<u4")[0])
+        sz = int(np.frombuffer(_read_exact(f, 4), dtype=u4)[0])
         records = []
         for _ in range(sz):
-            off, ln = np.frombuffer(_read_exact(f, 8), dtype="<u4")
+            off, ln = np.frombuffer(_read_exact(f, 8), dtype=u4)
             first = _read_exact(f, 1)[0] != 0
             records.append((int(off), int(ln), first))
     with open(basename + ".4.ebwt", "rb") as f:

@@ -28,12 +28,46 @@ import sys
 import time
 
 
-def _count_reads(path: str) -> int:
+def _open_maybe_compressed(path: str):
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rb")
+    return open(path, "rb")
+
+
+def _count_reads(path: str, fmt: str = "fastq") -> int:
+    """Count reads in `path` for host-slice arithmetic.  Handles
+    multi-line FASTA, 4-line FASTQ, raw (1/line), tabbed (1/line) and
+    gz/bz2 compression — a wrong count here would misalign global read
+    ids (and therefore per-read RNG seeds) across hosts."""
     n = 0
-    with open(path, "rb") as f:
-        for _ in f:
-            n += 1
-    return n // 4      # FASTQ
+    with _open_maybe_compressed(path) as f:
+        if fmt == "fasta":
+            for line in f:
+                if line.startswith(b">"):
+                    n += 1
+        elif fmt == "fastq":
+            for _ in f:
+                n += 1
+            n //= 4
+        else:                      # raw / tabbed: one read per line
+            for line in f:
+                if line.strip():
+                    n += 1
+    return n
+
+
+def _fmt_from_opts(opts: list[str]) -> str:
+    if "-f" in opts:
+        return "fasta"
+    if "-r" in opts:
+        return "raw"
+    if "--12" in opts or "--tab5" in opts or "--tab6" in opts:
+        return "tab"
+    return "fastq"
 
 
 def main(argv=None) -> int:
@@ -61,7 +95,7 @@ def main(argv=None) -> int:
     # contiguous read slice for this host (global read ids preserved
     # through -s/-u so per-read RNG seeds and output order match a
     # single-host run)
-    total = _count_reads(reads)
+    total = _count_reads(reads, _fmt_from_opts(opts))
     per = -(-total // args.num_hosts)
     skip = args.host_id * per
     upto = min(per, max(0, total - skip))

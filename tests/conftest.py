@@ -22,6 +22,26 @@ import pytest  # noqa: E402
 E_COLI_INDEX = "/root/reference/indexes/e_coli"
 READS_DIR = "/root/reference/reads"
 
+# Modules whose tests jit the device engines (long XLA compiles) or run
+# the randomized end-to-end harness.  Everything else is the "quick"
+# host-parity gate: `pytest -m quick` finishes in a few minutes on one
+# CPU, `pytest -m slow` is the full device set.
+_SLOW_MODULES = {
+    "test_dfs_device", "test_dfs_compact", "test_n_device",
+    "test_exact_device", "test_dfs_mesh", "test_distributed",
+    "test_random_vs_binary", "test_random_property", "test_best_device",
+    "test_pe_device", "test_blockwise",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def ecoli_index():

@@ -29,6 +29,18 @@ def test_build_byte_identical(built, ext):
     assert mine == gold
 
 
+@pytest.mark.parametrize("ext", EXTS)
+def test_build_jax_sa_byte_identical(tmp_path, ext):
+    """`--jax-sa` (on-device prefix-doubling SA) must write the exact
+    same index bytes as the host SA paths."""
+    from bowtie_tpu.build.builder import build_from_fasta
+    from bowtie_tpu.build.sa import suffix_array_jax
+    base = str(tmp_path / "smallj")
+    build_from_fasta([FASTA], base, off_rate=5, ftab_chars=7,
+                     sa_fn=suffix_array_jax)
+    assert open(base + ext, "rb").read() == open(GOLD + ext, "rb").read()
+
+
 def test_roundtrip_align_on_built_index(built):
     """Align reads sampled from the small genome against our own index."""
     from bowtie_tpu.index.ebwt_io import read_ebwt
@@ -126,3 +138,37 @@ def test_large_index_reader_and_search(built_large):
     offs = [g.joined_to_text_off(32, g.resolve_row(r))
             for r in range(t, b)]
     assert (0, 200, len(seqs[0])) in offs
+
+
+# --- builder flag parity vs the compiled reference builder ---
+ORACLE_BUILD = os.path.join(os.path.dirname(HERE), ".oracle",
+                            "bowtie-build-s")
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE_BUILD),
+                    reason="oracle builder not built")
+@pytest.mark.parametrize("flags,exts", [
+    (["--ntoa"], EXTS),
+    (["-3"], [".3.ebwt", ".4.ebwt"]),
+    (["--big"], EXTS),
+    (["-r"], [".1.ebwt", ".2.ebwt", ".rev.1.ebwt", ".rev.2.ebwt"]),
+])
+def test_build_flag_parity(tmp_path, flags, exts):
+    """--ntoa / -3 / --big / -r output must byte-match the reference
+    builder (incl. --big's quirk: only `.3` honors the endianness flag,
+    ebwt_build.cpp:379-383 vs ebwt.h:361)."""
+    import subprocess
+    from bowtie_tpu.cli.build import main as build_main
+    ref_base = str(tmp_path / "ref")
+    my_base = str(tmp_path / "mine")
+    subprocess.run([ORACLE_BUILD, *flags, "-o", "5", "-t", "7",
+                    FASTA, ref_base], check=True, capture_output=True)
+    assert build_main([*flags, "-o", "5", "-t", "7", "-q",
+                       FASTA, my_base]) == 0
+    for ext in exts:
+        assert (open(my_base + ext, "rb").read() ==
+                open(ref_base + ext, "rb").read()), ext
+    if "-3" in flags or "-r" in flags:
+        skipped = set(EXTS) - set(exts)
+        for ext in skipped:
+            assert not os.path.exists(my_base + ext), ext

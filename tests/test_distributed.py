@@ -40,3 +40,26 @@ def test_two_host_merge(tmp_path):
     single = str(tmp_path / "s.out")
     align_main(["-v", "0", E_COLI, READS, single])
     assert open(out, "rb").read() == open(single, "rb").read()
+
+
+def test_count_reads_formats(tmp_path):
+    """Read counting must handle FASTA (multi-line), FASTQ, raw and gz
+    — a wrong count would skew per-host slices and read ids."""
+    import gzip
+    from bowtie_tpu.parallel.launch import _count_reads, _fmt_from_opts
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a\nACGT\nACGT\n>b\nGGGG\n>c\nTT\nTT\nTT\n")
+    fq = tmp_path / "x.fq"
+    fq.write_text("@a\nACGT\n+\nIIII\n@b\nGG\n+\nII\n")
+    raw = tmp_path / "x.raw"
+    raw.write_text("ACGT\nGGGG\n\n")
+    fqgz = tmp_path / "x.fq.gz"
+    with gzip.open(fqgz, "wt") as f:
+        f.write("@a\nACGT\n+\nIIII\n@b\nGG\n+\nII\n@c\nAA\n+\nII\n")
+    assert _count_reads(str(fa), "fasta") == 3
+    assert _count_reads(str(fq), "fastq") == 2
+    assert _count_reads(str(raw), "raw") == 2
+    assert _count_reads(str(fqgz), "fastq") == 3
+    assert _fmt_from_opts(["-f", "-v", "0"]) == "fasta"
+    assert _fmt_from_opts(["--12"]) == "tab"
+    assert _fmt_from_opts(["-v", "0"]) == "fastq"

@@ -35,6 +35,24 @@ def test_pe_parity(key, args, tmp_path):
     assert run_pe(args, tmp_path) == golden
 
 
+def test_pe_ff_with_real_alignments(tmp_path):
+    """--ff on FF-oriented synthesized mates (tests/golden/pe_ff_*.fq):
+    unlike pe_ff_n2_u200 (FR reads, both sides empty), this case has
+    200 aligning pairs, so the --ff orientation/window logic is
+    actually exercised."""
+    from bowtie_tpu.cli import align as cli
+    golden = open(os.path.join(GOLDEN, "pe_ff_real.out"), "rb").read()
+    assert len(golden) > 0
+    out = tmp_path / "out.txt"
+    cli.main(["--ff", "-n", "2", "-I", "60", "-X", "300", "--quiet",
+              "-1", os.path.join(GOLDEN, "pe_ff_1.fq"),
+              "-2", os.path.join(GOLDEN, "pe_ff_2.fq"),
+              IDX, str(out)])
+    mine = b"".join(l for l in out.read_bytes().splitlines(keepends=True)
+                    if not l.startswith(b"@PG"))
+    assert mine == golden
+
+
 def test_pe_hits_valid_against_genome(tmp_path, ecoli_ref):
     """Every reported mate must match the genome at its position with
     the declared mismatches, and the pair must obey -I/-X."""
