@@ -1,16 +1,18 @@
-"""Benchmark: reads/s of the device exact-alignment step on real TPU.
+"""Benchmark: reads/s of bowtie-tpu's engines on the real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: bowtie's published ~7,000 reads/s (>25M 35-bp reads/hour on a
-2009 workstation, MANUAL.markdown:11-14; see BASELINE.md).
+Prints ONE JSON line per mode, then a final summary line whose
+metric/value is the flagship exact-path number and whose "modes" field
+carries every mode's reads/s and baseline ratio.  Baseline: bowtie's
+published ~7,000 reads/s (>25M 35-bp reads/hour on a 2009 workstation,
+MANUAL.markdown:11-14; see BASELINE.md).
 
-Methodology: distinct shuffled batches per iteration; each iteration is
-ONE jitted call that returns a single data-dependent checksum scalar
-(the remote runtime's block_until_ready is unreliable and bulk host
-transfers over its tunnel are slow, so a 4-byte forced read per
-iteration is the honest sync).  Each batch row is one strand search
-(fw or rc); reads/s counts fw+rc as one read, matching how bowtie
-counts.
+Methodology: the exact kernel is timed over distinct pre-staged device
+batches with a forced 4-byte data-dependent readback per iteration
+(the remote runtime's block_until_ready is unreliable and bulk
+transfers over its tunnel are slow).  The end-to-end modes ( -v 1,
+-n 2, --best) time `align_batch` calls, which include job building,
+device search, result download and per-read result assembly — the
+whole user-visible path minus file I/O.
 """
 from __future__ import annotations
 
@@ -23,23 +25,29 @@ import numpy as np
 BASELINE_READS_PER_SEC = 7000.0
 
 
-def main():
+def _emit(metric, reads_per_sec, extra=None):
+    rec = {
+        "metric": metric,
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+    }
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def bench_exact(idx, reads):
     import jax
     import jax.numpy as jnp
-    from bowtie_tpu.index.ebwt_io import read_ebwt
     from bowtie_tpu.index.arrays import from_ebwt
-    from bowtie_tpu.io.readers import ReadSource
     from bowtie_tpu.align.exact import right_align
     from bowtie_tpu.parallel.mesh import sharded_align_step
     from bowtie_tpu.utils.alphabet import revcomp_codes
 
-    idx = read_ebwt("/root/reference/indexes/e_coli")
-    # full per-row rank table + dense SA: one gather per LF step, one
-    # gather per offset resolution (see index/arrays.py)
     fm = from_ebwt(idx, occ_every=1, dense_sa=True)
-
-    src = ReadSource(["/root/reference/reads/e_coli_1000.fq"], "fastq")
-    base = [r.codes_fw for r in src.records()]
+    base = [r.codes_fw for r in reads]
     B = 524288
     ITERS = 10
     batches = []
@@ -51,26 +59,127 @@ def main():
         batches.append((jnp.asarray(mat), jnp.asarray(lens)))
 
     @jax.jit
-    def bench_step(fm, reads, lens):
-        t, b, o, k = sharded_align_step(fm, reads, lens)
+    def bench_step(fm, reads_d, lens):
+        t, b, o, k = sharded_align_step(fm, reads_d, lens)
         return (jnp.sum(k.astype(jnp.int32)) + jnp.sum(o % 7) +
                 jnp.sum(b - t))
 
-    # warm-up / compile
-    found = int(bench_step(fm, *batches[0]))
-
+    found = int(bench_step(fm, *batches[0]))     # warm-up / compile
     t0 = time.time()
     for it in range(1, ITERS + 1):
-        # int() forces a data-dependent 4-byte host read per call
         found += int(bench_step(fm, *batches[it]))
     dt = time.time() - t0
+    return (B * ITERS / 2) / dt
 
-    reads_per_sec = (B * ITERS / 2) / dt
+
+def _replicate(reads, n):
+    """n distinct-name copies so batches are large but realistic."""
+    from bowtie_tpu.io.readers import ReadRecord
+    out = []
+    k = 0
+    while len(out) < n:
+        for r in reads:
+            out.append(ReadRecord(name=r.name + b"/%d" % (k // 1000),
+                                  seq=r.seq, qual=r.qual, rdid=k))
+            k += 1
+            if len(out) >= n:
+                break
+    return out
+
+
+def bench_aligner(make, reads, total, batch):
+    """Time align_batch end-to-end (incl. assembly), warm-started."""
+    al = make()
+    big = _replicate(reads, total + batch)
+    al.align_batch(big[total:total + batch])     # warm-up / compile
+    t0 = time.time()
+    done = 0
+    while done < total:
+        b = big[done:done + batch]
+        res = al.align_batch(b)
+        done += len(b)
+        assert len(res) == len(b)
+    dt = time.time() - t0
+    fb = getattr(al, "fallbacks", 0)
+    return total / dt, fb
+
+
+def main():
+    from bowtie_tpu.index.ebwt_io import read_ebwt
+    from bowtie_tpu.io.readers import ReadSource
+    from bowtie_tpu.align.policy import INF, KPolicy
+
+    idx = read_ebwt("/root/reference/indexes/e_coli")
+    idx_bw = read_ebwt("/root/reference/indexes/e_coli.rev")
+    src = ReadSource(["/root/reference/reads/e_coli_1000.fq"], "fastq")
+    reads = [r for r in src.records()]
+    modes = {}
+
+    # flagship: exact search+resolve kernel
+    v0 = bench_exact(idx, reads)
+    modes["v0_exact_kernel"] = _emit(
+        "exact-search+resolve reads/s/chip (e_coli, 36bp, fw+rc)", v0)
+
+    # -v 1 end-to-end (device DFS engine)
+    def mk_v1():
+        from bowtie_tpu.align.dfs_device import DeviceDFSAligner
+        return DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1)
+    r, fb = bench_aligner(mk_v1, reads, 32768, 16384)
+    modes["v1"] = _emit("-v 1 end-to-end reads/s/chip", r,
+                        {"fallbacks": fb})
+
+    # -n 2 end-to-end (device seeded engine, bowtie's default mode)
+    def mk_n2():
+        from bowtie_tpu.align.n_device import DeviceNAligner
+        return DeviceNAligner(idx, idx_bw, KPolicy(1, INF))
+    r, fb = bench_aligner(mk_n2, reads, 16384, 16384)
+    modes["n2"] = _emit("-n 2 (default mode) end-to-end reads/s/chip",
+                        r, {"fallbacks": fb})
+
+    # -v 2 --best end-to-end (device best-first engine)
+    def mk_best():
+        from bowtie_tpu.align.best_device import DeviceBestAligner
+        return DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
+                                 strata=False, all_hits=False)
+    r, fb = bench_aligner(mk_best, reads, 16384, 16384)
+    modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip", r,
+                             {"fallbacks": fb})
+
+    # paired-end (host engine until the device PE port lands)
+    def mk_pe():
+        from bowtie_tpu.align.golden import GoldenFM
+        from bowtie_tpu.align.best_factories import \
+            make_paired_best_aligner
+        from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
+                                              unpack_reference)
+        recs, packed = read_bitpair_reference(
+            "/root/reference/indexes/e_coli")
+        refs = unpack_reference(recs, packed)
+        return make_paired_best_aligner(
+            GoldenFM(idx), GoldenFM(idx_bw), refs, KPolicy(1, INF))
+    src1 = ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
+                      "fastq")
+    src2 = ReadSource(["/root/reference/reads/e_coli_1000_2.fq"],
+                      "fastq")
+    p1, p2 = list(src1.records()), list(src2.records())
+    pe_al = mk_pe()
+    pairs = list(zip(p1, p2))
+    pe_al.align_batch(pairs[:64])                # warm-up
+    t0 = time.time()
+    pe_al.align_batch(pairs)
+    r = len(pairs) / (time.time() - t0)
+    modes["pe_n2"] = _emit("paired -n 2 reads/s (host engine)", r)
+
+    # summary line: flagship value + all modes
     print(json.dumps({
-        "metric": "exact-search+resolve reads/s/chip (e_coli, 36bp, fw+rc)",
-        "value": round(reads_per_sec, 1),
+        "metric": "exact-search+resolve reads/s/chip (e_coli, 36bp, "
+                  "fw+rc)",
+        "value": round(v0, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
+        "vs_baseline": round(v0 / BASELINE_READS_PER_SEC, 2),
+        "modes": {k: {"reads_per_sec": v["value"],
+                      "vs_baseline": v["vs_baseline"]}
+                  for k, v in modes.items()},
     }))
 
 

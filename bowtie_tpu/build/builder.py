@@ -125,7 +125,13 @@ def build_ftab(s: np.ndarray, sa: np.ndarray, ftab_chars: int,
                                  word[np.minimum(nxt, len(long_rows) - 1)],
                                  ftab_len - 1)
         np.add.at(ab, words_of_next, 1)
-    # prefix sums with escapes: hi_i = cumsum(cnt+ab)[i]; lo_i = hi_i-ab_i
+    return ftab_from_counts(cnt, ab, fc, off_size)
+
+
+def ftab_from_counts(cnt, ab, fc, off_size=4):
+    """Prefix sums + eftab escape encoding (ebwt.h:4146-4370):
+    hi_i = cumsum(cnt+ab)[i]; lo_i = hi_i - ab_i."""
+    esc_mask = OFF_MASK32 if off_size == 4 else 0xFFFFFFFFFFFFFFFF
     hi = np.cumsum(cnt + ab)
     lo = hi - ab
     ftab = lo.copy()
@@ -214,7 +220,10 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
                 ftab_chars: int = 10, sa_fn=suffix_array,
                 both: bool = True, large: bool = False,
                 ntoa: bool = False, write_ref: bool = True,
-                just_ref: bool = False, byteorder: str = "<"):
+                just_ref: bool = False, byteorder: str = "<",
+                blockwise: bool = False, bmax: int | None = None,
+                bmax_divn: int = 4, dcv: int = 1024,
+                auto_mem: bool = True):
     """Full bowtie-build: fw + mirror indexes + packed reference.
 
     seqs: list of uint8 code arrays (4 = ambiguous).
@@ -249,16 +258,34 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
     joined = np.concatenate([f[2] for f in frags]) if frags else \
         np.zeros(0, np.uint8)
 
-    build_one(joined, rstarts, plen, names,
-              out_base + ".1" + ext, out_base + ".2" + ext,
-              off_rate, ftab_chars, sa_fn, off_size=osz)
+    def one(text, o1, o2, force_blockwise):
+        if force_blockwise and len(text) >= 4 * dcv:
+            from .blockwise import blockwise_sa_chunks
+            bm = bmax if bmax is not None else \
+                max(1 << 20, len(text) // max(bmax_divn, 1))
+            build_one_streaming(
+                blockwise_sa_chunks(text, bmax=bm, dcv=dcv),
+                text, rstarts, plen, names, o1, o2,
+                off_rate, ftab_chars, off_size=osz)
+            return
+        try:
+            build_one(text, rstarts, plen, names, o1, o2,
+                      off_rate, ftab_chars, sa_fn, off_size=osz)
+        except MemoryError:
+            # autoMem ladder (ebwt.h:700-799 analog): retry with the
+            # bounded-memory blockwise path
+            if not auto_mem:
+                raise
+            one(text, o1, o2, True)
+
+    one(joined, out_base + ".1" + ext, out_base + ".2" + ext,
+        blockwise)
     if both:
         # mirror: each fragment reversed in place (REF_READ_REVERSE_EACH)
         rev = np.concatenate([f[2][::-1] for f in frags]) if frags else \
             np.zeros(0, np.uint8)
-        build_one(rev, rstarts, plen, names,
-                  out_base + ".rev.1" + ext, out_base + ".rev.2" + ext,
-                  off_rate, ftab_chars, sa_fn, off_size=osz)
+        one(rev, out_base + ".rev.1" + ext,
+            out_base + ".rev.2" + ext, blockwise)
 
 
 def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):
@@ -270,3 +297,127 @@ def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):
             seqs.append(seq_to_codes(seq))
     build_index(seqs, names, out_base, **kw)
     return names
+
+
+def build_one_streaming(sa_chunks, s: np.ndarray, rstarts, plen,
+                        refnames, out1: str, out2: str,
+                        off_rate: int = 5, ftab_chars: int = 10,
+                        off_size: int = 4):
+    """Streaming buildToDisk (ebwt.h:3985-4388 never holds the BWT or
+    SA in memory either): consume ordered SA chunks from
+    `blockwise.blockwise_sa_chunks`, emitting side pairs / SA sample /
+    ftab counts on the fly.  Byte-identical output to `build_one`."""
+    from ..index.ebwt_io import side_geometry
+    length = len(s)
+    ssz, sbs, sbl = side_geometry(off_size)
+    line_rate = 6 if off_size == 4 else 7
+    U = "<u4" if off_size == 4 else "<u8"
+    fc = ftab_chars
+    ftab_len = (1 << (2 * fc)) + 1
+
+    f1 = open(out1, "wb")
+    f1.write(np.array([1], dtype="<u4").tobytes())
+    f1.write(np.array([length], dtype=U).tobytes())
+    f1.write(np.array([line_rate, 1, off_rate, ftab_chars, -1],
+                      dtype="<i4").tobytes())
+    f1.write(np.array([len(plen)], dtype=U).tobytes())
+    f1.write(np.asarray(plen).astype(U).tobytes())
+    f1.write(np.array([len(rstarts)], dtype=U).tobytes())
+    f1.write(np.asarray(rstarts).astype(U).tobytes())
+    f2 = open(out2, "wb")
+    f2.write(np.array([1], dtype="<u4").tobytes())
+
+    pair_chars = 2 * sbl
+    carry = np.zeros(0, np.uint8)          # unpacked BWT chars pending
+    cum = np.zeros(4, np.int64)            # counts of emitted chars
+    emitted = 0                            # chars emitted (pairs only)
+    zoff = -1
+    row0 = 0                               # global row of chunk start
+    cnt = np.zeros(ftab_len, np.int64)
+    ab = np.zeros(ftab_len, np.int64)
+    pending_shorts = 0
+    omask = (1 << off_rate) - 1
+
+    def flush_pairs(buf, final=False):
+        nonlocal carry, cum, emitted
+        npairs = len(buf) // pair_chars
+        if npairs == 0:
+            carry = buf
+            return
+        take = buf[:npairs * pair_chars]
+        carry = buf[npairs * pair_chars:]
+        onehot = take.reshape(npairs, pair_chars, 1) == \
+            np.arange(4, dtype=np.uint8)
+        per_pair = onehot.sum(axis=1, dtype=np.int64)
+        # occ at each pair's boundary: chars [0, emitted + p*2*sbl+sbl)
+        half = take.reshape(npairs, 2, sbl)[:, 0]
+        oh_half = half[:, :, None] == np.arange(4, dtype=np.uint8)
+        half_cnt = oh_half.sum(axis=1, dtype=np.int64)
+        cum_pairs = cum[None, :] + np.cumsum(per_pair, axis=0) \
+            - per_pair + half_cnt
+        bounds = emitted + np.arange(npairs, dtype=np.int64) \
+            * pair_chars + sbl
+        if zoff >= 0:
+            cum_pairs[:, 0] -= (bounds > zoff)
+        f1.write(_pack_sides(take, cum_pairs, off_size).tobytes())
+        cum += per_pair.sum(axis=0)
+        emitted += npairs * pair_chars
+
+    for chunk in sa_chunks:
+        sa = np.asarray(chunk, np.int64)
+        rows = row0 + np.arange(len(sa), dtype=np.int64)
+        # zoff + BWT chars
+        z = np.flatnonzero(sa == 0)
+        if len(z):
+            zoff = int(rows[z[0]])
+        bwt = np.where(sa > 0, s[np.maximum(sa - 1, 0)], 0) \
+            .astype(np.uint8)
+        flush_pairs(np.concatenate([carry, bwt]))
+        # SA sample
+        sel = (rows & omask) == 0
+        if sel.any():
+            f2.write(sa[sel].astype(U).tobytes())
+        # ftab counts
+        is_long = (length - sa) >= fc
+        long_i = np.flatnonzero(is_long)
+        if len(long_i):
+            starts = sa[long_i]
+            word = np.zeros(len(long_i), np.int64)
+            for i in range(fc):
+                word = (word << 2) | s[starts + i].astype(np.int64)
+            np.add.at(cnt, word + 1, 1)
+            ab[word[0]] += pending_shorts
+            pending_shorts = 0
+            short_i = np.flatnonzero(~is_long)
+            if len(short_i):
+                nxt = np.searchsorted(long_i, short_i, side="right")
+                inside = nxt < len(long_i)
+                np.add.at(ab,
+                          word[np.minimum(nxt[inside],
+                                          len(long_i) - 1)], 1)
+                pending_shorts += int((~inside).sum())
+        else:
+            pending_shorts += len(sa)
+        row0 += len(sa)
+
+    ab[ftab_len - 1] += pending_shorts
+    # final padding to whole side pairs ('A's count toward occ)
+    bwt_sz = length // 4 + 1
+    n_pairs = (bwt_sz + 2 * sbs - 1) // (2 * sbs)
+    tot_chars = n_pairs * pair_chars
+    pad = tot_chars - row0
+    assert row0 == length + 1
+    flush_pairs(np.concatenate([carry, np.zeros(pad, np.uint8)]))
+    assert len(carry) == 0 and emitted == tot_chars
+
+    f1.write(np.array([zoff], dtype=U).tobytes())
+    cc = np.bincount(s, minlength=4).astype(np.int64)
+    fchr = np.zeros(5, dtype=np.int64)
+    fchr[1:] = np.cumsum(cc)
+    f1.write(fchr.astype(U).tobytes())
+    ftab, eftab = ftab_from_counts(cnt, ab, fc, off_size)
+    f1.write(ftab.astype(U).tobytes())
+    f1.write(eftab.astype(U).tobytes())
+    f1.write(b"".join(nm.encode() + b"\n" for nm in refnames) + b"\x00")
+    f1.close()
+    f2.close()

@@ -331,18 +331,28 @@ def main(argv=None) -> int:
     elif args.mismatches >= 0 and (
             args.best or args.strata or args.sample_mhits is not None
             or args.mismatches == 3):
-        # stateful best-first engine (bowtie forces it for --best, -M,
-        # --strata and -v 3; ebwt_search.cpp:852,877)
-        host_engine = True
-        from ..align.best_factories import make_best_aligner
+        # best-first engine (bowtie forces it for --best, -M, --strata
+        # and -v 3; ebwt_search.cpp:852,877) — device lockstep machine
+        # by default, host engine on request or per-read overflow
         idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
-        g_fw = golden_cached(args.ebwt_base, idx)
-        g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
-        aligner = make_best_aligner(
-            g_fw, g_bw, args.mismatches, policy, strata=args.strata,
-            all_hits=args.all, nofw=args.nofw, norc=args.norc,
-            maq=not args.nomaqround, global_seed=args.seed,
-            maxbts=args.maxbts if args.maxbts is not None else 800)
+        if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            host_engine = True
+            from ..align.best_factories import make_best_aligner
+            g_fw = golden_cached(args.ebwt_base, idx)
+            g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
+            aligner = make_best_aligner(
+                g_fw, g_bw, args.mismatches, policy, strata=args.strata,
+                all_hits=args.all, nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
+        else:
+            _enable_compile_cache()
+            from ..align.best_device import DeviceBestAligner
+            aligner = DeviceBestAligner(
+                idx, idx_bw, policy, v=args.mismatches,
+                strata=args.strata, all_hits=args.all,
+                nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, global_seed=args.seed)
     elif args.mismatches == 0:
         _enable_compile_cache()
         from ..align.pipeline import ExactAligner
@@ -494,12 +504,10 @@ def main(argv=None) -> int:
             for (r1, r2), res in zip(batch, results):
                 stats.processed += 1
                 if res.maxed:
+                    # -m exceeded without -M: counted, but NO record is
+                    # emitted (HitSink::reportMaxed is counter-only,
+                    # hit.h:494-500; only -M sampling reports)
                     stats.maxed += 1
-                    if args.sam and not args.no_unal:
-                        writer.unaligned(r1, nhits=res.nbuffered,
-                                         paired=True, second=False)
-                        writer.unaligned(r2, nhits=res.nbuffered,
-                                         paired=True, second=True)
                     if max_f:
                         _dump_read(max_f, r1, fmt)
                         _dump_read(max_f, r2, fmt)
@@ -546,9 +554,8 @@ def main(argv=None) -> int:
                 if max_f:
                     _dump_read(max_f, read, fmt)
             elif res.maxed:
+                # no SAM record for -m-suppressed reads (see above)
                 stats.maxed += 1
-                if args.sam and not args.no_unal:
-                    writer.unaligned(read, nhits=res.nbuffered)
                 if max_f:
                     _dump_read(max_f, read, fmt)
             elif not res.hits:

@@ -81,10 +81,19 @@ def main(argv=None) -> int:
     byteorder = ">" if args.big_endian else "<"
 
     t0 = time.time()
+    # bounded-memory path: explicit --bmax/--bmaxdivn selection, or
+    # automatically for very large references; --entiresa forces the
+    # in-memory SA-IS build (its MemoryError still ladders down unless
+    # -a/--noauto)
+    blockwise = (not args.entiresa and
+                 (args.bmax is not None or args.bmaxdivn != 4))
     kw = dict(off_rate=args.offrate, ftab_chars=args.ftabchars,
               sa_fn=sa_fn, both=not args.norev, large=args.large_index,
               ntoa=args.ntoa, write_ref=not args.noref,
-              just_ref=args.justref, byteorder=byteorder)
+              just_ref=args.justref, byteorder=byteorder,
+              blockwise=blockwise, bmax=args.bmax,
+              bmax_divn=args.bmaxdivn, dcv=args.dcv,
+              auto_mem=not args.noauto)
     if args.cmdline:
         from ..utils.alphabet import seq_to_codes
         seqs = [seq_to_codes(s) for s in args.reference_in.split(",")]

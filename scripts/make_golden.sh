@@ -76,6 +76,8 @@ run v2_u200   -v 2 -u 200
 run v2_a_u100 -v 2 -a -u 100
 run v1_k2_u200 -v 1 -k 2 -u 200
 run v2_S_u200 -v 2 -S -u 200
+run v0_m2_S   -v 0 -m 2 -S
+run v1_m5_strata_S -v 1 --best --strata -m 5 -k 2 -u 150 -S
 
 # ---- seeded -n cases (test_parity_n.py) ----
 run n2_u200     -n 2 -u 200

@@ -1,10 +1,20 @@
 """Output parity for the stateful best-first engine
-(--best / -M / --strata / -v 3)."""
+(--best / -M / --strata / -v 3).
+
+Runs the HOST engine (BOWTIE_TPU_HOST_ENGINE) so the quick gate stays
+compile-free; the device engine's byte parity on the same goldens is
+covered by tests/test_best_device.py (slow set).
+"""
 import os
 
 import pytest
 
 from tests.test_parity_v0 import GOLDEN, run_cli
+
+
+@pytest.fixture(autouse=True)
+def _host_engine(monkeypatch):
+    monkeypatch.setenv("BOWTIE_TPU_HOST_ENGINE", "1")
 
 CASES = [
     ("best_v0_M1", ["-v", "0", "-M", "1"]),
@@ -16,6 +26,9 @@ CASES = [
     ("best_v2_a", ["-v", "2", "--best", "-a", "-u", "200"]),
     ("v3_u300", ["-v", "3", "-u", "300"]),
     ("best_v1_M1", ["-v", "1", "-M", "1", "-u", "300"]),
+    ("v1_m5_strata_S",
+     ["-v", "1", "--best", "--strata", "-m", "5", "-k", "2",
+      "-u", "150", "-S"]),
 ]
 
 

@@ -21,6 +21,7 @@ CASES = [
     ("v0_norc", ["-v", "0", "--norc"]),
     ("v0_SM1", ["-v", "0", "-S", "-M", "1"]),
     ("v0_M1", ["-v", "0", "-M", "1"]),
+    ("v0_m2_S", ["-v", "0", "-m", "2", "-S"]),
 ]
 
 
