@@ -83,9 +83,9 @@ class RangeState:
 
 class Branch:
     __slots__ = ("id", "depth0", "depth1", "depth2", "depth3", "rdepth",
-                 "len", "cost", "ham", "top", "bot", "ranges", "edits",
-                 "curtailed", "exhausted", "delayed_cost",
-                 "delayed_increase")
+                 "len", "cost", "ham", "top", "bot", "ranges",
+                 "nranges", "edits", "curtailed", "exhausted",
+                 "delayed_cost", "delayed_increase")
 
     def __init__(self, bid, qlen, d0, d1, d2, d3, rdepth, blen, cost,
                  ham, top, bot, edits=None):
@@ -97,10 +97,13 @@ class Branch:
         self.cost = cost
         self.ham = ham
         self.top, self.bot = top, bot
-        n = max(0, qlen - rdepth)
-        self.ranges = [RangeState() for _ in range(n)]
-        # skipped-over positions are unrevisitable (Branch::init :598)
-        # (RangeState starts eliminated already)
+        self.nranges = max(0, qlen - rdepth)
+        # RangeStates are created lazily on install: an absent entry is
+        # an eliminated position (RangeState starts eliminated), and
+        # skipped-over positions are unrevisitable (Branch::init :598).
+        # This removes the dominant allocation cost of the host engine
+        # (one RangeState per position per Branch).
+        self.ranges = {}
         self.edits = list(edits) if edits else []   # [(pos, chr_int)]
         self.curtailed = False
         self.exhausted = False
@@ -111,9 +114,17 @@ class Branch:
         return self.rdepth + self.len
 
     def eliminated_at(self, i):
-        if i <= self.len and i < len(self.ranges):
-            return self.ranges[i].eliminated
+        if i <= self.len and i < self.nranges:
+            r = self.ranges.get(i)
+            return r.eliminated if r is not None else True
         return True
+
+    def range_at(self, i):
+        r = self.ranges.get(i)
+        if r is None:
+            r = RangeState()
+            self.ranges[i] = r
+        return r
 
     def heap_key(self):
         """CostCompare (range_source.h:1103): cost asc; extendable
@@ -128,14 +139,18 @@ class Branch:
             self.curtailed = True
             return
         lowest = 0xFFFF
-        i = max(0, self.depth0 - self.rdepth)
-        while i <= self.len:
-            if not self.eliminated_at(i):
-                stratum = (1 << 14) if (self.rdepth + i < seed_len) else 0
-                cost = (self.ranges[i].quallo if qual_order else 0) | stratum
-                if cost < lowest:
-                    lowest = cost
-            i += 1
+        i0 = max(0, self.depth0 - self.rdepth)
+        hi = min(self.len, self.nranges - 1)
+        for i in self.ranges:
+            if i < i0 or i > hi:
+                continue
+            r = self.ranges[i]
+            if r.eliminated:
+                continue
+            stratum = (1 << 14) if (self.rdepth + i < seed_len) else 0
+            cost = (r.quallo if qual_order else 0) | stratum
+            if cost < lowest:
+                lowest = cost
         if lowest == 0xFFFF:
             self.exhausted = True
         elif lowest > 0:
@@ -148,24 +163,28 @@ class Branch:
         best_cost = 0xFFFF
         next_cost = 0xFFFF
         num_not_elim = 0
-        i = max(0, self.depth0 - self.rdepth)
-        while i <= self.len:
-            if not self.eliminated_at(i):
-                num_not_elim += 1
-                stratum = (1 << 14) if (self.rdepth + i < seed_len) else 0
-                cost = stratum | (self.ranges[i].quallo if qual_order else 0)
-                if cost < best_cost:
-                    next_cost = best_cost
-                    best_cost = cost
-                    tied = [i]
-                elif cost == best_cost:
-                    if len(tied) < 3:
-                        tied.append(i)
-                    else:
-                        tied = [tied[1], tied[2], i]
-                elif cost < next_cost:
-                    next_cost = cost
-            i += 1
+        i0 = max(0, self.depth0 - self.rdepth)
+        hi = min(self.len, self.nranges - 1)
+        for i in sorted(self.ranges):
+            if i < i0 or i > hi:
+                continue
+            r = self.ranges[i]
+            if r.eliminated:
+                continue
+            num_not_elim += 1
+            stratum = (1 << 14) if (self.rdepth + i < seed_len) else 0
+            cost = stratum | (r.quallo if qual_order else 0)
+            if cost < best_cost:
+                next_cost = best_cost
+                best_cost = cost
+                tied = [i]
+            elif cost == best_cost:
+                if len(tied) < 3:
+                    tied.append(i)
+                else:
+                    tied = [tied[1], tied[2], i]
+            elif cost < next_cost:
+                next_cost = cost
         r = 0
         if len(tied) > 1:
             r = rand.next_u32() % len(tied)
@@ -198,7 +217,7 @@ class Branch:
     def install_ranges(self, c, q_allow, q):
         """installRanges (range_source.h:970-1023): mark which
         substitutions remain viable at position len."""
-        r = self.ranges[self.len]
+        r = self.range_at(self.len)
         r.eliminated = True
         r.mm_elim = [True] * 4
         r.quallo = q
@@ -483,8 +502,8 @@ class BestRangeSource:
                     pt, pb = br.top, br.bot
                     if c == 4 and depth > 0:
                         br.top = br.bot = 1
-                    rs = br.ranges[br.len]
                     if br.top == 0 and br.bot == 0:
+                        rs = br.range_at(br.len)
                         f = fm.idx.fchr
                         rs.tops = [int(f[0]), int(f[1]), int(f[2]),
                                    int(f[3])]
@@ -495,6 +514,7 @@ class BestRangeSource:
                             br.top = rs.tops[c]
                             br.bot = rs.bots[c]
                     elif cur_is_alt and (pb > pt or c == 4):
+                        rs = br.range_at(br.len)
                         rs.tops = [fm.lf(pt, j) for j in range(4)]
                         rs.bots = [fm.lf(pb, j) for j in range(4)]
                         br.install_ranges(c, self.qual_lim - br.ham, q)
@@ -504,12 +524,12 @@ class BestRangeSource:
                         else:
                             br.top = br.bot = 1
                     elif pb > pt:
-                        rs.eliminated = True
+                        # absent entry == eliminated; no state needed
                         if c < 4:
                             br.top = fm.lf(pt, c)
                             br.bot = fm.lf(pb, c)
                     else:
-                        rs.eliminated = True
+                        pass                 # absent == eliminated
                 else:
                     cur = 0
                 empty = br.top == br.bot

@@ -1,33 +1,44 @@
 """Batched lockstep best-first (branch-and-bound) search on device.
 
 The TPU-native engine for bowtie's --best machinery (--best / -M /
---strata / -v 3): where the host engine (align/best.py) advances one
-Branch of one read at a time, this module runs thousands of reads in
-lockstep, one `lax.while_loop` whose carry holds every lane's branch
-pool, driver states and sink counters.
+--strata / -v 3 and the seeded -n --best modes): where the host engine
+(align/best.py) advances one Branch of one read at a time, this module
+runs thousands of reads in lockstep, one `lax.while_loop` whose carry
+holds every lane's branch pool, driver states and sink counters.
 
 Faithfulness contract: every state transition mirrors the host engine
 (itself validated bit-identical to the reference binary), including
 - the Branch/BranchQueue/PathManager order (CostCompare key: cost asc,
   extendable first, deeper tip, smaller id; range_source.h:1103),
 - curtail / splitBranch / pick_edit with their RNG draw order
-  (range_source.h:644-939),
+  (range_source.h:644-939) and the shared --maxbts ceiling,
 - CostAwareRangeSourceDriver's selection-sort tie draws and the
   strandFix delayed-range swap (range_source.h:2033-2400),
+- EbwtSeededRangeSourceDriver's generator/extender scheduling with
+  dynamic creation of full-extension drivers per seed partial
+  (ebwt_search_backtrack.h:2935-3140; best_driver.py SeededDriver),
 - the RangeChaser random-start row order (range_chaser.h:22) and
   NBestFirstStrat sink stop/backpressure rules (hit.h:1039,1123).
 Lanes that exceed any fixed resource bound (branch slots, edit slots,
-hit slots, step budget) raise `overflow` and are re-run on the host
-engine from scratch — per-read RNG seeding makes that bit-identical.
+extender slots, hit slots, step budget) raise `overflow` and are re-run
+on the host engine from scratch — per-read RNG seeding makes that
+bit-identical.
+
+Driver model: the OUTER CostAware driver ranges over outer drivers
+(0..ND-1), each either PLAIN (one range source) or SEEDED (a seed
+generator chained to dynamically created full extenders merged by an
+inner CostAware).  All range sources — plain drivers, generators and
+extender slots — live in one FLAT sub-driver dimension (0..NDT-1) that
+the branch pool and the advance machinery operate on; outer-level state
+lives in separate [B, ND] arrays.
 
 State layout (the TPU-critical decision): branch *scalars* live in
 [B, NBR] arrays updated with one-hot masked writes (cheap VPU sweeps);
-the per-position range data lives in two flat pools —
-``ptpb[B*NBR*L, 2]`` holding each consumed position's entry (top, bot)
-and ``meta[B*NBR, L]`` holding packed elimination bits + quallo — so
-one machine step costs one or two row scatters (~full-pool copy each,
-the dominant per-step cost) plus O([B, NBR]) vector work.  A split
-recomputes the needed LF quartet from the stored (top, bot) pair
+per-position range data lives in two flat pools —
+``ptpb[B*NBR*L, 2]`` (each consumed position's entry top/bot) and
+``meta[B*NBR, L]`` (packed elimination bits + quallo) — so one machine
+step costs one or two row scatters plus O([B, NBR]) vector work.  A
+split recomputes the needed LF quartet from the stored (top, bot) pair
 (mapLFEx, ebwt.h:2334) instead of storing 8 ints per position.
 """
 from __future__ import annotations
@@ -51,10 +62,15 @@ NBR = 16                   # branch pool slots
 E_MAX = 6                  # edits per branch
 H_MAX = 16                 # buffered hit slots
 MM_SLOTS = 8               # mismatch slots per stored hit record
+PEX = 4                    # extender slots per seeded outer driver
 
 # machine modes
-(M_DONE, M_MAIN, M_CADV, M_DADV, M_EXT, M_SPP, M_DEND, M_CPOST,
- M_SFX, M_SFXEND, M_SORT, M_CHASE) = range(12)
+(M_DONE, M_MAIN, M_CADV, M_OADV, M_DADV, M_EXT, M_SPP, M_DEND,
+ M_ODEND, M_CPOST, M_SFX, M_SFXEND, M_SORT, M_CHASE,
+ M_SD, M_SDGEN, M_SDFULL, M_ICADV, M_ICPOST) = range(19)
+
+# phase: where a flat-driver advance (DADV..DEND) returns to
+PH_OUTER, PH_GEN, PH_FULL = 0, 2, 3
 
 # meta encoding: bits 0-3 mm_elim (1 = eliminated substitution),
 # bit 4 eliminated (whole position), bits 5-11 quallo, bit 12
@@ -74,52 +90,126 @@ _QR[25:] = 30
 
 @dataclass(frozen=True)
 class DriverCfg:
-    """Static per-driver config (one BestRangeSource + BestDriver)."""
+    """Static config of one flat range source (BestRangeSource +
+    BestDriver)."""
     ebwt_fw: bool
     fw: bool
     pins: tuple           # 4 PIN_* constants
     report_exacts: bool
     hh: int               # half_and_half (0, 2 or 3)
     nudge_left: bool
+    seed: bool = False    # truncate query to the seed (gen drivers)
 
 
-def v_mode_configs(v: int, nofw: bool, norc: bool) -> list[DriverCfg]:
+@dataclass(frozen=True)
+class OuterCfg:
+    kind: str             # "plain" | "seeded"
+    cfg: DriverCfg        # plain driver / generator
+    ext: DriverCfg | None = None
+
+
+def v_mode_configs(v: int, nofw: bool, norc: bool) -> list[OuterCfg]:
     """Driver DAGs of make_best_aligner (aligner_0mm/1mm/23mm.h
     factories; see best_factories.py for the host equivalents)."""
     out = []
+
+    def plain(*a):
+        out.append(OuterCfg("plain", DriverCfg(*a)))
+
     if v == 0:
         P = (PIN_LEN,) * 4
         if not nofw:
-            out.append(DriverCfg(True, True, P, True, 0, True))
+            plain(True, True, P, True, 0, True)
         if not norc:
-            out.append(DriverCfg(True, False, P, True, 0, True))
+            plain(True, False, P, True, 0, True)
     elif v == 1:
         P = (PIN_HI, PIN_LEN, PIN_LEN, PIN_LEN)
         if not nofw:
-            out.append(DriverCfg(False, True, P, True, 0, False))
-            out.append(DriverCfg(True, True, P, False, 0, True))
+            plain(False, True, P, True, 0, False)
+            plain(True, True, P, False, 0, True)
         if not norc:
-            out.append(DriverCfg(True, False, P, True, 0, True))
-            out.append(DriverCfg(False, False, P, False, 0, False))
+            plain(True, False, P, True, 0, True)
+            plain(False, False, P, False, 0, False)
     else:
         two = v == 2
         Pfull = (PIN_HI, PIN_HI, PIN_LEN if two else PIN_HI, PIN_LEN)
         Phalf = (PIN_BEG, PIN_HI, PIN_LEN if two else PIN_HI, PIN_LEN)
         Phalf3 = (PIN_BEG, PIN_HI, PIN_HI, PIN_LEN)
         if not nofw:
-            out.append(DriverCfg(False, True, Pfull, True, 0, True))
-            out.append(DriverCfg(True, True, Pfull, False, 0, False))
-            out.append(DriverCfg(False, True, Phalf, False, 2, True))
+            plain(False, True, Pfull, True, 0, True)
+            plain(True, True, Pfull, False, 0, False)
+            plain(False, True, Phalf, False, 2, True)
             if not two:
-                out.append(DriverCfg(True, True, Phalf3, False, 3, False))
+                plain(True, True, Phalf3, False, 3, False)
         if not norc:
-            out.append(DriverCfg(True, False, Pfull, True, 0, True))
-            out.append(DriverCfg(False, False, Pfull, False, 0, False))
-            out.append(DriverCfg(True, False, Phalf, False, 2, True))
+            plain(True, False, Pfull, True, 0, True)
+            plain(False, False, Pfull, False, 0, False)
+            plain(True, False, Phalf, False, 2, True)
             if not two:
-                out.append(DriverCfg(False, False, Phalf3, False, 3,
-                                     False))
+                plain(False, False, Phalf3, False, 3, False)
     return out
+
+
+def seeded_mode_configs(seed_mms: int, nofw: bool,
+                        norc: bool) -> list[OuterCfg]:
+    """Driver DAGs of make_seeded_best_aligner
+    (aligner_seed_mm.h:80-532; best_factories.py
+    seeded_best_driver_factory)."""
+    SEED, HI, BEG = PIN_SEED, PIN_HI, PIN_BEG
+    out = []
+    n = seed_mms
+    for fw in (True, False):
+        if fw and nofw:
+            continue
+        if not fw and norc:
+            continue
+        efw_e = not fw          # exact-side index: mirror for fw reads
+        efw_g = fw              # generator side: the opposite
+
+        def plain(pins, exacts, hh=0):
+            out.append(OuterCfg("plain", DriverCfg(
+                efw_e, fw, pins, exacts, hh, True)))
+
+        def seeded(gen_pins, gen_hh=0):
+            gen = DriverCfg(efw_g, fw, gen_pins, False, gen_hh, False,
+                            seed=True)
+            ext = DriverCfg(efw_e, fw, (SEED,) * 4, True, 0, True)
+            out.append(OuterCfg("seeded", gen, ext))
+
+        if n == 0:
+            plain((SEED,) * 4, True)
+        elif n == 1:
+            plain((HI, SEED, SEED, SEED), True)
+            seeded((HI, SEED, SEED, SEED))
+        elif n == 2:
+            plain((HI, HI, SEED, SEED), True)
+            seeded((HI, HI, SEED, SEED))
+            plain((BEG, HI, SEED, SEED), False, hh=2)
+        else:
+            plain((HI, HI, HI, SEED), True)
+            seeded((HI, HI, HI, SEED))
+            seeded((BEG, HI, HI, SEED), gen_hh=3)
+            plain((BEG, HI, HI, SEED), False, hh=2)
+    return out
+
+
+def flatten_outer(outers: list[OuterCfg]):
+    """Flat sub-driver list + outer->flat maps."""
+    flat: list[DriverCfg] = []
+    o_kind, o_flat0, o_exbase = [], [], []
+    for oc in outers:
+        o_flat0.append(len(flat))
+        if oc.kind == "plain":
+            o_kind.append(0)
+            o_exbase.append(-1)
+            flat.append(oc.cfg)
+        else:
+            o_kind.append(1)
+            flat.append(oc.cfg)            # generator at flat0
+            o_exbase.append(len(flat))
+            flat.extend([oc.ext] * PEX)    # extender slots
+    return flat, np.array(o_kind, np.int32), \
+        np.array(o_flat0, np.int32), np.array(o_exbase, np.int32)
 
 
 def _host_rng_next(state):
@@ -131,43 +221,76 @@ def _host_rng_next(state):
     return s2, (ret ^ s2).astype(np.uint32)
 
 
-def cfg_arrays(cfgs: list[DriverCfg]):
-    nd = len(cfgs)
+def cfg_arrays(flat: list[DriverCfg], outers: list[OuterCfg],
+               o_kind, o_flat0, o_exbase):
     a = dict(
-        ebwt_fw=np.array([c.ebwt_fw for c in cfgs], np.int32),
-        fw=np.array([c.fw for c in cfgs], np.int32),
-        exacts=np.array([c.report_exacts for c in cfgs], np.int32),
-        hh=np.array([c.hh for c in cfgs], np.int32),
-        nudge=np.array([c.nudge_left for c in cfgs], np.int32),
-        pins=np.array([c.pins for c in cfgs], np.int32),  # [ND, 4]
+        ebwt_fw=np.array([c.ebwt_fw for c in flat], np.int32),
+        fw=np.array([c.fw for c in flat], np.int32),
+        exacts=np.array([c.report_exacts for c in flat], np.int32),
+        hh=np.array([c.hh for c in flat], np.int32),
+        same=np.array([c.ebwt_fw == c.fw for c in flat], np.int32),
+        is_ext=np.zeros(len(flat), np.int32),
+        o_kind=o_kind, o_flat0=o_flat0, o_exbase=o_exbase,
+        o_fw=np.array([oc.cfg.fw for oc in outers], np.int32),
+        # the index a CHASED range lives in: the plain driver's own
+        # side, or the extender side for seeded outers
+        o_chase_efw=np.array(
+            [(oc.ext.ebwt_fw if oc.kind == "seeded" else
+              oc.cfg.ebwt_fw) for oc in outers], np.int32),
     )
-    return nd, a
+    for oi, oc in enumerate(outers):
+        if oc.kind == "seeded":
+            a["is_ext"][o_exbase[oi]:o_exbase[oi] + PEX] = 1
+    return a
 
 
 class HostInit:
     """Vectorized numpy re-expression of set_query over the whole
-    batch: per-driver offsets/min-cost adjustments, N tallies, initial
-    branches (incl. ftab jump-start and the qlen==fc immediate-range
-    case), and the initial sort_actives RNG draws — everything the host
-    engine does before its first advance() call."""
+    batch: per-flat-driver offsets/min-cost adjustments, N tallies,
+    initial branches (incl. ftab jump-start and the dqlen==fc
+    immediate-range case), outer/inner driver states and the initial
+    sort_actives RNG draws."""
 
-    def __init__(self, cfgs, idx_fw, idx_bw, maq: bool,
-                 qual_order: bool, qual_lim: int):
-        self.cfgs = cfgs
-        self.nd, self.cfg = cfg_arrays(cfgs)
+    def __init__(self, outers: list[OuterCfg], idx_fw, idx_bw,
+                 maq: bool, qual_order: bool, qual_lim: int,
+                 seed_len: int):
+        self.outers = outers
+        self.flat, o_kind, o_flat0, o_exbase = flatten_outer(outers)
+        self.cfg = cfg_arrays(self.flat, outers, o_kind, o_flat0,
+                              o_exbase)
+        self.nd = len(outers)
+        self.ndt = len(self.flat)
         self.maq = maq
         self.qual_order = qual_order
         self.qual_lim = qual_lim
+        self.seed_len = seed_len
         self.fc = idx_fw.ftab_chars
         fh_fw, fl_fw = idx_fw.ftab_resolved()
         fh_bw, fl_bw = idx_bw.ftab_resolved()
-        self.ftab_hi = (fh_fw, fh_bw)     # index by [0]=fw, [1]=mirror
+        self.ftab_hi = (fh_fw, fh_bw)     # [0]=fw index, [1]=mirror
         self.ftab_lo = (fl_fw, fl_bw)
+
+    def _derive_rows(self, c: DriverCfg, codes, qual, qlen, dq, L):
+        """By-depth code/qual rows for one flat driver: pos(d) =
+        dq-1-d if ebwt_fw == fw else qlen-dq+d; complement iff rc;
+        depths beyond dq read N (BestRangeSource.set_query +
+        set_qlen)."""
+        di = np.arange(L)[None, :]
+        in_q = di < dq[:, None]
+        same = c.ebwt_fw == c.fw
+        pos = np.where(in_q,
+                       (dq[:, None] - 1 - di) if same
+                       else (qlen[:, None] - dq[:, None] + di), 0)
+        cd = np.take_along_axis(codes, pos, 1)
+        if not c.fw:
+            cd = np.where(cd < 4, 3 - cd, cd)
+        qd = np.where(in_q, cd, 4)
+        quald = np.where(in_q, np.take_along_axis(qual, pos, 1), 0)
+        return qd, quald
 
     def build(self, reads, L: int, seeds: np.ndarray):
         B = len(reads)
-        nd = self.nd
-        cfg = self.cfg
+        nd, ndt = self.nd, self.ndt
         qlen = np.array([len(r.seq) for r in reads], np.int32)
         codes = np.full((B, L), 4, np.int32)
         qual = np.zeros((B, L), np.int32)
@@ -178,189 +301,195 @@ class HostInit:
                 .astype(np.int32) - 33
         pen = _QR[np.clip(qual, 0, 255)] if self.maq else qual.copy()
 
-        st = {}
-        st["qlen"] = qlen
-        st["codes"] = codes
-        st["qual"] = qual
-        st["pen"] = pen
+        st = dict(qlen=qlen, codes=codes, qual=qual, pen=pen)
 
-        # --- per-driver offsets (initRangeSource) ---------------------
-        s = qlen[:, None].repeat(nd, 1)                       # [B, ND]
-        odd = (s & 1).astype(np.int32)
-        d5 = (s >> 1) + np.where(cfg["nudge"][None, :] > 0, 0, odd)
-        d3 = s
-        rev = np.zeros((B, nd, 4), np.int32)
-        for k in range(4):
-            pin = cfg["pins"][:, k][None, :]
-            rev[:, :, k] = np.select(
-                [pin == PIN_SEED, pin == PIN_HI, pin == PIN_BEG],
-                [s, d5, np.zeros_like(s)], default=s)
-        st["dd5"], st["dd3"] = d5, d3
-        st["drev"] = rev                                      # [B,ND,4]
+        # --- per-flat-driver geometry --------------------------------
+        sl = self.seed_len
+        dqlen = np.zeros((B, ndt), np.int32)
+        dd5 = np.zeros((B, ndt), np.int32)
+        dd3 = np.zeros((B, ndt), np.int32)
+        rev = np.zeros((B, ndt, 4), np.int32)
+        for f, c in enumerate(self.flat):
+            s = np.minimum(sl, qlen) if sl > 0 else qlen.copy()
+            odd = (s & 1).astype(np.int32)
+            d5 = (s >> 1) + (0 if c.nudge_left else odd)
+            dq = s if c.seed else qlen
+            dqlen[:, f] = dq
+            dd5[:, f] = d5
+            dd3[:, f] = s
+            for k in range(4):
+                pin = c.pins[k]
+                rev[:, f, k] = (s if pin == PIN_SEED else
+                                d5 if pin == PIN_HI else
+                                0 if pin == PIN_BEG else qlen)
+        st["dqlen"], st["dd5"], st["dd3"] = dqlen, dd5, dd3
 
-        # by-depth code/qual per driver orientation:
-        # pos(d) = qlen-1-d if ebwt_fw == fw else d; comp iff not fw
         di = np.arange(L)[None, :]
-        in_q = di < qlen[:, None]                             # [B, L]
-        qd = np.zeros((B, nd, L), np.int32)
-        quald = np.zeros((B, nd, L), np.int32)
-        for d in range(nd):
-            same = self.cfgs[d].ebwt_fw == self.cfgs[d].fw
-            pos = np.where(in_q,
-                           (qlen[:, None] - 1 - di) if same else di, 0)
-            c = np.take_along_axis(codes, pos, 1)
-            if not self.cfgs[d].fw:
-                c = np.where(c < 4, 3 - c, c)
-            qd[:, d] = np.where(in_q, c, 4)
-            quald[:, d] = np.where(in_q,
-                                   np.take_along_axis(qual, pos, 1), 0)
-        pend = _QR[np.clip(quald, 0, 255)] if self.maq else quald
-
-        # --- min_cost_adj ---------------------------------------------
-        adj = np.zeros((B, nd), np.int32)
-        for d in range(nd):
-            c = self.cfgs[d]
-            if c.report_exacts:
-                continue
-            pe = np.where((di >= rev[:, d, 0:1]) & in_q, pend[:, d],
-                          INF32)
-            if not c.hh:
-                v = (1 << 14) + (self.qual_order * pe.min(axis=1))
-                adj[:, d] = np.where(rev[:, d, 0] < s[:, d], v, 0)
-            else:
-                lo1 = np.where((di < d5[:, d:d + 1]) & in_q,
-                               pend[:, d], INF32).min(axis=1)
-                h2 = np.where((di >= d5[:, d:d + 1]) &
-                              (di < s[:, d:d + 1]) & in_q,
-                              pend[:, d], INF32)
-                h2s = np.sort(h2, axis=1)
-                v = np.int32(2 << 14)
-                if self.qual_order:
-                    v = v + lo1 + h2s[:, 0]
-                    if c.hh > 2:
-                        v = v + np.where(h2s[:, 1] < INF32, h2s[:, 1], 0)
-                ok = (d5[:, d] > 0) & (d5[:, d] < s[:, d] - 1)
-                adj[:, d] = np.where(ok, v, 0)
-        st["drv_adj"] = adj
-
-        # --- N tallies (_tally_ns) ------------------------------------
-        drv_dead = np.zeros((B, nd), bool)
-        ns_ftab = np.zeros((B, nd), np.int32)
-        for d in range(nd):
-            lim = np.minimum(rev[:, d, 3], qlen)
-            isn = (qd[:, d] == 4) & (di < lim[:, None])
+        adj = np.zeros((B, ndt), np.int32)
+        drv_dead = np.zeros((B, ndt), bool)
+        ns_ftab = np.zeros((B, ndt), np.int32)
+        qd_all = {}
+        for f, c in enumerate(self.flat):
+            if self.cfg["is_ext"][f]:
+                continue                    # created dynamically
+            dq = dqlen[:, f]
+            qd, quald = self._derive_rows(c, codes, qual, qlen, dq, L)
+            qd_all[f] = qd
+            pend = _QR[np.clip(quald, 0, 255)] if self.maq else quald
+            in_q = di < dq[:, None]
+            # min_cost_adj (best_driver.py _init_range_source)
+            s = dd3[:, f]
+            d5 = dd5[:, f]
+            if not c.report_exacts:
+                pe = np.where((di >= rev[:, f, 0:1]) & in_q, pend,
+                              INF32)
+                if not c.hh:
+                    v_ = (1 << 14) + (self.qual_order * pe.min(axis=1))
+                    adj[:, f] = np.where(rev[:, f, 0] < s, v_, 0)
+                else:
+                    base = (3 if c.seed else 2) << 14
+                    lo1 = np.where((di < d5[:, None]) & in_q, pend,
+                                   INF32).min(axis=1)
+                    h2 = np.where((di >= d5[:, None]) &
+                                  (di < s[:, None]) & in_q, pend,
+                                  INF32)
+                    h2s = np.sort(h2, axis=1)
+                    v_ = np.full(B, base, np.int32)
+                    if self.qual_order:
+                        v_ = v_ + lo1 + h2s[:, 0]
+                        if c.hh > 2:
+                            v_ = v_ + np.where(h2s[:, 1] < INF32,
+                                               h2s[:, 1], 0)
+                    ok = (d5 > 0) & (d5 < s - 1)
+                    adj[:, f] = np.where(ok, v_, 0)
+            # N tallies (_tally_ns)
+            lim = np.minimum(rev[:, f, 3], dq)
+            isn = (qd == 4) & (di < lim[:, None])
             csum = np.cumsum(isn, axis=1)
             dead = np.zeros(B, bool)
             for k, col in ((1, 0), (2, 1), (3, 2)):
                 at = isn & (csum == k)
                 has = at.any(axis=1)
                 p = np.argmax(at, axis=1)
-                dead |= has & (p < rev[:, d, col])
+                dead |= has & (p < rev[:, f, col])
             dead |= csum[:, -1] > 3
-            drv_dead[:, d] = dead
-            ns_ftab[:, d] = ((qd[:, d, :self.fc] == 4) &
-                             (di[:, :self.fc] < qlen[:, None])) \
+            # init_branch's dqlen < 4 early-out
+            maxmms = np.zeros(B, np.int32)
+            for a_, b_ in ((0, 1), (1, 2), (2, 3)):
+                maxmms = np.where(rev[:, f, a_] != rev[:, f, b_],
+                                  a_ + 1, maxmms)
+            dead |= (dq < 4) & (dq <= maxmms)
+            drv_dead[:, f] = dead
+            ns_ftab[:, f] = ((qd[:, :self.fc] == 4) &
+                             (di[:, :self.fc] < dq[:, None])) \
                 .sum(axis=1)
+        st["drv_adj"] = adj
 
-        # --- init_branch ----------------------------------------------
+        # --- init_branch per non-extender flat driver -----------------
         fc = self.fc
-        p_valid = np.zeros((B, NBR), np.int32)
-        p_drv = np.zeros((B, NBR), np.int32)
-        p_cost = np.zeros((B, NBR), np.int32)
-        p_ham = np.zeros((B, NBR), np.int32)
-        p_rdepth = np.zeros((B, NBR), np.int32)
-        p_len = np.zeros((B, NBR), np.int32)
-        p_top = np.zeros((B, NBR), np.int32)
-        p_bot = np.zeros((B, NBR), np.int32)
-        p_curt = np.zeros((B, NBR), np.int32)
-        p_dly = np.zeros((B, NBR), np.int32)
-        p_dlyf = np.zeros((B, NBR), np.int32)
-        p_id = np.zeros((B, NBR), np.int32)
-        p_ne = np.zeros((B, NBR), np.int32)
+        zero = lambda *s_: np.zeros(s_, np.int32)
+        P = dict(p_valid=zero(B, NBR), p_drv=zero(B, NBR),
+                 p_cost=zero(B, NBR), p_ham=zero(B, NBR),
+                 p_rdepth=zero(B, NBR), p_len=zero(B, NBR),
+                 p_top=zero(B, NBR), p_bot=zero(B, NBR),
+                 p_curt=zero(B, NBR), p_dly=zero(B, NBR),
+                 p_dlyf=zero(B, NBR), p_id=zero(B, NBR),
+                 p_ne=zero(B, NBR))
         p_d = np.zeros((B, NBR, 4), np.int32)
-        drv_done = np.zeros((B, nd), np.int32)
-        drv_found = np.zeros((B, nd), np.int32)
-        drv_min = np.zeros((B, nd), np.int32)
-        pm_min = np.zeros((B, nd), np.int32)
-        nextid = np.zeros((B, nd), np.int32)
-        rr = np.zeros((B, nd, 5), np.int32)     # top,bot,cost,strat,nmms
-
-        for d in range(nd):
-            c = self.cfgs[d]
-            off0 = rev[:, d, 0]
-            m = np.minimum(off0, qlen)
-            ftab_skips = qlen == fc
+        drv_done = np.ones((B, ndt), np.int32)   # extenders start done
+        drv_found = np.zeros((B, ndt), np.int32)
+        drv_min = np.zeros((B, ndt), np.int32)
+        nextid = np.zeros((B, ndt), np.int32)
+        rr = np.zeros((B, ndt, 5), np.int32)
+        slot_cursor = 0
+        for f, c in enumerate(self.flat):
+            if self.cfg["is_ext"][f]:
+                continue
+            dq = dqlen[:, f]
+            qd = qd_all[f]
+            off0 = rev[:, f, 0]
+            m = np.minimum(off0, dq)
+            ftab_skips = dq == fc
             skip_inv = (not c.report_exacts) & ftab_skips
-            use_ftab = (ns_ftab[:, d] == 0) & (m >= fc) & ~skip_inv
-            # calcFtabOff over depths 0..fc-1
+            use_ftab = (ns_ftab[:, f] == 0) & (m >= fc) & ~skip_inv
             w = 2 * np.arange(fc)[None, :]
-            qf = np.where(qd[:, d, :fc] > 3, 0, qd[:, d, :fc])
+            qf = np.where(qd[:, :fc] > 3, 0, qd[:, :fc])
             foff = (qf << w).sum(axis=1)
             fh = self.ftab_hi[0 if c.ebwt_fw else 1]
             fl = self.ftab_lo[0 if c.ebwt_fw else 1]
             ft = fh[foff].astype(np.int64).astype(np.int32)
             fb = fl[foff + 1].astype(np.int64).astype(np.int32)
             nonempty = fb > ft
-            alive = ~drv_dead[:, d] & (qlen >= 4)
-            # immediate found range (qlen == fc)
-            imm = alive & use_ftab & (qlen == fc) & nonempty
-            drv_found[:, d] = imm
-            rr[imm, d, 0] = ft[imm]
-            rr[imm, d, 1] = fb[imm]
-            # pushed branch: ftab-jumped or depth-0
-            pushf = alive & use_ftab & (qlen > fc) & nonempty
+            alive = ~drv_dead[:, f]
+            imm = alive & use_ftab & (dq == fc) & nonempty
+            drv_found[:, f] = imm
+            rr[imm, f, 0] = ft[imm]
+            rr[imm, f, 1] = fb[imm]
+            pushf = alive & use_ftab & (dq > fc) & nonempty
             push0 = alive & ~use_ftab
             pushed = pushf | push0
-            slot = d          # initial branch of driver d -> slot d
-            p_valid[pushed, slot] = 1
-            p_drv[:, slot] = d
-            p_len[pushf, slot] = fc
-            p_top[pushf, slot] = ft[pushf]
-            p_bot[pushf, slot] = fb[pushf]
-            p_d[pushed, slot, :] = rev[pushed, d, :]
-            nextid[pushed, d] = 1
-            drv_done[:, d] = (~alive | (~pushed & ~imm)).astype(np.int32)
-            drv_min[:, d] = adj[:, d]    # max(icost=0, adj)
+            slot = slot_cursor
+            slot_cursor += 1
+            P["p_valid"][pushed, slot] = 1
+            P["p_drv"][:, slot] = f
+            P["p_len"][pushf, slot] = fc
+            P["p_top"][pushf, slot] = ft[pushf]
+            P["p_bot"][pushf, slot] = fb[pushf]
+            p_d[pushed, slot, :] = rev[pushed, f, :]
+            nextid[pushed, f] = 1
+            drv_done[:, f] = (~pushed & ~imm).astype(np.int32)
+            drv_min[:, f] = adj[:, f]    # max(icost=0, adj)
+        assert slot_cursor <= NBR
+        st.update(P)
+        st["p_d0"], st["p_d1"] = p_d[:, :, 0], p_d[:, :, 1]
+        st["p_d2"], st["p_d3"] = p_d[:, :, 2], p_d[:, :, 3]
 
-        # --- initial sort_actives -------------------------------------
+        # --- outer driver state --------------------------------------
+        kind = self.cfg["o_kind"]
+        flat0 = self.cfg["o_flat0"]
+        od_done = np.zeros((B, nd), np.int32)
+        od_found = np.zeros((B, nd), np.int32)
+        od_min = np.zeros((B, nd), np.int32)
+        for oi in range(nd):
+            f = flat0[oi]
+            if kind[oi] == 0:
+                od_done[:, oi] = drv_done[:, f]
+                od_found[:, oi] = drv_found[:, f]
+                od_min[:, oi] = drv_min[:, f]
+            else:
+                # SeededDriver.set_query: done False,
+                # min = max(gen adj, gen min)
+                od_min[:, oi] = np.maximum(adj[:, f], drv_min[:, f])
+        st.update(drv_done=drv_done, drv_found=drv_found,
+                  drv_min=drv_min, drv_nextid=nextid, rr=rr,
+                  od_done=od_done, od_found=od_found, od_min=od_min)
+
+        # --- initial outer sort_actives ------------------------------
         rng_ca = seeds.astype(np.uint32).copy()
         act = np.tile(np.arange(nd, dtype=np.int32), (B, 1))
         act_n = np.full(B, nd, np.int32)
         act, act_n, rng_ca, ca_min = _host_sort_actives(
-            act, act_n, drv_done, drv_found, drv_min, rng_ca,
+            act, act_n, od_done, od_found, od_min, rng_ca,
             np.zeros(B, np.int32))
-
-        st.update(
-            p_valid=p_valid, p_drv=p_drv, p_cost=p_cost, p_ham=p_ham,
-            p_rdepth=p_rdepth, p_len=p_len, p_top=p_top, p_bot=p_bot,
-            p_curt=p_curt, p_dly=p_dly, p_dlyf=p_dlyf, p_id=p_id,
-            p_ne=p_ne, p_d0=p_d[:, :, 0], p_d1=p_d[:, :, 1],
-            p_d2=p_d[:, :, 2], p_d3=p_d[:, :, 3],
-            drv_done=drv_done, drv_found=drv_found, drv_min=drv_min,
-            drv_adj=adj, pm_min=pm_min, drv_nextid=nextid,
-            rr=rr, act=act, act_n=act_n, rng_ca=rng_ca,
-            ca_min=ca_min, qd=qd, quald=quald, pend=pend,
-        )
+        st.update(act=act, act_n=act_n, rng_ca=rng_ca, ca_min=ca_min)
         return st
 
 
-def _host_sort_actives(act, act_n, drv_done, drv_found, drv_min,
-                       rng, ca_min):
+def _host_sort_actives(act, act_n, done, found, minc, rng, ca_min):
     """sortActives (range_source.h:2367+) on host, vectorized over B,
     replicated draw-for-draw: selection sort with a draw per tie."""
     B, nd = act.shape
     act = act.copy()
     act_n = act_n.copy()
     i = np.zeros(B, np.int32)
+    rows = np.arange(B)
     for _ in range(2 * nd):
         run = i < act_n
         if not run.any():
             break
         cur = np.take_along_axis(act, i[:, None].clip(0, nd - 1),
                                  1)[:, 0]
-        rm = run & (drv_done[np.arange(B), cur] > 0) & \
-            (drv_found[np.arange(B), cur] == 0)
-        # pop at i: shift left
+        rm = run & (done[rows, cur] > 0) & (found[rows, cur] == 0)
         if rm.any():
             cols = np.arange(nd)[None, :]
             shift = rm[:, None] & (cols >= i[:, None])
@@ -369,16 +498,15 @@ def _host_sort_actives(act, act_n, drv_done, drv_found, drv_min,
             act_n = np.where(rm, act_n - 1, act_n)
         sel = run & ~rm
         if sel.any():
-            min_cost = drv_min[np.arange(B), cur]
+            min_cost = minc[rows, cur]
             min_off = i.copy()
             for joff in range(1, nd):
                 j = i + joff
                 vj = sel & (j < act_n)
                 cj = np.take_along_axis(act, j[:, None].clip(0, nd - 1),
                                         1)[:, 0]
-                skip = (drv_done[np.arange(B), cj] > 0) & \
-                    (drv_found[np.arange(B), cj] == 0)
-                cost_j = drv_min[np.arange(B), cj]
+                skip = (done[rows, cj] > 0) & (found[rows, cj] == 0)
+                cost_j = minc[rows, cj]
                 ok = vj & ~skip
                 less = ok & (cost_j < min_cost)
                 tie = ok & (cost_j == min_cost)
@@ -387,7 +515,6 @@ def _host_sort_actives(act, act_n, drv_done, drv_found, drv_min,
                 take = less | (tie & ((draw & 0x1000) > 0))
                 min_cost = np.where(less, cost_j, min_cost)
                 min_off = np.where(take, j, min_off)
-            # swap act[i] <-> act[min_off]
             do = sel & (min_off != i)
             if do.any():
                 vi = np.take_along_axis(
@@ -402,8 +529,7 @@ def _host_sort_actives(act, act_n, drv_done, drv_found, drv_min,
             i = np.where(sel, i + 1, i)
     first = np.take_along_axis(act, np.zeros((B, 1), np.int32), 1)[:, 0]
     ca_min = np.where(act_n > 0,
-                      np.maximum(drv_min[np.arange(B), first], ca_min),
-                      ca_min)
+                      np.maximum(minc[rows, first], ca_min), ca_min)
     return act, act_n, rng, ca_min
 
 
@@ -411,7 +537,7 @@ def _host_sort_actives(act, act_n, drv_done, drv_found, drv_min,
 # Device state
 # ---------------------------------------------------------------------------
 
-def _init_state(B, L, nd, seeds, host):
+def _init_state(B, L, nd, ndt, seeds, host, maxbts):
     z = lambda *s: jnp.zeros(s, jnp.int32)
     st = dict(
         mode=jnp.full((B,), M_MAIN, jnp.int32),
@@ -420,24 +546,27 @@ def _init_state(B, L, nd, seeds, host):
         rng_al=jnp.asarray(seeds, jnp.uint32),
         rng_ca=jnp.asarray(host["rng_ca"], jnp.uint32),
         rng_rs=jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None],
-                        (1, nd)),
+                        (1, ndt)),
         seed=jnp.asarray(seeds, jnp.uint32),
         count=z(B), best_stratum=jnp.full((B,), 999, jnp.int32),
         nhits=z(B), hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
         qlen=jnp.asarray(host["qlen"], jnp.int32),
-        qd=jnp.asarray(host["qd"], jnp.int32),        # [B, ND, L]
-        pend=jnp.asarray(host["pend"], jnp.int32),
+        codes=jnp.asarray(host["codes"], jnp.int32),
+        pen=jnp.asarray(host["pen"], jnp.int32),
+        dqlen=jnp.asarray(host["dqlen"], jnp.int32),
         dd5=jnp.asarray(host["dd5"], jnp.int32),
         dd3=jnp.asarray(host["dd3"], jnp.int32),
         qd_cur=z(B, L), pend_cur=z(B, L),
-        d5_cur=z(B), d3_cur=z(B),
-        # CostAware / aligner control
+        d5_cur=z(B), d3_cur=z(B), qlen_cur=z(B),
+        bt=jnp.full((B,), maxbts, jnp.int32),
+        # outer CostAware / aligner control
         ca_done=z(B), ca_found=z(B),
         ca_min=jnp.asarray(host["ca_min"], jnp.int32),
         act=jnp.asarray(host["act"], jnp.int32),
         act_n=jnp.asarray(host["act_n"], jnp.int32),
-        cur=z(B), precost=z(B), phase=z(B), sfx_mc=z(B),
-        needs_sort=z(B), adv_found=z(B), loop_cost=z(B),
+        cur=z(B), cur_o=z(B), precost=z(B), phase=z(B), octx=z(B),
+        sfx_mc=z(B), adv_found=z(B), loop_cost=z(B), sdf_old=z(B),
+        ic_pre=z(B),
         # found-range registers
         ls_drv=z(B), ls_top=z(B), ls_bot=z(B), ls_cost=z(B),
         ls_strat=z(B), ls_ne=z(B), ls_ed=z(B, E_MAX), ls_ec=z(B, E_MAX),
@@ -447,20 +576,37 @@ def _init_state(B, L, nd, seeds, host):
         # chase registers
         ch_r=z(B), ch_k=z(B),
         r_row=z(B), r_jumps=z(B), r_walk=z(B),
-        # per-driver state
+        # flat sub-driver state
         drv_done=jnp.asarray(host["drv_done"], jnp.int32),
         drv_found=jnp.asarray(host["drv_found"], jnp.int32),
         drv_min=jnp.asarray(host["drv_min"], jnp.int32),
         drv_adj=jnp.asarray(host["drv_adj"], jnp.int32),
-        pm_min=jnp.asarray(host["pm_min"], jnp.int32),
+        pm_min=z(B, ndt),
         drv_nextid=jnp.asarray(host["drv_nextid"], jnp.int32),
-        rr=jnp.asarray(host["rr"], jnp.int32),        # [B, ND, 5]
-        rr_ed=z(B, nd, E_MAX), rr_ec=z(B, nd, E_MAX),
+        rr=jnp.asarray(host["rr"], jnp.int32),        # [B, NDT, 5]
+        rr_ed=z(B, ndt, E_MAX), rr_ec=z(B, ndt, E_MAX),
+        # extender dynamic state
+        pm_m=z(B, ndt, 3), pm_c=z(B, ndt, 3), pm_n=z(B, ndt),
+        ex_next=z(B, nd),
+        # outer driver state
+        od_done=jnp.asarray(host["od_done"], jnp.int32),
+        od_found=jnp.asarray(host["od_found"], jnp.int32),
+        od_min=jnp.asarray(host["od_min"], jnp.int32),
+        od_rr=z(B, nd, 5), od_ed=z(B, nd, E_MAX), od_ec=z(B, nd, E_MAX),
+        # inner CostAware state (one per outer slot; used when seeded)
+        ic_act=z(B, nd, PEX), ic_actn=z(B, nd), ic_found=z(B, nd),
+        ic_done=z(B, nd), ic_min=z(B, nd),
+        ic_rng=jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None],
+                        (1, nd)),
+        il_top=z(B, nd), il_bot=z(B, nd), il_cost=z(B, nd),
+        il_strat=z(B, nd), il_ne=z(B, nd),
+        il_ed=z(B, nd, E_MAX), il_ec=z(B, nd, E_MAX),
         # branch pool
         ptpb=z(B * NBR * L, 2),
         meta=jnp.full((B * NBR, L), META_ALL_DEAD, jnp.int32),
         p_ed=z(B, NBR, E_MAX), p_ec=z(B, NBR, E_MAX),
     )
+    # outer rr for pre-found plain drivers (immediate ftab ranges)
     for k in ("p_valid", "p_drv", "p_cost", "p_ham", "p_rdepth",
               "p_len", "p_top", "p_bot", "p_curt", "p_dly", "p_dlyf",
               "p_id", "p_ne", "p_d0", "p_d1", "p_d2", "p_d3"):
@@ -487,20 +633,37 @@ def _psel(st, name, slot):
 
 
 def _dsel(st, name, drv):
-    """st[name][b, drv[b]] for [B, ND] arrays."""
+    """st[name][b, drv[b]] for [B, K] arrays."""
     return _sel_col(st[name], drv)
 
 
 def _dw(st, name, mask, drv, val):
-    B, ND = st[name].shape
-    mm = (jax.lax.broadcasted_iota(jnp.int32, (B, ND), 1)
+    B, K = st[name].shape
+    mm = (jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
           == drv[:, None]) & mask[:, None]
     st[name] = jnp.where(mm, val[:, None], st[name])
     return st
 
 
+def _dsel2(st, name, drv):
+    """[B, K, W] row select -> [B, W]."""
+    K = st[name].shape[1]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+          == drv[:, None, None])
+    return jnp.sum(jnp.where(oh, st[name], 0), axis=1)
+
+
+def _dw2(st, name, mask, drv, val):
+    """[B, K, W] row write."""
+    B, K, W = st[name].shape
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+          == drv[:, None]) & mask[:, None]
+    st[name] = jnp.where(oh[:, :, None], val[:, None, :], st[name])
+    return st
+
+
 def _cfg1(cfg_arr, idx):
-    """cfg lookup: [ND] array at per-lane driver idx."""
+    """cfg lookup: [K] array at per-lane index."""
     return _g1(cfg_arr, idx)
 
 
@@ -514,7 +677,6 @@ def _irrelevant(st, cost, strata: bool):
 def _front_select(st, cur):
     """PathManager front: argmin by CostCompare key (cost asc,
     extendable first, deeper tip, smaller id; range_source.h:1103)."""
-    B = cur.shape[0]
     elig = (st["p_valid"] > 0) & (st["p_drv"] == cur[:, None])
     tip = st["p_rdepth"] + st["p_len"]
     key1 = ((st["p_cost"] * 2 + st["p_curt"]) << 8) | \
@@ -527,23 +689,111 @@ def _front_select(st, cur):
     return fs, nonempty
 
 
-def _load_cur_rows(st, mask, cur):
-    """Refresh the current-driver by-depth query/penalty registers and
-    d5/d3 (sweeps [B, ND, L] once per driver switch, not per step)."""
-    nd = st["qd"].shape[1]
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, nd, 1), 1)
-          == cur[:, None, None])
-    qdc = jnp.sum(jnp.where(oh, st["qd"], 0), axis=1)
-    pdc = jnp.sum(jnp.where(oh, st["pend"], 0), axis=1)
-    st["qd_cur"] = jnp.where(mask[:, None], qdc, st["qd_cur"])
-    st["pend_cur"] = jnp.where(mask[:, None], pdc, st["pend_cur"])
-    st = _w(st, "d5_cur", mask, _dsel(st, "dd5", cur))
-    st = _w(st, "d3_cur", mask, _dsel(st, "dd3", cur))
+def _derive_qd(st, cfgj, flat, L):
+    """By-depth code/penalty rows for flat driver `flat` ([B] ids),
+    derived from the base read arrays + premuts (the device analog of
+    set_query/set_qlen/seed-mutation application)."""
+    B = flat.shape[0]
+    same = _cfg1(cfgj["same"], flat)
+    fw = _cfg1(cfgj["fw"], flat)
+    dq = _dsel(st, "dqlen", flat)
+    qlen = st["qlen"]
+    di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_q = di < dq[:, None]
+    pos = jnp.where(same[:, None] > 0, dq[:, None] - 1 - di,
+                    qlen[:, None] - dq[:, None] + di)
+    pos = jnp.where(in_q, jnp.clip(pos, 0, L - 1), 0)
+    cd = jnp.take_along_axis(st["codes"], pos, axis=1)
+    cd = jnp.where((fw[:, None] == 0) & (cd < 4), 3 - cd, cd)
+    qd = jnp.where(in_q, cd, 4)
+    pend = jnp.where(in_q, jnp.take_along_axis(st["pen"], pos, axis=1),
+                     0)
+    # seed-stage mutations: depth == m_k (set_query applies the seed
+    # range's edits to qry; in depth coordinates the edit lands at its
+    # seed-relative 5' offset)
+    npm = _dsel(st, "pm_n", flat)
+    pmm = _dsel2(st, "pm_m", flat)       # [B, 3]
+    pmc = _dsel2(st, "pm_c", flat)
+    for k in range(3):
+        hit = (di == pmm[:, k:k + 1]) & (npm[:, None] > k) & in_q
+        qd = jnp.where(hit, pmc[:, k:k + 1], qd)
+    return qd, pend
+
+
+def _load_cur_rows(st, mask, flat, cfgj, L):
+    """Refresh the current-flat-driver registers (by-depth query and
+    penalty rows, d5/d3/qlen)."""
+    qd, pend = _derive_qd(st, cfgj, flat, L)
+    st["qd_cur"] = jnp.where(mask[:, None], qd, st["qd_cur"])
+    st["pend_cur"] = jnp.where(mask[:, None], pend, st["pend_cur"])
+    st = _w(st, "d5_cur", mask, _dsel(st, "dd5", flat))
+    st = _w(st, "d3_cur", mask, _dsel(st, "dd3", flat))
+    st = _w(st, "qlen_cur", mask, _dsel(st, "dqlen", flat))
     return st
 
 
+def _copy_outer_range(st, mask, prefix, cur_o):
+    """prefix regs <- outer driver's current range (od_rr)."""
+    rrv = _dsel2(st, "od_rr", cur_o)
+    st = _w(st, prefix + "drv", mask, cur_o)
+    st = _w(st, prefix + "top", mask, rrv[:, 0])
+    st = _w(st, prefix + "bot", mask, rrv[:, 1])
+    st = _w(st, prefix + "cost", mask, rrv[:, 2])
+    st = _w(st, prefix + "strat", mask, rrv[:, 3])
+    st = _w(st, prefix + "ne", mask, rrv[:, 4])
+    ed = _dsel2(st, "od_ed", cur_o)
+    ec = _dsel2(st, "od_ec", cur_o)
+    st[prefix + "ed"] = jnp.where(mask[:, None], ed, st[prefix + "ed"])
+    st[prefix + "ec"] = jnp.where(mask[:, None], ec, st[prefix + "ec"])
+    return st
+
+
+def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
+    """sortActives on device over an id list `act` whose entries index
+    the given per-id arrays; returns updated (act, act_n, rng)."""
+    B = m.shape[0]
+    i = jnp.zeros((B,), jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, act.shape, 1)
+    for _t in range(2 * K):
+        run = m & (i < act_n)
+        cur = _sel_col(act, jnp.clip(i, 0, K - 1))
+        rm = run & (_sel_col(done2, cur) > 0) & \
+            (_sel_col(found2, cur) == 0)
+        shift = rm[:, None] & (cols >= i[:, None])
+        src = jnp.clip(cols + 1, 0, act.shape[1] - 1)
+        act = jnp.where(shift, jnp.take_along_axis(act, src, 1), act)
+        act_n = jnp.where(rm, act_n - 1, act_n)
+        sel = run & ~rm
+        min_cost = _sel_col(min2, cur)
+        min_off = i
+        for joff in range(1, K):
+            j = i + joff
+            vj = sel & (j < act_n)
+            cj = _sel_col(act, jnp.clip(j, 0, act.shape[1] - 1))
+            skip = (_sel_col(done2, cj) > 0) & \
+                (_sel_col(found2, cj) == 0)
+            cost_j = _sel_col(min2, cj)
+            okj = vj & ~skip
+            less = okj & (cost_j < min_cost)
+            tiej = okj & (cost_j == min_cost)
+            rng2, draw = _rng_next(rng)
+            rng = jnp.where(tiej, rng2, rng)
+            take = less | (tiej & ((draw & 0x1000) > 0))
+            min_cost = jnp.where(less, cost_j, min_cost)
+            min_off = jnp.where(take, j, min_off)
+        do = sel & (min_off != i)
+        vi = _sel_col(act, jnp.clip(i, 0, act.shape[1] - 1))
+        vm = _sel_col(act, jnp.clip(min_off, 0, act.shape[1] - 1))
+        act = jnp.where(do[:, None] & (cols == i[:, None]),
+                        vm[:, None], act)
+        act = jnp.where(do[:, None] & (cols == min_off[:, None]),
+                        vi[:, None], act)
+        i = jnp.where(sel, i + 1, i)
+    return act, act_n, rng
+
+
 # ---------------------------------------------------------------------------
-# Steps
+# Aligner-level + outer CostAware steps
 # ---------------------------------------------------------------------------
 
 def _step_main(st, strata: bool):
@@ -570,8 +820,8 @@ def _step_main(st, strata: bool):
 
 
 def _step_cadv(st):
-    """CostAwareRangeSourceDriver::advance entry
-    (range_source.h:2180-2260; best_driver.py CostAwareDriver)."""
+    """Outer CostAwareRangeSourceDriver::advance entry
+    (range_source.h:2180-2260)."""
     m = st["mode"] == M_CADV
     # delayed range consumption
     dv = m & (st["dl_valid"] > 0)
@@ -586,33 +836,54 @@ def _step_cadv(st):
     has_act = st["act_n"] > 0
     act0 = st["act"][:, 0]
     st = _w(st, "ca_min", dv & has_act,
-            jnp.maximum(_dsel(st, "drv_min", act0), st["ca_min"]))
+            jnp.maximum(_dsel(st, "od_min", act0), st["ca_min"]))
     st = _w(st, "ca_done", dv & ~has_act, 1)
     st["mode"] = jnp.where(dv, M_MAIN, st["mode"])
     m = m & ~dv
-    # empty active
     emp = m & ~has_act
     st = _w(st, "ca_done", emp, 1)
     st["mode"] = jnp.where(emp, M_MAIN, st["mode"])
     go = m & ~emp
-    st = _w(st, "cur", go, act0)
-    st = _w(st, "phase", go, 0)
-    st = _w(st, "precost", go, _dsel(st, "drv_min", act0))
-    st = _load_cur_rows(st, go, st["cur"])
-    pre = go & (_dsel(st, "drv_found", act0) > 0)
+    st = _w(st, "cur_o", go, act0)
+    st = _w(st, "octx", go, 0)
+    st = _w(st, "precost", go, _dsel(st, "od_min", act0))
+    pre = go & (_dsel(st, "od_found", act0) > 0)
     st["mode"] = jnp.where(pre, M_CPOST, st["mode"])
-    st["mode"] = jnp.where(go & ~pre, M_DADV, st["mode"])
+    st["mode"] = jnp.where(go & ~pre, M_OADV, st["mode"])
+    return st
+
+
+def _step_oadv(st, cfgj, L, has_seeded: bool):
+    """Dispatch one outer-driver advance: plain -> flat machinery,
+    seeded -> the SeededDriver scheduler."""
+    m = st["mode"] == M_OADV
+    cur_o = st["cur_o"]
+    if not has_seeded:
+        f0 = _cfg1(cfgj["o_flat0"], cur_o)
+        st = _w(st, "cur", m, f0)
+        st = _w(st, "phase", m, PH_OUTER)
+        st = _load_cur_rows(st, m, st["cur"], cfgj, L)
+        st["mode"] = jnp.where(m, M_DADV, st["mode"])
+        return st
+    kind = _cfg1(cfgj["o_kind"], cur_o)
+    pl = m & (kind == 0)
+    f0 = _cfg1(cfgj["o_flat0"], cur_o)
+    st = _w(st, "cur", pl, f0)
+    st = _w(st, "phase", pl, PH_OUTER)
+    st = _load_cur_rows(st, pl, st["cur"], cfgj, L)
+    st["mode"] = jnp.where(pl, M_DADV, st["mode"])
+    st["mode"] = jnp.where(m & (kind == 1), M_SD, st["mode"])
     return st
 
 
 def _step_sfx(st):
     """strandFix inner-loop head (range_source.h:2322-2352 while)."""
     m = st["mode"] == M_SFX
-    cur = st["cur"]
-    stop = m & ((_dsel(st, "drv_done", cur) > 0) |
-                (_dsel(st, "drv_found", cur) > 0))
+    cur_o = st["cur_o"]
+    stop = m & ((_dsel(st, "od_done", cur_o) > 0) |
+                (_dsel(st, "od_found", cur_o) > 0))
     st["mode"] = jnp.where(stop, M_SFXEND, st["mode"])
-    st["mode"] = jnp.where(m & ~stop, M_DADV, st["mode"])
+    st["mode"] = jnp.where(m & ~stop, M_OADV, st["mode"])
     return st
 
 
@@ -632,18 +903,37 @@ def _step_dadv(st):
 
 def _meta_costs(st, meta_row, frd, flen, fd0, d3, qual_order: bool):
     """Per-position curtail/split costs over a branch's meta row
-    (Branch::curtail/split scan, range_source.h:644-939).  Returns
-    (eligible[B, L], cost[B, L])."""
+    (Branch::curtail/split scan, range_source.h:644-939)."""
     B, L = meta_row.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     i0 = jnp.maximum(0, fd0 - frd)
     elig = (ii >= i0[:, None]) & (ii <= flen[:, None]) & \
-        (ii < (st["qlen"] - frd)[:, None]) & \
+        (ii < (st["qlen_cur"] - frd)[:, None]) & \
         ((meta_row & META_ELIM) == 0)
     quallo = (meta_row >> 5) & 0x7F
     strat = jnp.where((frd[:, None] + ii) < d3[:, None], 1 << 14, 0)
     cost = (quallo if qual_order else jnp.zeros_like(quallo)) | strat
     return elig, jnp.where(elig, cost, COST_INF)
+
+
+def _merged_edits(st, cur, ed_row, ec_row, fne):
+    """Branch edits followed by the driver's seed-stage premuts (the
+    addPartialEdits accounting, ebwt_search_backtrack.h:2376): the
+    premut's seed-relative 5' offset plays the depth role in the
+    range's mismatch list."""
+    B = cur.shape[0]
+    npm = _dsel(st, "pm_n", cur)
+    pmm = _dsel2(st, "pm_m", cur)
+    pmc = _dsel2(st, "pm_c", cur)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (B, E_MAX), 1)
+    from_br = sl < fne[:, None]
+    pidx = jnp.clip(sl - fne[:, None], 0, 2)
+    oh = pidx[:, :, None] == jnp.arange(3, dtype=jnp.int32)[None, None]
+    pm_pos = jnp.sum(jnp.where(oh, pmm[:, None, :], 0), -1)
+    pm_ref = jnp.sum(jnp.where(oh, pmc[:, None, :], 0), -1)
+    ed = jnp.where(from_br, ed_row, pm_pos)
+    ec = jnp.where(from_br, ec_row, pm_ref)
+    return ed, ec, fne + npm
 
 
 def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
@@ -675,7 +965,7 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     st = _w(st, "loop_cost", m, fcost)
 
     depth = frd + flen
-    qlen = st["qlen"]
+    qlen = st["qlen_cur"]
 
     # half-and-half entry check (best.py _hh_check_top)
     hhfail = m & (hh > 0) & (((depth == d5) & (fne == 0)) |
@@ -692,7 +982,6 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     caseA = consume & (tb_top == 0) & (tb_bot == 0)
     caseB = consume & ~caseA & alt & ((pb > pt) | (c == 4))
     caseC = consume & ~caseA & ~caseB & (pb > pt)
-    # quartet (mapLFEx) for A/B/C lanes; masked otherwise
     need_q = caseA | caseB | caseC
     tops, bots = _lf4pair(cat, occ_base, zoff,
                           jnp.where(need_q, pt, 0),
@@ -714,12 +1003,10 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
         (jnp.clip(q, 0, 127) << 5) | jnp.where(caseA, META_FCHR, 0)
     meta_new = jnp.where(install, meta_new, META_ALL_DEAD)
 
-    # new top/bot after consuming
     qc = _sel_col(tops, jnp.clip(c, 0, 3))
     qb = _sel_col(bots, jnp.clip(c, 0, 3))
     new_top = jnp.where((caseA | caseB | caseC) & (c < 4), qc, tb_top)
     new_bot = jnp.where((caseA | caseB | caseC) & (c < 4), qb, tb_bot)
-    # case A with c == 4 keeps (0, 0); case B with c == 4 -> (1, 1)
     new_top = jnp.where(caseA & (c == 4), 0, new_top)
     new_bot = jnp.where(caseA & (c == 4), 0, new_bot)
     st = _pw(st, "p_top", consume, fs, new_top)
@@ -727,7 +1014,6 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     eff_top = jnp.where(consume, new_top, ftop)
     eff_bot = jnp.where(consume, new_bot, fbot)
 
-    # outcome
     cur0 = depth >= (qlen - 1)
     empty = eff_top == eff_bot
     hit = m & ~hhfail & cur0 & ~empty
@@ -748,26 +1034,22 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
 
     found = hit & ~invalid_exact & ~hh2fail
     extend = m & ~hhfail & ~hh2fail & ~hit & ~empty & ~cur0
-    curt = m & ~extend   # hhfail | hh2fail | hit | empty | cur0
+    curt = m & ~extend
 
-    # FOUND: record cur_range for this driver (_mk_range)
+    # FOUND: record cur_range for this flat driver (_mk_range, with
+    # the driver's seed premuts appended)
     st = _w(st, "adv_found", found, 1)
-    nd = st["rr"].shape[1]
-    ohd = (jax.lax.broadcasted_iota(jnp.int32, (B, nd), 1)
-           == cur[:, None]) & found[:, None]
-    rrv = jnp.stack([eff_top, eff_bot, fcost, fcost >> 14, fne], -1)
-    st["rr"] = jnp.where(ohd[:, :, None], rrv[:, None, :], st["rr"])
-    st["rr_ed"] = jnp.where(ohd[:, :, None], ed_row[:, None, :],
-                            st["rr_ed"])
     ec_row = st["p_ec"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
-    st["rr_ec"] = jnp.where(ohd[:, :, None], ec_row[:, None, :],
-                            st["rr_ec"])
+    med, mec, mne = _merged_edits(st, cur, ed_row, ec_row, fne)
+    rrv = jnp.stack([eff_top, eff_bot, fcost, fcost >> 14, mne], -1)
+    st = _dw2(st, "rr", found, cur, rrv)
+    st = _dw2(st, "rr_ed", found, cur, med)
+    st = _dw2(st, "rr_ec", found, cur, mec)
 
     # EXTEND
     st = _pw(st, "p_len", extend, fs, flen + 1)
 
-    # row writes: ptpb at position flen (consume lanes); meta at flen
-    # (consume) and flen+1 cleared (extend lanes)
+    # row writes
     lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
     rowbase = (lane * NBR + fs) * L
     BIG = jnp.int32(B * NBR * L + 7)
@@ -782,13 +1064,10 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     mj2 = jnp.clip(flen + 1, 0, L - 1)
     st["meta"] = st["meta"].at[mi1, mj1].set(meta_new, mode="drop")
     st["meta"] = st["meta"].at[mi2, mj2].set(META_ALL_DEAD, mode="drop")
-    # extend beyond L (can't happen: len < qlen <= L) -> overflow guard
     st["overflow"] = st["overflow"] | (extend & (flen + 1 >= L))
 
     # CURTAIL (range_source.h:877-939 + PathManager::curtail 1434-1455)
     meta_row = st["meta"][jnp.clip(mrow, 0, B * NBR - 1)]
-    # overlay this step's write (the .at[].set above is already applied
-    # to st["meta"], so meta_row is current)
     elig, costs = _meta_costs(st, meta_row, frd, flen, fd0, d3,
                               qual_order)
     lowest = jnp.min(costs, axis=1)
@@ -801,10 +1080,12 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     return st
 
 
-def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
+def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
+              bt_on: bool):
     """One advanceBranch iteration, part 2: splitAndPrep — delayed-cost
-    fixups, splitBranch/pick_edit with its RNG draws, then the loop
-    exit checks (range_source.h:644-773,1459-1517)."""
+    fixups, the shared --maxbts ceiling, splitBranch/pick_edit with its
+    RNG draws, then the loop exit checks
+    (range_source.h:644-773,1459-1517)."""
     m = st["mode"] == M_SPP
     B = m.shape[0]
     cur = st["cur"]
@@ -830,14 +1111,34 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     fd2 = _psel(st, "p_d2", fs)
     fd3 = _psel(st, "p_d3", fs)
 
-    # delayed-increase fixup: apply and stay in M_SPP (the host's
-    # `while front.delayed_increase` loop, one fixup per machine step)
+    # backtrack-ceiling entry check (splitAndPrep: bt_cnt[0] == 0)
+    btfail0 = jnp.zeros_like(m) if not bt_on else \
+        (live & (st["bt"] == 0))
+    clear0 = btfail0
+    live = live & ~btfail0
+
+    # delayed-increase fixup: one per machine step, stay in M_SPP
     dfix = live & (fdlyf > 0)
     st = _pw(st, "p_cost", dfix, fs, fdly)
     st = _pw(st, "p_dlyf", dfix, fs, jnp.zeros_like(fs))
     rest = live & ~dfix
 
     dosplit = rest & (fcurt > 0)
+    # decrement the shared ceiling before splitting; hitting zero
+    # aborts without splitting (range_source.h:1470-1476)
+    if bt_on:
+        st = _w(st, "bt", dosplit, jnp.maximum(st["bt"] - 1, 0))
+        btfail1 = dosplit & (st["bt"] == 0)
+        clear0 = clear0 | btfail1
+        dosplit = dosplit & ~btfail1
+        rest = rest & ~btfail1
+    # pm-clear path (advance_branch: heap.clear(); min_cost = 0)
+    if bt_on:
+        cm = clear0[:, None] & (st["p_drv"] == cur[:, None])
+        st["p_valid"] = jnp.where(cm, 0, st["p_valid"])
+        st = _dw(st, "pm_min", clear0, cur, jnp.zeros_like(cur))
+        st["mode"] = jnp.where(clear0, M_DEND, st["mode"])
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
     mrow = lane * NBR + fs
     meta_row = st["meta"][jnp.clip(mrow, 0, B * NBR - 1)]
@@ -856,8 +1157,8 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     r = jnp.where(ndraw,
                   (v % jnp.maximum(w, 1).astype(jnp.uint32))
                   .astype(jnp.int32), 0)
-    nd_ = st["rng_rs"].shape[1]
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (B, nd_), 1)
+    ndt_ = st["rng_rs"].shape[1]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (B, ndt_), 1)
            == cur[:, None]) & ndraw[:, None]
     st["rng_rs"] = jnp.where(ohr, rng2[:, None], st["rng_rs"])
     rank = n_t - w + r
@@ -866,7 +1167,6 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     pos = jnp.argmax(posm, axis=1).astype(jnp.int32)
     depth_split = frd + pos
 
-    # quartet at the split position from the stored (top, bot) entry
     prow = (lane * NBR + fs) * L + pos
     ent = st["ptpb"][jnp.clip(prow, 0, B * NBR * L - 1)]
     spt, spb = ent[:, 0], ent[:, 1]
@@ -890,7 +1190,7 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     rng_d2 = _dsel(st, "rng_rs", cur).astype(jnp.uint32)
     rng3, v2 = _rng_next(rng_d2)
     dart = (v2 % jnp.maximum(tot, 1).astype(jnp.uint32)).astype(jnp.int32)
-    ohr2 = (jax.lax.broadcasted_iota(jnp.int32, (B, nd_), 1)
+    ohr2 = (jax.lax.broadcasted_iota(jnp.int32, (B, ndt_), 1)
             == cur[:, None]) & multi[:, None]
     st["rng_rs"] = jnp.where(ohr2, rng3[:, None], st["rng_rs"])
     cumsp = jnp.cumsum(spreads, axis=1)
@@ -899,7 +1199,6 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     chosen_single = jnp.argmax(cands, axis=1).astype(jnp.int32)
     last = num == 1
     chosen = jnp.where(last, chosen_single, chosen_multi)
-    # parent meta update at pos
     pm_new = jnp.where(last, meta_pos | META_ELIM,
                        meta_pos | (1 << jnp.clip(chosen, 0, 3)))
 
@@ -933,7 +1232,6 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
                       ("p_d0", nd0), ("p_d1", nd1), ("p_d2", nd2),
                       ("p_d3", fd3)):
         st = _pw(st, name, ok, cslot, val)
-    # child edits = parent edits + (depth_split, chosen)
     ed_row = st["p_ed"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
     ec_row = st["p_ec"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
     sl = jax.lax.broadcasted_iota(jnp.int32, (B, E_MAX), 1)
@@ -955,7 +1253,6 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     st = _pw(st, "p_dly", dly, fs, fcost - best + nxt)
     st = _pw(st, "p_dlyf", dly, fs, jnp.ones_like(fs))
 
-    # meta writes: parent pos + child position 0 cleared
     MBIG = jnp.int32(B * NBR + 7)
     mi1 = jnp.where(ok, mrow, MBIG)
     st["meta"] = st["meta"].at[mi1, jnp.clip(pos, 0, L - 1)].set(
@@ -968,7 +1265,6 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
     elig2 = (st["p_valid"] > 0) & (st["p_drv"] == cur[:, None])
     any2 = jnp.any(elig2, axis=1)
     fca = jnp.min(jnp.where(elig2, st["p_cost"], INF32), axis=1)
-    # pm.min_cost tracking (frozen when empty)
     st = _dw(st, "pm_min", m & any2, cur, fca)
     exit_ = chk & (~any2 | (fca != st["loop_cost"]) |
                    (st["adv_found"] > 0))
@@ -978,8 +1274,8 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int):
 
 
 def _step_dend(st):
-    """BestDriver.advance tail: done/min_cost updates, then return into
-    the caller (CostAware main path or the strandFix loop)."""
+    """BestDriver.advance tail: done/min_cost updates, then return to
+    the caller by phase (outer / generator / inner-full)."""
     m = st["mode"] == M_DEND
     cur = st["cur"]
     has = jnp.any((st["p_valid"] > 0) & (st["p_drv"] == cur[:, None]),
@@ -990,72 +1286,78 @@ def _step_dend(st):
     st = _dw(st, "drv_min", m & (pmc != 0), cur,
              jnp.maximum(pmc, adj))
     st = _dw(st, "drv_found", m, cur, st["adv_found"])
-    mn = m & (st["phase"] == 0)
-    st["mode"] = jnp.where(mn, M_CPOST, st["mode"])
-    ms = m & (st["phase"] == 1)
-    exceed = ms & (_dsel(st, "drv_min", cur) > st["sfx_mc"])
-    st["mode"] = jnp.where(exceed, M_SFXEND, st["mode"])
-    st["mode"] = jnp.where(ms & ~exceed, M_SFX, st["mode"])
+    st["mode"] = jnp.where(m & (st["phase"] == PH_OUTER), M_ODEND,
+                           st["mode"])
+    st["mode"] = jnp.where(m & (st["phase"] == PH_GEN), M_SDGEN,
+                           st["mode"])
+    st["mode"] = jnp.where(m & (st["phase"] == PH_FULL), M_ICPOST,
+                           st["mode"])
     return st
 
 
-def _copy_range_regs(st, mask, prefix, drv):
-    """prefix regs <- driver drv's cur_range (rr)."""
-    nd = st["rr"].shape[1]
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, nd), 1)
-          == drv[:, None])[:, :, None]
-    rr = jnp.sum(jnp.where(oh, st["rr"], 0), axis=1)     # [B, 5]
-    ed = jnp.sum(jnp.where(oh, st["rr_ed"], 0), axis=1)
-    ec = jnp.sum(jnp.where(oh, st["rr_ec"], 0), axis=1)
-    st = _w(st, prefix + "drv", mask, drv)
-    st = _w(st, prefix + "top", mask, rr[:, 0])
-    st = _w(st, prefix + "bot", mask, rr[:, 1])
-    st = _w(st, prefix + "cost", mask, rr[:, 2])
-    st = _w(st, prefix + "strat", mask, rr[:, 3])
-    st = _w(st, prefix + "ne", mask, rr[:, 4])
-    st[prefix + "ed"] = jnp.where(mask[:, None], ed, st[prefix + "ed"])
-    st[prefix + "ec"] = jnp.where(mask[:, None], ec, st[prefix + "ec"])
+def _step_odend(st, cfgj):
+    """One outer-driver advance finished: sync outer state (plain
+    drivers mirror their flat source) and continue per context (main
+    CostAware flow vs the strandFix loop)."""
+    m = st["mode"] == M_ODEND
+    cur_o = st["cur_o"]
+    kind = _cfg1(cfgj["o_kind"], cur_o)
+    f0 = _cfg1(cfgj["o_flat0"], cur_o)
+    pl = m & (kind == 0)
+    st = _dw(st, "od_done", pl, cur_o, _dsel(st, "drv_done", f0))
+    st = _dw(st, "od_min", pl, cur_o, _dsel(st, "drv_min", f0))
+    pf = pl & (_dsel(st, "drv_found", f0) > 0)
+    st = _dw(st, "od_found", pf, cur_o, jnp.ones_like(cur_o))
+    st = _dw(st, "drv_found", pf, f0, jnp.zeros_like(f0))
+    rrv = _dsel2(st, "rr", f0)
+    st = _dw2(st, "od_rr", pf, cur_o, rrv)
+    st = _dw2(st, "od_ed", pf, cur_o, _dsel2(st, "rr_ed", f0))
+    st = _dw2(st, "od_ec", pf, cur_o, _dsel2(st, "rr_ec", f0))
+    # route by context
+    main = m & (st["octx"] == 0)
+    st["mode"] = jnp.where(main, M_CPOST, st["mode"])
+    sf = m & (st["octx"] == 1)
+    exceed = sf & (_dsel(st, "od_min", cur_o) > st["sfx_mc"])
+    st["mode"] = jnp.where(exceed, M_SFXEND, st["mode"])
+    st["mode"] = jnp.where(sf & ~exceed, M_SFX, st["mode"])
     return st
 
 
 def _step_cpost(st, cfgj, nd: int):
-    """CostAware.advance after p.advance(): consume a found range
+    """Outer CostAware.advance after p.advance(): consume a found range
     (_found_first_range incl. the strandFix scan) and decide whether to
     re-sort (range_source.h:2262-2360)."""
     m = st["mode"] == M_CPOST
-    cur = st["cur"]
-    pf = m & (_dsel(st, "drv_found", cur) > 0)
-    needs0 = (_dsel(st, "drv_done", cur) > 0) | \
-        (st["precost"] != _dsel(st, "drv_min", cur))
+    cur_o = st["cur_o"]
+    pf = m & (_dsel(st, "od_found", cur_o) > 0)
+    needs0 = (_dsel(st, "od_done", cur_o) > 0) | \
+        (st["precost"] != _dsel(st, "od_min", cur_o))
 
-    # found: last_range <- cur driver's range; strandFix scan
-    st = _copy_range_regs(st, pf, "ls_", cur)
+    st = _copy_outer_range(st, pf, "ls_", cur_o)
     st = _w(st, "ca_found", pf, 1)
-    st = _dw(st, "drv_found", pf, cur, jnp.zeros_like(cur))
-    r_fw = _cfg1(cfgj["fw"], cur)
-    # first i >= 1 (STATIC rss order) with cfg.fw[i] != r.fw and
+    st = _dw(st, "od_found", pf, cur_o, jnp.zeros_like(cur_o))
+    r_fw = _cfg1(cfgj["o_fw"], cur_o)
+    # first i >= 1 (STATIC rss order) with outer cfg.fw[i] != r.fw and
     # i < act_n (the reference's rss_[i]/active_[i] quirk)
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, nd), 1)
-    cfg_fw_row = jnp.broadcast_to(cfgj["fw"][None, :],
-                                  (cur.shape[0], nd))
+    cfg_fw_row = jnp.broadcast_to(cfgj["o_fw"][None, :],
+                                  (cur_o.shape[0], nd))
     cand = (ii >= 1) & (cfg_fw_row != r_fw[:, None]) & \
         (ii < st["act_n"][:, None])
     has_i = jnp.any(cand, axis=1)
     i_star = jnp.argmax(cand, axis=1).astype(jnp.int32)
     sf = pf & has_i
     tgt = _sel_col(st["act"], i_star)
-    mc = jnp.maximum(st["ca_min"], _dsel(st, "drv_min", tgt))
+    mc = jnp.maximum(st["ca_min"], _dsel(st, "od_min", tgt))
     brk = sf & (mc > st["ls_cost"])
     go = sf & ~brk
-    st = _w(st, "cur", go, tgt)
-    st = _w(st, "phase", go, 1)
+    st = _w(st, "cur_o", go, tgt)
+    st = _w(st, "octx", go, 1)
     st = _w(st, "sfx_mc", go, mc)
-    st = _load_cur_rows(st, go, st["cur"])
     st["mode"] = jnp.where(go, M_SFX, st["mode"])
 
-    # sort decision for the non-strandfix paths
     fin = m & ~go
-    needs = needs0 | go   # go lanes sort later (after sfix)
+    needs = needs0 | go
     dosort = fin & needs
     st["mode"] = jnp.where(dosort, M_SORT, st["mode"])
     st["mode"] = jnp.where(fin & ~dosort, M_MAIN, st["mode"])
@@ -1067,17 +1369,16 @@ def _step_sfxend(st):
     delayed, with the spread-weighted swap draw
     (range_source.h:2329-2345)."""
     m = st["mode"] == M_SFXEND
-    cur = st["cur"]
-    pf = m & (_dsel(st, "drv_found", cur) > 0)
-    st = _copy_range_regs(st, pf, "dl_", cur)
+    cur_o = st["cur_o"]
+    pf = m & (_dsel(st, "od_found", cur_o) > 0)
+    st = _copy_outer_range(st, pf, "dl_", cur_o)
     st = _w(st, "dl_valid", pf, 1)
-    st = _dw(st, "drv_found", pf, cur, jnp.zeros_like(cur))
+    st = _dw(st, "od_found", pf, cur_o, jnp.zeros_like(cur_o))
     tot = (st["dl_bot"] - st["dl_top"]) + (st["ls_bot"] - st["ls_top"])
     rng2, v = _rng_next(st["rng_ca"])
     st["rng_ca"] = jnp.where(pf, rng2, st["rng_ca"])
     rq = (v % jnp.maximum(tot, 1).astype(jnp.uint32)).astype(jnp.int32)
     swap = pf & (rq < (st["dl_bot"] - st["dl_top"]))
-    # swap last <-> delayed
     for a, b in (("ls_drv", "dl_drv"), ("ls_top", "dl_top"),
                  ("ls_bot", "dl_bot"), ("ls_cost", "dl_cost"),
                  ("ls_strat", "dl_strat"), ("ls_ne", "dl_ne")):
@@ -1088,66 +1389,336 @@ def _step_sfxend(st):
         va, vb = st[a], st[b]
         st[a] = jnp.where(swap[:, None], vb, va)
         st[b] = jnp.where(swap[:, None], va, vb)
-    st = _w(st, "phase", m, 0)
+    st = _w(st, "octx", m, 0)
     st["mode"] = jnp.where(m, M_SORT, st["mode"])
     return st
 
 
 def _step_sort(st, nd: int):
-    """sortActives on device: the host selection sort with a draw per
-    tie, unrolled (2*ND outer x ND inner masked vector ops)."""
+    """Outer sortActives + the post-sort active-empty check."""
     m = st["mode"] == M_SORT
-    B = m.shape[0]
-    act = st["act"]
-    act_n = st["act_n"]
-    rng = st["rng_ca"]
-    i = jnp.zeros((B,), jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, nd), 1)
-    for _t in range(2 * nd):
-        run = m & (i < act_n)
-        cur = _sel_col(act, jnp.clip(i, 0, nd - 1))
-        rm = run & (_dsel(st, "drv_done", cur) > 0) & \
-            (_dsel(st, "drv_found", cur) == 0)
-        shift = rm[:, None] & (cols >= i[:, None])
-        src = jnp.clip(cols + 1, 0, nd - 1)
-        act = jnp.where(shift, jnp.take_along_axis(act, src, 1), act)
-        act_n = jnp.where(rm, act_n - 1, act_n)
-        sel = run & ~rm
-        min_cost = _dsel(st, "drv_min", cur)
-        min_off = i
-        for joff in range(1, nd):
-            j = i + joff
-            vj = sel & (j < act_n)
-            cj = _sel_col(act, jnp.clip(j, 0, nd - 1))
-            skip = (_dsel(st, "drv_done", cj) > 0) & \
-                (_dsel(st, "drv_found", cj) == 0)
-            cost_j = _dsel(st, "drv_min", cj)
-            okj = vj & ~skip
-            less = okj & (cost_j < min_cost)
-            tiej = okj & (cost_j == min_cost)
-            rng2, draw = _rng_next(rng)
-            rng = jnp.where(tiej, rng2, rng)
-            take = less | (tiej & ((draw & 0x1000) > 0))
-            min_cost = jnp.where(less, cost_j, min_cost)
-            min_off = jnp.where(take, j, min_off)
-        do = sel & (min_off != i)
-        vi = _sel_col(act, jnp.clip(i, 0, nd - 1))
-        vm = _sel_col(act, jnp.clip(min_off, 0, nd - 1))
-        act = jnp.where(do[:, None] & (cols == i[:, None]),
-                        vm[:, None], act)
-        act = jnp.where(do[:, None] & (cols == min_off[:, None]),
-                        vi[:, None], act)
-        i = jnp.where(sel, i + 1, i)
-    st["act"] = act
+    act, act_n, rng = _sort_generic(
+        m, st["act"], st["act_n"], st["od_done"], st["od_found"],
+        st["od_min"], st["rng_ca"], nd)
+    st["act"] = jnp.where(m[:, None], act, st["act"])
     st["act_n"] = jnp.where(m, act_n, st["act_n"])
     st["rng_ca"] = jnp.where(m, rng, st["rng_ca"])
-    first = _sel_col(act, jnp.zeros_like(i))
+    first = act[:, 0]
     st = _w(st, "ca_min", m & (act_n > 0),
-            jnp.maximum(_dsel(st, "drv_min", first), st["ca_min"]))
-    # post-sort: active emptied -> done unless a delayed range waits
+            jnp.maximum(_dsel(st, "od_min", first), st["ca_min"]))
     emp = m & (act_n == 0)
     st = _w(st, "ca_done", emp, (st["dl_valid"] == 0).astype(jnp.int32))
     st["mode"] = jnp.where(m, M_MAIN, st["mode"])
+    return st
+
+
+# ---------------------------------------------------------------------------
+# Seeded-driver scheduler (EbwtSeededRangeSourceDriver)
+# ---------------------------------------------------------------------------
+
+def _step_sd(st, cfgj, L):
+    """SeededDriver.advance entry: done checks, 0xFFFF pruning, the
+    do_full scheduling decision (best_driver.py:324-368)."""
+    m = st["mode"] == M_SD
+    cur_o = st["cur_o"]
+    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    gdone = _dsel(st, "drv_done", gen) > 0
+    gfound = _dsel(st, "drv_found", gen) > 0
+    fdone = _dsel(st, "ic_done", cur_o) > 0
+    ffound = _dsel(st, "ic_found", cur_o) > 0
+
+    alldone = m & gdone & fdone & ~gfound & ~ffound
+    st = _dw(st, "od_done", alldone, cur_o, jnp.ones_like(cur_o))
+    st["mode"] = jnp.where(alldone, M_ODEND, st["mode"])
+    rest = m & ~alldone
+
+    sdead = rest & gdone & ~gfound
+    st = _dw(st, "drv_min", sdead, gen,
+             jnp.full_like(gen, COST_INF))
+    ret1 = sdead & (_dsel(st, "ic_min", cur_o) >
+                    _dsel(st, "od_min", cur_o))
+    st = _dw(st, "od_min", ret1, cur_o, _dsel(st, "ic_min", cur_o))
+    st["mode"] = jnp.where(ret1, M_ODEND, st["mode"])
+    rest = rest & ~ret1
+
+    fdead = rest & fdone & ~ffound
+    st = _dw(st, "ic_min", fdead, cur_o,
+             jnp.full_like(cur_o, COST_INF))
+    ret2 = fdead & (_dsel(st, "drv_min", gen) >
+                    _dsel(st, "od_min", cur_o))
+    st = _dw(st, "od_min", ret2, cur_o, _dsel(st, "drv_min", gen))
+    st["mode"] = jnp.where(ret2, M_ODEND, st["mode"])
+    rest = rest & ~ret2
+
+    do_full = _dsel(st, "ic_min", cur_o) <= _dsel(st, "drv_min", gen)
+    genp = rest & ~do_full
+    pre_g = genp & gfound
+    st["mode"] = jnp.where(pre_g, M_SDGEN, st["mode"])
+    adv_g = genp & ~gfound
+    st = _w(st, "cur", adv_g, gen)
+    st = _w(st, "phase", adv_g, PH_GEN)
+    st = _load_cur_rows(st, adv_g, st["cur"], cfgj, L)
+    st["mode"] = jnp.where(adv_g, M_DADV, st["mode"])
+
+    fullp = rest & do_full
+    st = _w(st, "sdf_old", fullp, _dsel(st, "ic_min", cur_o))
+    pre_f = fullp & ffound
+    st["mode"] = jnp.where(pre_f, M_SDFULL, st["mode"])
+    st["mode"] = jnp.where(fullp & ~pre_f, M_ICADV, st["mode"])
+    return st
+
+
+def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
+                L: int, fc: int):
+    """After a generator advance: on a seed partial, create a full
+    extender (its whole set_query runs on device: premut application,
+    N tally, ftab jump, initial branch) and add it to the inner
+    CostAware (add_source incl. the inner sort's draws); then the
+    generator min-cost propagation (SeededDriver.advance not-do_full
+    tail)."""
+    m = st["mode"] == M_SDGEN
+    B = m.shape[0]
+    cur_o = st["cur_o"]
+    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    gfound = m & (_dsel(st, "drv_found", gen) > 0)
+
+    # seed range from the generator's rr regs
+    srr = _dsel2(st, "rr", gen)
+    scost = srr[:, 2]
+    sne = srr[:, 4]
+    sed = _dsel2(st, "rr_ed", gen)       # search depths in gen coords
+    sec = _dsel2(st, "rr_ec", gen)
+    st = _dw(st, "drv_found", gfound, gen, jnp.zeros_like(gen))
+
+    # allocate an extender slot
+    exb = _cfg1(cfgj["o_exbase"], cur_o)
+    slot = _dsel(st, "ex_next", cur_o)
+    over = gfound & ((slot >= PEX) | (sne > 3))
+    st["overflow"] = st["overflow"] | over
+    st["mode"] = jnp.where(over, M_DONE, st["mode"])
+    ok = gfound & ~over
+    flat_e = exb + jnp.clip(slot, 0, PEX - 1)
+    st = _dw(st, "ex_next", ok, cur_o, slot + 1)
+
+    # --- extender set_query (device) ---------------------------------
+    # premuts: seed-relative 5' offsets m = dqlen_gen - 1 - depth
+    gdq = _dsel(st, "dqlen", gen)
+    pm_m = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, 3), 1) < sne[:, None],
+        gdq[:, None] - 1 - sed[:, :3], 0)
+    pm_c = sec[:, :3]
+    st = _dw2(st, "pm_m", ok, flat_e, pm_m)
+    st = _dw2(st, "pm_c", ok, flat_e, pm_c)
+    st = _dw(st, "pm_n", ok, flat_e, sne)
+    # geometry: full qlen, d3 = s (seed edge), d5 = s >> 1 (nudge left)
+    qlen = st["qlen"]
+    s_seed = _dsel(st, "dd3", gen)       # = min(seed_len, qlen)
+    st = _dw(st, "dqlen", ok, flat_e, qlen)
+    st = _dw(st, "dd3", ok, flat_e, s_seed)
+    st = _dw(st, "dd5", ok, flat_e, s_seed >> 1)
+    iham = (scost & 0x3FFF) if qual_order else jnp.zeros_like(scost)
+    st = _dw(st, "drv_nextid", ok, flat_e, jnp.zeros_like(flat_e))
+    st = _dw(st, "pm_min", ok, flat_e, jnp.zeros_like(flat_e))
+    ndt_ = st["rng_rs"].shape[1]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (B, ndt_), 1)
+           == flat_e[:, None]) & ok[:, None]
+    st["rng_rs"] = jnp.where(ohr, st["seed"][:, None], st["rng_rs"])
+
+    # derive the extender's qd row (with premuts) for tally + ftab
+    qd_e, _pend_e = _derive_qd(st, cfgj, jnp.where(ok, flat_e, gen), L)
+    di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    dead = jnp.any((qd_e == 4) & (di < s_seed[:, None]), axis=1)
+    ns_ftab = jnp.sum(((qd_e[:, :fc] == 4) &
+                       (di[:, :fc] < qlen[:, None])).astype(jnp.int32),
+                      axis=1)
+    use_ftab = (ns_ftab == 0) & (jnp.minimum(s_seed, qlen) >= fc)
+    wsh = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
+    qf = jnp.where(qd_e[:, :fc] > 3, 0, qd_e[:, :fc])
+    foff = jnp.sum(qf << wsh, axis=1)
+    efw_e = _cfg1(cfgj["ebwt_fw"], jnp.where(ok, flat_e, gen))
+    ftab_base = jnp.where(efw_e > 0, cat.ftab_base[0],
+                          cat.ftab_base[1])
+    ft = _g1(cat.ftab_hi, jnp.where(ok, foff, 0) + ftab_base)
+    fb = _g1(cat.ftab_lo, jnp.where(ok, foff + 1, 1) + ftab_base)
+    nonempty = fb > ft
+    alive = ok & ~dead & (qlen >= 4)
+    imm = alive & use_ftab & (qlen == fc) & nonempty
+    # immediate range: mms = premuts only (nmms = sne)
+    rr_imm = jnp.stack([ft, fb, scost, scost >> 14, sne], -1)
+    st = _dw2(st, "rr", imm, flat_e, rr_imm)
+    pad = jnp.zeros((B, E_MAX - 3), jnp.int32)
+    st = _dw2(st, "rr_ed", imm, flat_e,
+              jnp.concatenate([pm_m, pad], axis=1))
+    st = _dw2(st, "rr_ec", imm, flat_e,
+              jnp.concatenate([pm_c, pad], axis=1))
+    pushf = alive & use_ftab & (qlen > fc) & nonempty
+    push0 = alive & ~use_ftab
+    pushed = pushf | push0
+    # pool slot for the initial branch
+    fkey = st["p_valid"] * NBR + \
+        jax.lax.broadcasted_iota(jnp.int32, (B, NBR), 1)
+    cslot = jnp.argmin(fkey, axis=1).astype(jnp.int32)
+    pool_full = _psel(st, "p_valid", cslot) > 0
+    over2 = pushed & pool_full
+    st["overflow"] = st["overflow"] | over2
+    st["mode"] = jnp.where(over2, M_DONE, st["mode"])
+    pushed = pushed & ~over2
+    blen0 = jnp.where(pushf, fc, 0)
+    for name, val in (("p_valid", jnp.ones_like(cslot)),
+                      ("p_drv", flat_e), ("p_cost", scost),
+                      ("p_ham", iham),
+                      ("p_rdepth", jnp.zeros_like(cslot)),
+                      ("p_len", blen0),
+                      ("p_top", jnp.where(pushf, ft, 0)),
+                      ("p_bot", jnp.where(pushf, fb, 0)),
+                      ("p_curt", jnp.zeros_like(cslot)),
+                      ("p_dly", jnp.zeros_like(cslot)),
+                      ("p_dlyf", jnp.zeros_like(cslot)),
+                      ("p_id", jnp.zeros_like(cslot)),
+                      ("p_ne", jnp.zeros_like(cslot)),
+                      ("p_d0", s_seed), ("p_d1", s_seed),
+                      ("p_d2", s_seed), ("p_d3", s_seed)):
+        st = _pw(st, name, pushed, cslot, val)
+    st = _dw(st, "drv_nextid", pushed, flat_e, jnp.ones_like(flat_e))
+    # clear the created branch's first scan position
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+    MBIG = jnp.int32(B * NBR + 7)
+    crow = jnp.where(pushed, lane * NBR + cslot, MBIG)
+    st["meta"] = st["meta"].at[crow, jnp.clip(blen0, 0, L - 1)].set(
+        META_ALL_DEAD, mode="drop")
+    st = _dw(st, "drv_done", ok, flat_e,
+             (~pushed & ~imm).astype(jnp.int32))
+    st = _dw(st, "drv_found", ok, flat_e, imm.astype(jnp.int32))
+    st = _dw(st, "drv_min", ok, flat_e, scost)
+
+    # --- inner add_source --------------------------------------------
+    st = _dw(st, "ic_found", ok, cur_o, jnp.zeros_like(cur_o))
+    st = _dw(st, "ic_done", ok, cur_o, jnp.zeros_like(cur_o))
+    actn = _dsel(st, "ic_actn", cur_o)
+    iact = _dsel2(st, "ic_act", cur_o)          # [B, PEX]
+    sl4 = jax.lax.broadcasted_iota(jnp.int32, iact.shape, 1)
+    iact = jnp.where((sl4 == actn[:, None]) & ok[:, None],
+                     flat_e[:, None], iact)
+    actn2 = jnp.where(ok, actn + 1, actn)
+    # inner sort (add_source: min_cost = 0 then _sort_actives)
+    irng = _dsel(st, "ic_rng", cur_o).astype(jnp.uint32)
+    iact3, actn3, irng3 = _sort_generic(
+        ok, iact, actn2, st["drv_done"], st["drv_found"],
+        st["drv_min"], irng, PEX)
+    st = _dw2(st, "ic_act", m, cur_o, jnp.where(ok[:, None], iact3,
+                                                iact))
+    st = _dw(st, "ic_actn", m, cur_o, jnp.where(ok, actn3, actn))
+    nd_ = st["ic_rng"].shape[1]
+    ohri = (jax.lax.broadcasted_iota(jnp.int32, (B, nd_), 1)
+            == cur_o[:, None]) & ok[:, None]
+    st["ic_rng"] = jnp.where(ohri, irng3[:, None], st["ic_rng"])
+    ifirst = iact3[:, 0]
+    icm = jnp.where(actn3 > 0,
+                    jnp.maximum(_dsel(st, "drv_min", ifirst), 0), 0)
+    st = _dw(st, "ic_min", ok, cur_o, icm)
+
+    # --- generator min-cost propagation (not-do_full tail) -----------
+    gmin = _dsel(st, "drv_min", gen)
+    omin = _dsel(st, "od_min", cur_o)
+    upd = m & (gmin > omin)
+    st = _dw(st, "od_min", upd, cur_o, gmin)
+    icd = _dsel(st, "ic_done", cur_o) > 0
+    upd2 = upd & ~icd
+    st = _dw(st, "od_min", upd2, cur_o,
+             jnp.minimum(_dsel(st, "od_min", cur_o),
+                         _dsel(st, "ic_min", cur_o)))
+    st["mode"] = jnp.where(m & (st["mode"] == M_SDGEN), M_ODEND,
+                           st["mode"])
+    return st
+
+
+def _step_sdfull(st, cfgj):
+    """SeededDriver.advance do_full tail: consume an inner-found range
+    as the outer's (with the outer fw override) and propagate inner
+    min-cost increases."""
+    m = st["mode"] == M_SDFULL
+    cur_o = st["cur_o"]
+    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    ff = m & (_dsel(st, "ic_found", cur_o) > 0)
+    st = _dw(st, "od_found", ff, cur_o, jnp.ones_like(cur_o))
+    st = _dw(st, "ic_found", ff, cur_o, jnp.zeros_like(cur_o))
+    rrv = jnp.stack([_dsel(st, "il_top", cur_o),
+                     _dsel(st, "il_bot", cur_o),
+                     _dsel(st, "il_cost", cur_o),
+                     _dsel(st, "il_strat", cur_o),
+                     _dsel(st, "il_ne", cur_o)], -1)
+    st = _dw2(st, "od_rr", ff, cur_o, rrv)
+    st = _dw2(st, "od_ed", ff, cur_o, _dsel2(st, "il_ed", cur_o))
+    st = _dw2(st, "od_ec", ff, cur_o, _dsel2(st, "il_ec", cur_o))
+    icm = _dsel(st, "ic_min", cur_o)
+    upd = m & (icm > st["sdf_old"])
+    st = _dw(st, "od_min", upd, cur_o,
+             jnp.minimum(icm, _dsel(st, "drv_min", gen)))
+    st["mode"] = jnp.where(m, M_ODEND, st["mode"])
+    return st
+
+
+def _step_icadv(st, cfgj, L):
+    """Inner CostAware.advance entry (strand_fix=False, no delayed)."""
+    m = st["mode"] == M_ICADV
+    cur_o = st["cur_o"]
+    actn = _dsel(st, "ic_actn", cur_o)
+    emp = m & (actn == 0)
+    st = _dw(st, "ic_done", emp, cur_o, jnp.ones_like(cur_o))
+    st["mode"] = jnp.where(emp, M_SDFULL, st["mode"])
+    go = m & ~emp
+    p = _dsel2(st, "ic_act", cur_o)[:, 0]
+    st = _w(st, "cur", go, p)
+    st = _w(st, "ic_pre", go, _dsel(st, "drv_min", p))
+    pre = go & (_dsel(st, "drv_found", p) > 0)
+    st["mode"] = jnp.where(pre, M_ICPOST, st["mode"])
+    adv = go & ~pre
+    st = _w(st, "phase", adv, PH_FULL)
+    st = _load_cur_rows(st, adv, st["cur"], cfgj, L)
+    st["mode"] = jnp.where(adv, M_DADV, st["mode"])
+    return st
+
+
+def _step_icpost(st):
+    """Inner CostAware.advance tail: consume the extender's range into
+    the inner last-range regs; sort when needed."""
+    m = st["mode"] == M_ICPOST
+    cur_o = st["cur_o"]
+    p = st["cur"]
+    pf = m & (_dsel(st, "drv_found", p) > 0)
+    rrv = _dsel2(st, "rr", p)
+    st = _dw(st, "il_top", pf, cur_o, rrv[:, 0])
+    st = _dw(st, "il_bot", pf, cur_o, rrv[:, 1])
+    st = _dw(st, "il_cost", pf, cur_o, rrv[:, 2])
+    st = _dw(st, "il_strat", pf, cur_o, rrv[:, 3])
+    st = _dw(st, "il_ne", pf, cur_o, rrv[:, 4])
+    st = _dw2(st, "il_ed", pf, cur_o, _dsel2(st, "rr_ed", p))
+    st = _dw2(st, "il_ec", pf, cur_o, _dsel2(st, "rr_ec", p))
+    st = _dw(st, "ic_found", pf, cur_o, jnp.ones_like(cur_o))
+    st = _dw(st, "drv_found", pf, p, jnp.zeros_like(p))
+    needs = m & ((_dsel(st, "drv_done", p) > 0) |
+                 (st["ic_pre"] != _dsel(st, "drv_min", p)))
+    # inner sort
+    iact = _dsel2(st, "ic_act", cur_o)
+    actn = _dsel(st, "ic_actn", cur_o)
+    irng = _dsel(st, "ic_rng", cur_o).astype(jnp.uint32)
+    iact2, actn2, irng2 = _sort_generic(
+        needs, iact, actn, st["drv_done"], st["drv_found"],
+        st["drv_min"], irng, PEX)
+    st = _dw2(st, "ic_act", needs, cur_o, iact2)
+    st = _dw(st, "ic_actn", needs, cur_o, actn2)
+    B = m.shape[0]
+    nd_ = st["ic_rng"].shape[1]
+    ohri = (jax.lax.broadcasted_iota(jnp.int32, (B, nd_), 1)
+            == cur_o[:, None]) & needs[:, None]
+    st["ic_rng"] = jnp.where(ohri, irng2[:, None], st["ic_rng"])
+    ifirst = iact2[:, 0]
+    st = _dw(st, "ic_min", needs & (actn2 > 0), cur_o,
+             jnp.maximum(_dsel(st, "drv_min", ifirst),
+                         _dsel(st, "ic_min", cur_o)))
+    st = _dw(st, "ic_done", needs & (actn2 == 0), cur_o,
+             jnp.ones_like(cur_o))
+    st["mode"] = jnp.where(m, M_SDFULL, st["mode"])
     return st
 
 
@@ -1157,7 +1728,7 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
     (range_chaser.h:22; BestSink.report_hit in best_driver.py)."""
     m = st["mode"] == M_CHASE
     B = m.shape[0]
-    efw = _cfg1(cfgj["ebwt_fw"], st["ls_drv"])
+    efw = _cfg1(cfgj["o_chase_efw"], st["ls_drv"])
     sa_base = jnp.where(efw > 0, cat.sa_base[0], cat.sa_base[1])
     occ_base = jnp.where(efw > 0, cat.occ_base[0], cat.occ_base[1])
     blk_base = jnp.where(efw > 0, cat.blk_base[0], cat.blk_base[1])
@@ -1181,9 +1752,9 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
             _g1(cat.sa, jnp.where(m, row >> cat.off_rate, 0) + sa_base)
             + jumps)
         walkers = m & ~marked
-        wpb = cat.occ_every // 16
         word = _g1(cat.bwt, jnp.where(walkers, (row >> 4) +
-                                      blk_base * wpb, 0))
+                                      blk_base * (cat.occ_every // 16),
+                                      0))
         sh = (2 * (row & 15)).astype(jnp.uint32)
         ch = ((word >> sh) & 3).astype(jnp.int32)
         r4 = _rank4(cat, occ_base, zoff, jnp.where(walkers, row, 0),
@@ -1196,7 +1767,6 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
         m = resolved
     qlen = st["qlen"]
     if nfrag == 1:
-        elt = jnp.zeros_like(off)
         start_f = jnp.zeros_like(off)
         upper = jnp.broadcast_to(cat.length, off.shape)
         tidx = jnp.zeros_like(off)
@@ -1227,9 +1797,9 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
     st = _w(st, "result", maxed, 2)
     st["mode"] = jnp.where(maxed, M_DONE, st["mode"])
     stored = hit & ~maxed
-    # hit record (same layout as dfs_device hits)
-    fwflag = _cfg1(cfgj["fw"], st["ls_drv"])
+    fwflag = _cfg1(cfgj["o_fw"], st["ls_drv"])
     nmms = st["ls_ne"]
+
     def _padmm(a):
         if E_MAX >= MM_SLOTS:
             return a[:, :MM_SLOTS]
@@ -1252,14 +1822,12 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
         ((m_max == INF32) | (m_max < n_k))
     st = _w(st, "result", stop, 1)
     st["mode"] = jnp.where(stop, M_DONE, st["mode"])
-    # post-hit irrelevantCost break (best_driver.py align_read chase)
     irr = do_store & ~stop & _irrelevant(st, st["ls_cost"], strata)
     go_on = m & ~maxed & ~stop & ~over & ~irr
-    brk = irr
     nk2 = st["ch_k"] + 1
     st = _w(st, "ch_k", go_on, nk2)
     wrapped = go_on & (nk2 >= spread)
-    endc = brk | wrapped
+    endc = irr | wrapped
     st = _w(st, "ca_found", endc, 0)
     st["mode"] = jnp.where(endc, M_MAIN, st["mode"])
     return st
@@ -1269,17 +1837,27 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
 # Machine driver
 # ---------------------------------------------------------------------------
 
-def _machine_step(st, cat: FMCat, cfgj, nd: int, L: int, nfrag: int,
-                  n_k: int, m_max: int, strata: bool, qual_lim: int,
-                  qual_order: bool):
+def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
+                  nfrag: int, n_k: int, m_max: int, strata: bool,
+                  qual_lim: int, qual_order: bool, bt_on: bool,
+                  fc: int, has_seeded: bool):
     st = dict(st)
     st = _step_main(st, strata)
     st = _step_cadv(st)
     st = _step_sfx(st)
+    if has_seeded:
+        st = _step_sd(st, cfgj, L)
+        st = _step_icadv(st, cfgj, L)
+    st = _step_oadv(st, cfgj, L, has_seeded)
     st = _step_dadv(st)
     st = _step_ext(st, cat, cfgj, qual_lim, qual_order, L)
-    st = _step_spp(st, cat, cfgj, qual_order, L)
+    st = _step_spp(st, cat, cfgj, qual_order, L, bt_on)
     st = _step_dend(st)
+    if has_seeded:
+        st = _step_sdgen(st, cat, cfgj, None, qual_order, L, fc)
+        st = _step_icpost(st)
+        st = _step_sdfull(st, cfgj)
+    st = _step_odend(st, cfgj)
     st = _step_cpost(st, cfgj, nd)
     st = _step_sfxend(st)
     st = _step_sort(st, nd)
@@ -1287,20 +1865,23 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, L: int, nfrag: int,
     return st
 
 
-@partial(jax.jit, static_argnames=("nd", "L", "nfrag", "n_k", "m_max",
-                                   "strata", "qual_lim", "qual_order",
-                                   "chunk"))
-def run_chunk(cat: FMCat, cfgj, st, *, nd: int, L: int, nfrag: int,
-              n_k: int, m_max: int, strata: bool, qual_lim: int,
-              qual_order: bool, chunk: int):
+@partial(jax.jit, static_argnames=("nd", "ndt", "L", "nfrag", "n_k",
+                                   "m_max", "strata", "qual_lim",
+                                   "qual_order", "bt_on", "fc",
+                                   "has_seeded", "chunk"))
+def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
+              nfrag: int, n_k: int, m_max: int, strata: bool,
+              qual_lim: int, qual_order: bool, bt_on: bool, fc: int,
+              has_seeded: bool, chunk: int):
     def cond(c):
         s, it = c
         return (it < chunk) & jnp.any(s["mode"] != M_DONE)
 
     def body(c):
         s, it = c
-        return _machine_step(s, cat, cfgj, nd, L, nfrag, n_k, m_max,
-                             strata, qual_lim, qual_order), it + 1
+        return _machine_step(s, cat, cfgj, nd, ndt, L, nfrag, n_k,
+                             m_max, strata, qual_lim, qual_order,
+                             bt_on, fc, has_seeded), it + 1
 
     st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st, st["mode"]
@@ -1378,18 +1959,14 @@ def _merge_out(out, h, ids, B0):
     return out
 
 
-def run_compacting(cat: FMCat, cfgj, st, *, nd: int, L: int, nfrag: int,
-                   n_k: int, m_max: int, strata: bool, qual_lim: int,
-                   qual_order: bool, max_steps: int,
-                   chunk: int = 192, min_bucket: int = 512):
+def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
+                   chunk: int = 192, min_bucket: int = 512, **kw):
     B0 = st["mode"].shape[0]
     orig = np.arange(B0)
     out = None
     steps = 0
-    kw = dict(nd=nd, L=L, nfrag=nfrag, n_k=n_k, m_max=m_max,
-              strata=strata, qual_lim=qual_lim, qual_order=qual_order)
     while True:
-        st, _ = run_chunk(cat, cfgj, st, chunk=chunk, **kw)
+        st, _ = run_chunk(cat, cfgj, st, chunk=chunk, L=L, **kw)
         steps += chunk
         mode = np.asarray(st["mode"])
         act = np.flatnonzero(mode != M_DONE)
@@ -1421,17 +1998,22 @@ def run_compacting(cat: FMCat, cfgj, st, *, nd: int, L: int, nfrag: int,
 # ---------------------------------------------------------------------------
 
 class DeviceBestAligner:
-    """--best / -M / --strata / -v 3 SE aligner on the lockstep device
-    machine, with per-read host-engine fallback on overflow."""
+    """--best / -M / --strata / -v 3 and seeded -n --best SE aligner on
+    the lockstep device machine, with per-read host-engine fallback on
+    overflow.  mode="v" uses the v-mode driver DAG; mode="n" the
+    seeded DAG (seed_mms/seed_len/qual_cutoff)."""
 
     DENSE_LIMIT = 1 << 28
 
     def __init__(self, idx_fw: EbwtIndex, idx_bw: EbwtIndex, policy,
-                 v: int, strata: bool, all_hits: bool,
+                 v: int = 2, strata: bool = False,
+                 all_hits: bool = False, mode: str = "v",
+                 seed_mms: int = 2, seed_len: int = 28,
+                 qual_cutoff: int = 70,
                  nofw: bool = False, norc: bool = False,
                  maq: bool = True, better: bool = False,
                  global_seed: int = 0, max_steps: int = 60000,
-                 compact: bool | None = None):
+                 maxbts: int = 800, compact: bool | None = None):
         import os
         self.idx_fw, self.idx_bw = idx_fw, idx_bw
         if compact is None:
@@ -1441,20 +2023,34 @@ class DeviceBestAligner:
                                occ_every=128 if compact else 1,
                                dense_sa=not compact)
         self.policy = policy
+        self.mode = mode
         self.v = v
+        self.seed_mms, self.seed_len = seed_mms, seed_len
+        self.qual_cutoff = qual_cutoff
         self.strata, self.all_hits = strata, all_hits
         self.nofw, self.norc = nofw, norc
         self.maq = maq
         self.qual_order = not better
         self.global_seed = global_seed
         self.max_steps = max_steps
+        self.maxbts = maxbts
         self.nfrag = int(idx_fw.nfrag)
-        self.cfgs = v_mode_configs(v, nofw, norc)
-        self.nd = len(self.cfgs)
-        _, cfga = cfg_arrays(self.cfgs)
-        self.cfgj = {k: jnp.asarray(v_) for k, v_ in cfga.items()}
-        self.hostinit = HostInit(self.cfgs, idx_fw, idx_bw, maq,
-                                 self.qual_order, INF32)
+        if mode == "n":
+            self.outers = seeded_mode_configs(seed_mms, nofw, norc)
+            self.qual_lim = qual_cutoff
+            self.bt_on = seed_mms >= 2
+            sl = seed_len
+        else:
+            self.outers = v_mode_configs(v, nofw, norc)
+            self.qual_lim = INF32
+            self.bt_on = False
+            sl = 0
+        self.hostinit = HostInit(self.outers, idx_fw, idx_bw, maq,
+                                 self.qual_order, self.qual_lim, sl)
+        self.nd = self.hostinit.nd
+        self.ndt = self.hostinit.ndt
+        self.cfgj = {k: jnp.asarray(v_)
+                     for k, v_ in self.hostinit.cfg.items()}
         self._fallback = None
         self.fallbacks = 0
 
@@ -1468,21 +2064,31 @@ class DeviceBestAligner:
 
     def _host_aligner(self):
         if self._fallback is None:
-            from .best_factories import make_best_aligner
+            from .best_factories import (make_best_aligner,
+                                         make_seeded_best_aligner)
             from .golden import GoldenFM
-            self._fallback = make_best_aligner(
-                GoldenFM(self.idx_fw), GoldenFM(self.idx_bw), self.v,
-                self.policy, strata=self.strata, all_hits=self.all_hits,
-                nofw=self.nofw, norc=self.norc, maq=self.maq,
-                better=not self.qual_order,
-                global_seed=self.global_seed)
+            gf, gb = GoldenFM(self.idx_fw), GoldenFM(self.idx_bw)
+            if self.mode == "n":
+                self._fallback = make_seeded_best_aligner(
+                    gf, gb, self.seed_mms, self.seed_len,
+                    self.qual_cutoff, self.policy, strata=self.strata,
+                    all_hits=self.all_hits, nofw=self.nofw,
+                    norc=self.norc, maq=self.maq,
+                    better=not self.qual_order,
+                    global_seed=self.global_seed, maxbts=self.maxbts)
+            else:
+                self._fallback = make_best_aligner(
+                    gf, gb, self.v, self.policy, strata=self.strata,
+                    all_hits=self.all_hits, nofw=self.nofw,
+                    norc=self.norc, maq=self.maq,
+                    better=not self.qual_order,
+                    global_seed=self.global_seed, maxbts=self.maxbts)
         return self._fallback
 
     def align_batch(self, reads) -> list:
         if not reads:
             return []
         B = len(reads)
-        # reads the device machine can't represent -> host directly
         host_only = [b for b, r in enumerate(reads)
                      if len(r.seq) < 4 or len(r.seq) > 255]
         Bp = _bucket(B)
@@ -1490,14 +2096,13 @@ class DeviceBestAligner:
         seeds = np.zeros(Bp, dtype=np.uint32)
         for b, r in enumerate(reads):
             seeds[b] = r.seed(self.global_seed)
-        pad_reads = list(reads)
         host = self.hostinit.build(reads, L, seeds[:B])
         if Bp > B:
-            for k, v in host.items():
-                pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
-                host[k] = np.concatenate([v, pad], axis=0)
-        st = _init_state(Bp, L, self.nd, seeds, host)
-        # disable lanes that run host-side (or are pads)
+            for k, v_ in host.items():
+                pad = np.zeros((Bp - B,) + v_.shape[1:], dtype=v_.dtype)
+                host[k] = np.concatenate([v_, pad], axis=0)
+        st = _init_state(Bp, L, self.nd, self.ndt, seeds, host,
+                         self.maxbts)
         dis = np.zeros(Bp, bool)
         dis[B:] = True
         for b in host_only:
@@ -1507,13 +2112,13 @@ class DeviceBestAligner:
         n_k = self._sink_n()
         m_max = self.policy.max if self.policy.max < INF32 else INF32
         out = run_compacting(
-            self.cat, self.cfgj, st, nd=self.nd, L=L,
+            self.cat, self.cfgj, st, L=L, nd=self.nd, ndt=self.ndt,
             nfrag=self.nfrag, n_k=n_k, m_max=m_max, strata=self.strata,
-            qual_lim=INF32, qual_order=self.qual_order,
-            max_steps=self.max_steps)
+            qual_lim=self.qual_lim, qual_order=self.qual_order,
+            bt_on=self.bt_on, fc=self.cat.ftab_chars,
+            has_seeded=(self.mode == "n"), max_steps=self.max_steps)
         for b in host_only:
             out["overflow"][b] = True
-        _ = pad_reads
         return self.assemble(reads, out, seeds)
 
     def assemble(self, reads, out, seeds) -> list:
@@ -1538,8 +2143,6 @@ class DeviceBestAligner:
                 for k in range(int(rec[6])):
                     d = int(rec[8 + k])          # search depth
                     refc = int(rec[8 + MM_SLOTS + k])
-                    # _mk_range: mm = qlen-1-d; BestSink flips when
-                    # ebwt_fw != fw -> final 5' offset
                     pos = qlen - 1 - d
                     off = qlen - pos - 1 if (ebwt_fw != fw) else pos
                     mms.append((off, ord("acgt"[refc])))
@@ -1548,7 +2151,6 @@ class DeviceBestAligner:
                     oms=int(rec[3]), stratum=int(rec[4]),
                     cost=int(rec[5]), mms=sorted(mms)))
             count = int(out["count"][b])
-            # BestSink.finish (best_driver.py:453-475)
             maxed = count > m_max
             if self.strata:
                 for h in buffered:
@@ -1573,3 +2175,59 @@ class DeviceBestAligner:
                     buffered[:n], nvalid=count,
                     nbuffered=min(len(buffered), n)))
         return results
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip (mesh) execution
+# ---------------------------------------------------------------------------
+
+def shard_best_state(st, mesh):
+    """Shard every per-lane array (incl. the lane-major flat pools)
+    data-parallel over the mesh; the machine step is lane-local, so
+    GSPMD partitions the whole while loop without hot-loop
+    collectives (the dfs_mesh scaling model)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return {k: jax.device_put(v, sh) for k, v in st.items()}
+
+
+def dryrun_best(n_lanes_per_dev: int = 8, mesh=None):
+    """Compile + run one tiny sharded best-first batch (-v 2 --best on
+    the bundled e_coli index) over the mesh; used by the driver's
+    multi-chip dry run."""
+    from jax.sharding import Mesh
+    from ..index.ebwt_io import read_ebwt
+    from ..io.readers import ReadSource
+    from ..parallel.dfs_mesh import make_dp_mesh, replicate_cat
+    from .policy import INF, KPolicy
+
+    mesh = mesh or make_dp_mesh()
+    ndev = mesh.devices.size
+    B = n_lanes_per_dev * ndev
+    idx = read_ebwt("/root/reference/indexes/e_coli")
+    idx_bw = read_ebwt("/root/reference/indexes/e_coli.rev")
+    al = DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
+                           strata=False, all_hits=False)
+    reads = list(ReadSource(["/root/reference/reads/e_coli_1000.fq"],
+                            "fastq", upto=B).records())
+    while len(reads) < B:
+        reads.append(reads[len(reads) % 1000])
+    L = _len_bucket(max(len(r.seq) for r in reads))
+    seeds = np.array([r.seed(0) for r in reads], np.uint32)
+    host = al.hostinit.build(reads, L, seeds)
+    st = _init_state(B, L, al.nd, al.ndt, seeds, host, al.maxbts)
+    cat = replicate_cat(al.cat, mesh)
+    cfgj = {k: jax.device_put(v, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())) for k, v in al.cfgj.items()}
+    st = shard_best_state(st, mesh)
+    kw = dict(nd=al.nd, ndt=al.ndt, L=L, nfrag=al.nfrag, n_k=1,
+              m_max=INF32, strata=False, qual_lim=INF32,
+              qual_order=True, bt_on=False, fc=al.cat.ftab_chars,
+              has_seeded=False)
+    for _ in range(40):
+        st, mode = run_chunk(cat, cfgj, st, chunk=256, **kw)
+        if int(jnp.sum((mode != M_DONE).astype(jnp.int32))) == 0:
+            break
+    nhits = int(jnp.sum(st["nhits"]))
+    assert nhits > 0, "no best-first lane found a range"
+    return nhits

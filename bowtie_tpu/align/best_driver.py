@@ -175,6 +175,33 @@ class CostAwareDriver:
         self.active = []
         self.paired = False
 
+    def set_query_paired(self, rd1, rd2):
+        """Paired set_query: each driver gets its own mate's read
+        (PairedBWAlignerV2's single merged driver); the tie-break RNG
+        seeds from mate1 (range_source.h:2084)."""
+        self.done = False
+        self.found_range = False
+        self.last_range = None
+        self.delayed_range = None
+        self.read = rd1
+        self.rand = BtRandom(int(rd1.seed(self.global_seed)))
+        for d in self.rss:
+            d.set_query(rd1 if d.mate1() else rd2, None)
+        self.active = list(self.rss)
+        self.paired = (any(d.mate1() for d in self.rss) and
+                       any(not d.mate1() for d in self.rss))
+        self.min_cost = 0
+        self._sort_actives()
+
+    def remove_mate(self, m: int):
+        """CostAware removeMate (range_source.h:2233): mark every
+        active driver of mate m done, then re-sort."""
+        qmate1 = m == 1
+        for d in self.active:
+            if d.mate1() == qmate1:
+                d.done = True
+        self._sort_actives()
+
     def _mate_eliminated(self):
         if not self.paired:
             return False

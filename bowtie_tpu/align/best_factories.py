@@ -290,3 +290,78 @@ def make_best_aligner(g_fw: GoldenFM, g_bw: GoldenFM | None, v: int,
     chaser = RangeChaser(g_fw, g_bw)
     sink = BestSink(policy, strata, all_hits, global_seed)
     return UnpairedBestAligner(fac, chaser, sink, global_seed)
+
+
+def make_paired_best_aligner_v2(g_fw, g_bw, refs, policy, mode="n",
+                                v=0, seed_mms=2, seed_len=28,
+                                qual_cutoff=70, fw1=True, fw2=False,
+                                min_insert=0, max_insert=250,
+                                pairtries=100, nofw=False, norc=False,
+                                maq=True, better=False, report_se=False,
+                                best_sink=True, global_seed=0,
+                                maxbts=800, order=None):
+    """PairedBWAlignerV2 wiring (Paired*AlignerV1Factory with v1_
+    false, aligner_0mm.h:323-339 etc.): ONE cost-merged driver over all
+    (mate, strand) source groups; used for --best PE, --pev2 and
+    --reportse.
+
+    `order` is the drVec construction order of (mate1, fw) groups —
+    (1,Fw),(1,Rc),(2,Fw),(2,Rc) for the -v exact factory;
+    (1,Fw),(2,Fw),(1,Rc),(2,Rc) for the seeded factory (all four
+    vectors alias dr1FwVec, aligner_seed_mm.h:700-703)."""
+    from .best_driver import CostAwareDriver
+    from .best_paired import (PairedBestAlignerV2, PairedBestSinkV2,
+                              RefAlignerPy)
+    qual_order = not better
+
+    def strand_factory(fw):
+        if mode == "n":
+            return seeded_best_driver_factory(
+                g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
+                nofw=not fw, norc=fw, strand_fix=True, maq=maq,
+                qual_order=qual_order, global_seed=global_seed,
+                maxbts=maxbts)
+        if v == 0:
+            return exact_best_driver_factory(
+                g_fw, not fw, fw, True, maq, qual_order, global_seed)
+        if v == 1:
+            return mm1_best_driver_factory(
+                g_fw, g_bw, not fw, fw, True, maq, qual_order,
+                global_seed)
+        return mm23_best_driver_factory(
+            g_fw, g_bw, v == 2, not fw, fw, True, maq, qual_order,
+            global_seed, maxbts)
+
+    if order is None:
+        order = ([(True, True), (True, False), (False, True),
+                  (False, False)] if mode != "n" else
+                 [(True, True), (False, True), (True, False),
+                  (False, False)])
+
+    def driver_factory(rd1, rd2):
+        drs = []
+        for mate1, fw in order:
+            if (fw and nofw) or (not fw and norc):
+                continue
+            ca = strand_factory(fw)(rd1 if mate1 else rd2)
+            for d in ca.rss:
+                d.mate1_flag = mate1
+                if hasattr(d, "rs"):        # plain BestDriver: the
+                    d.rs.mate1 = mate1      # range's mate1 field
+            drs.extend(ca.rss)
+        merged = CostAwareDriver(drs, strand_fix=True,
+                                 global_seed=global_seed)
+        merged.set_query_paired(rd1, rd2)
+        return merged
+
+    if mode == "n":
+        ra = RefAlignerPy(seed_mms=seed_mms, seed_len=seed_len,
+                          qual_max=qual_cutoff, maq_round=maq)
+    else:
+        ra = RefAlignerPy(v=v)
+    sink = PairedBestSinkV2(policy, global_seed, best=best_sink)
+    return PairedBestAlignerV2(
+        driver_factory, g_fw, g_bw, refs, ra, sink,
+        se_policy=(policy if report_se else None),
+        min_insert=min_insert, max_insert=max_insert, fw1=fw1, fw2=fw2,
+        mixed_attempt_lim=pairtries, global_seed=global_seed)

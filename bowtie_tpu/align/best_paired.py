@@ -407,3 +407,361 @@ class PairedBestAligner:
             if self.sink.report_hit(dn):
                 return True
         return False
+
+
+class PairedBestSinkV2:
+    """The V2 paired sink with mult=2: NBestFirstStratHitSinkPerThread
+    semantics for --best (best-first arrival, stratum backpressure via
+    irrelevant_cost, oms fixed to pairs-1 at finish; hit.h:1039-1139)
+    or NGoodHitSinkPerThread semantics otherwise (no fixup, no
+    backpressure; hit.h:937-992) — createSinkFactory picks by flags
+    (ebwt_search.cpp:992-1021)."""
+
+    def __init__(self, policy: KPolicy, global_seed: int = 0,
+                 best: bool = True):
+        self.policy = policy
+        self.global_seed = global_seed
+        self.best = best
+        self.reset(None, None)
+
+    def reset(self, rd1, rd2):
+        self.rd1, self.rd2 = rd1, rd2
+        self.count = 0
+        self.best_stratum = 999
+        self.buffered: list[Hit] = []
+
+    @property
+    def n2(self):
+        n = self.policy.n
+        return n * 2 if n != INF else INF
+
+    @property
+    def max2(self):
+        m = self.policy.max
+        return m * 2 if m != INF else INF
+
+    def report_hit(self, h: Hit) -> bool:
+        self.count += 1
+        if h.stratum < self.best_stratum:
+            self.best_stratum = h.stratum
+        if self.count > self.max2:
+            return True
+        self.buffered.append(h)
+        if self.count == self.n2 and (self.max2 == INF or
+                                      self.max2 < self.n2):
+            return True
+        return False
+
+    def irrelevant_cost(self, cost: int) -> bool:
+        if self.best and self.count:
+            return (cost >> 14) > self.best_stratum
+        return False
+
+    def empty(self) -> bool:
+        return not self.buffered
+
+    def finish(self) -> ReadResult:
+        maxed = self.count > self.max2
+        if self.best:
+            for h in self.buffered:
+                h.oms = len(self.buffered) // 2 - 1
+        if maxed:
+            npairs = (self.count + 1) // 2
+            if self.policy.sample_max and self.buffered:
+                rand = BtRandom(int(self.rd1.seed(self.global_seed)))
+                strat = [min(self.buffered[i].stratum,
+                             self.buffered[i + 1].stratum)
+                         for i in range(0, len(self.buffered) - 1, 2)]
+                best = min(strat)
+                num = sum(1 for s in strat if s == best)
+                r = rand.next_u32() % num
+                k = [i for i, s in enumerate(strat) if s == best][r]
+                pair = self.buffered[2 * k: 2 * k + 2]
+                return ReadResult(pair, maxed=True, nvalid=npairs,
+                                  sampled=True,
+                                  nbuffered=len(self.buffered) // 2)
+            return ReadResult([], maxed=True, nvalid=npairs,
+                              nbuffered=len(self.buffered) // 2)
+        return ReadResult(self.buffered[: self.n2],
+                          nvalid=(self.count + 1) // 2,
+                          nbuffered=len(self.buffered) // 2)
+
+
+class SEHoldSink:
+    """mult=1 sink holding single-end alignments of one mate for
+    --reportse (aligner.h reportSe holds, reported only if no paired
+    alignment lands); NBestFirstStrat or NGood semantics by `best`."""
+
+    def __init__(self, policy: KPolicy, best: bool = True):
+        self.policy = policy
+        self.best = best
+        self.reset()
+
+    def reset(self):
+        self.count = 0
+        self.best_stratum = 999
+        self.buffered: list[Hit] = []
+
+    def report_hit(self, h: Hit) -> bool:
+        self.count += 1
+        if h.stratum < self.best_stratum:
+            self.best_stratum = h.stratum
+        if self.count > self.policy.max:
+            return True
+        self.buffered.append(h)
+        n = self.policy.n
+        if self.count == n and (self.policy.max == INF or
+                                self.policy.max < n):
+            return True
+        return False
+
+    def irrelevant_cost(self, cost: int) -> bool:
+        if self.best and self.count:
+            return (cost >> 14) > self.best_stratum
+        return False
+
+    def finish(self) -> list[Hit]:
+        """Reported SE hits (empty when maxed), oms fixed up."""
+        if self.count > self.policy.max:
+            return []
+        if self.best:
+            for h in self.buffered:
+                h.oms = len(self.buffered) - 1
+        n = self.policy.n
+        return self.buffered[:n] if n != INF else self.buffered
+
+
+class PairedBestAlignerV2:
+    """PairedBWAlignerV2 (aligner.h:1483-1998): a single cost-merged
+    driver stream over all four (mate, strand) source groups; every
+    found range is chased and each resolved anchor row is immediately
+    mate-rescued in reference space; optional --reportse SE holds."""
+
+    def __init__(self, driver_factory, golden_fw, golden_bw, refs,
+                 ref_aligner: RefAlignerPy, sink: PairedBestSinkV2,
+                 se_policy: KPolicy | None = None,
+                 min_insert=0, max_insert=250, fw1=True, fw2=False,
+                 mixed_attempt_lim=100, global_seed=0):
+        self.driver_factory = driver_factory   # (rd1, rd2) -> CostAware
+        self.gfw, self.gbw = golden_fw, golden_bw
+        self.refs = refs
+        self.ra = ref_aligner
+        self.sink = sink
+        self.se_policy = se_policy             # not None -> --reportse
+        self.minins, self.maxins = min_insert, max_insert
+        self.fw1, self.fw2 = fw1, fw2
+        self.mixed_attempt_lim = mixed_attempt_lim
+        self.global_seed = global_seed
+
+    def align_batch(self, pairs):
+        return [self.align_pair(a, b) for a, b in pairs]
+
+    def align_pair(self, rd1, rd2) -> ReadResult:
+        self.sink.reset(rd1, rd2)
+        best = self.sink.best
+        self.se1 = SEHoldSink(self.se_policy, best) \
+            if self.se_policy else None
+        self.se2 = SEHoldSink(self.se_policy, best) \
+            if self.se_policy else None
+        if len(rd1.seq) < 4 or len(rd2.seq) < 4:
+            return self._finish()
+        driver = self.driver_factory(rd1, rd2)
+        self.driver = driver
+        self.rd1, self.rd2 = rd1, rd2
+        self.rand = BtRandom(int(rd1.seed(self.global_seed)))
+        self.donePe = self.doneSe1 = self.doneSe2 = False
+        self.mixed_attempts = 0
+        self.pairs_fw: set = set()
+        self.pairs_rc: set = set()
+        self.done = False
+
+        while not self.done:
+            if driver.found_range:
+                r = driver.range()
+                driver.found_range = False
+                self._chase(r)
+                if self.done:
+                    break
+                self.done = driver.done
+                if self.done:
+                    break
+                continue
+            if driver.done:
+                break
+            # minCost pruning (aligner.h:1638-1681)
+            if not self.donePe:
+                self.donePe = self.sink.irrelevant_cost(driver.min_cost)
+                if self.donePe and (not self.sink.empty() or
+                                    self.se1 is None):
+                    break
+                if self.donePe and self.se1 is not None:
+                    if self.doneSe1:
+                        driver.remove_mate(1)
+                    if self.doneSe2:
+                        driver.remove_mate(2)
+            if self.se1 is not None:
+                if not self.doneSe1:
+                    self.doneSe1 = self.se1.irrelevant_cost(
+                        driver.min_cost)
+                    if self.doneSe1 and self.donePe:
+                        driver.remove_mate(1)
+                if not self.doneSe2:
+                    self.doneSe2 = self.se2.irrelevant_cost(
+                        driver.min_cost)
+                    if self.doneSe2 and self.donePe:
+                        driver.remove_mate(2)
+                if not self.doneSe1:
+                    self.doneSe1 = self.se1.irrelevant_cost(
+                        driver.min_cost)
+                    if self.doneSe1 and self.donePe:
+                        driver.remove_mate(1)
+                if self.donePe and self.doneSe1 and self.doneSe2:
+                    break
+            driver.advance(ADV_FOUND_RANGE)
+            if driver.done and not driver.found_range:
+                break
+        return self._finish()
+
+    def _finish(self) -> ReadResult:
+        res = self.sink.finish()
+        if self.se1 is not None:
+            # finishRead returns 0 for maxed reads even when -M samples
+            # one pair, so SE holds are reported in that case too
+            reported_pe = bool(res.hits) and not res.maxed
+            if not reported_pe:
+                res.se_hits = [self.se1.finish(), self.se2.finish()]
+        return res
+
+    # -- chase + immediate rescue (advance() chase_ path) --------------
+    def _chase(self, rng: FoundRange):
+        g = self.gfw if rng.ebwt_fw else self.gbw
+        qlen = len(self.rd1.seq) if rng.mate1 else len(self.rd2.seq)
+        spread = rng.bot - rng.top
+        irow = rng.top + self.rand.next_u32() % spread
+        row = irow
+        while True:
+            off = g.resolve_row(row)
+            res = g.joined_to_text_off(qlen, off, rng.ebwt_fw)
+            if res is not None:
+                tidx, toff, tlen = res
+                self._resolve_outstanding((tidx, toff), tlen, rng)
+                if self.done:
+                    return
+            row += 1
+            if row == rng.bot:
+                row = rng.top
+            if row == irow:
+                return
+
+    def _resolve_outstanding(self, off, tlen, rng: FoundRange):
+        """aligner.h:1834-1858."""
+        if not self.donePe:
+            ret = self._resolve_in_ref(off, tlen, rng)
+            self.mixed_attempts += 1
+            if self.mixed_attempts > self.mixed_attempt_lim or ret:
+                self.donePe = True
+                if self.se1 is not None:
+                    if self.doneSe1:
+                        self.driver.remove_mate(1)
+                    if self.doneSe2:
+                        self.driver.remove_mate(2)
+                self.done = (self.donePe and
+                             (not self.sink.empty() or
+                              self.se1 is None or
+                              (self.doneSe1 and self.doneSe2)))
+        if not self.done and self.se1 is not None:
+            done_se = self.doneSe1 if rng.mate1 else self.doneSe2
+            if not done_se:
+                self._report_se(rng, off, tlen)
+            self.done = self.doneSe1 and self.doneSe2 and self.donePe
+
+    def _report_se(self, rng: FoundRange, off, tlen):
+        """reportSe (aligner.h:1796-1832): hold the anchor's SE hit."""
+        buf = self.rd1 if rng.mate1 else self.rd2
+        sink = self.se1 if rng.mate1 else self.se2
+        qlen = len(buf.seq)
+        mms = []
+        for pos, refc in zip(rng.mms, rng.refcs):
+            p5 = qlen - pos - 1 if (rng.ebwt_fw != rng.fw) else pos
+            mms.append((p5, ord("acgt"[refc])))
+        h = Hit(read=buf, fw=rng.fw, tidx=off[0], toff=off[1],
+                oms=rng.bot - rng.top - 1, stratum=rng.stratum,
+                cost=rng.cost, mms=sorted(mms), mate=0)
+        if sink.report_hit(h):
+            if rng.mate1:
+                self.doneSe1 = True
+            else:
+                self.doneSe2 = True
+            if self.donePe:
+                self.driver.remove_mate(1 if rng.mate1 else 2)
+
+    def _resolve_in_ref(self, off, tlen, rng: FoundRange) -> bool:
+        """resolveOutstandingInRef (aligner.h:1871-1997)."""
+        pair_fw = (rng.fw == self.fw1) if rng.mate1 else \
+            (rng.fw == self.fw2)
+        match_right = rng.mate1 if pair_fw else not rng.mate1
+        fw = self.fw2 if rng.mate1 else self.fw1
+        if not pair_fw:
+            fw = not fw
+        orr = self.rd2 if rng.mate1 else self.rd1
+        ar = self.rd1 if rng.mate1 else self.rd2
+        seq = orr.codes_fw if fw else orr.codes_rc
+        qual = orr.qual if fw else orr.qual[::-1]
+        qlen = len(orr.seq)
+        alen = len(ar.seq)
+        minins, maxins = self.minins, self.maxins
+        if maxins <= max(qlen, alen):
+            return False
+        tidx, toff = off
+        reflen = len(self.refs[tidx])
+        insdiff = maxins - minins
+        if match_right:
+            end = toff + maxins
+            begin = toff + 1
+            if qlen < alen:
+                begin += alen - qlen
+            if end > insdiff + qlen:
+                begin = max(begin, end - insdiff - qlen)
+            end = min(reflen, end)
+            begin = min(reflen, begin)
+        else:
+            begin = 0 if toff + alen < maxins else toff + alen - maxins
+            mi = min(alen, qlen)
+            end = toff + mi - 1
+            end = min(end, toff + alen - minins + qlen - 1)
+            if toff + alen + qlen < minins + 1:
+                end = 0
+        if end - begin < qlen:
+            return False
+        pairs = self.pairs_fw if pair_fw else self.pairs_rc
+        found = self.ra.find(self.refs[tidx], seq, qual, begin, end,
+                             pairs, toff, fw, tidx)
+        for result, mms, stratum, ham in found:
+            cost = (stratum << 14) | ham
+            oms = rng.bot - rng.top - 1
+            a_mms = []
+            for pos, refc in zip(rng.mms, rng.refcs):
+                p5 = len(ar.seq) - pos - 1 if (rng.ebwt_fw != rng.fw) \
+                    else pos
+                a_mms.append((p5, ord("acgt"[refc])))
+            anchor_hit = Hit(read=ar, fw=rng.fw, tidx=tidx, toff=toff,
+                             oms=oms, stratum=rng.stratum,
+                             cost=rng.cost, mms=sorted(a_mms),
+                             mate=(2 if not rng.mate1 else 1))
+            out_hit = Hit(read=orr, fw=fw, tidx=tidx, toff=result,
+                          oms=oms, stratum=stratum, cost=cost, mms=mms,
+                          mate=(1 if not rng.mate1 else 2))
+            up, dn = ((anchor_hit, out_hit) if match_right
+                      else (out_hit, anchor_hit))
+            up.mate = 1 if pair_fw else 2
+            dn.mate = 2 if pair_fw else 1
+            for h, o in ((up, dn), (dn, up)):
+                h.mfw = o.fw
+                h.mtidx = o.tidx
+                h.mtoff = o.toff
+                h.mlen = o.length
+            if self.sink.report_hit(up):
+                return True
+            if self.sink.report_hit(dn):
+                return True
+        return False

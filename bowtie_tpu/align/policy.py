@@ -32,6 +32,9 @@ class ReadResult:
     nvalid: int = 0       # total valid hits counted (for XM of maxed)
     sampled: bool = False # -M sampling applied
     nbuffered: int = 0    # buffered hits at finish (xms for -M records)
+    # --reportse: held single-end mate alignments, reported when no
+    # paired alignment landed (PairedBWAlignerV2 SE sinks)
+    se_hits: list = field(default_factory=list)
 
 
 class KPolicy:

@@ -25,30 +25,40 @@ OFF_MASK32 = 0xFFFFFFFF
 def fasta_to_records(seqs: list[np.ndarray]):
     """Split each sequence into RefRecords (off=gap, len=run, first)
     exactly like fastaRefReadSizes (ref_read.cpp:206): ambiguous chars
-    become gaps between unambiguous stretches."""
+    become gaps between unambiguous stretches.  Vectorized run-length
+    scan (a per-character python loop would take hours at Gbp scale)."""
     records = []   # (off, len, first)
     frags = []     # (refidx, ref_off, codes) per unambiguous stretch
     for ridx, codes in enumerate(seqs):
-        first = True
-        i = 0
         n = len(codes)
-        while i < n:
-            # gap run
-            g0 = i
-            while i < n and codes[i] > 3:
-                i += 1
-            gap = i - g0
-            # unambiguous run
-            u0 = i
-            while i < n and codes[i] <= 3:
-                i += 1
-            runlen = i - u0
-            if runlen == 0 and not first:
-                break  # trailing gap: drop
+        if n == 0:
+            continue
+        amb = codes > 3
+        if amb.all():
+            # all-ambiguous: single gap record, zero-length run
+            records.append((n, 0, True))
+            continue
+        # run boundaries: positions where ambiguity flips
+        flips = np.flatnonzero(np.diff(amb.astype(np.int8))) + 1
+        bounds = np.concatenate([[0], flips, [n]])
+        first = True
+        k = 0
+        nb = len(bounds) - 1
+        while k < nb:
+            b0 = int(bounds[k])
+            gap = 0
+            if amb[b0]:
+                gap = int(bounds[k + 1]) - b0
+                k += 1
+                if k >= nb:
+                    break          # trailing gap: drop
+                b0 = int(bounds[k])
+            runlen = int(bounds[k + 1]) - b0
             records.append((gap, runlen, first))
             if runlen:
-                frags.append((ridx, u0, codes[u0:i]))
+                frags.append((ridx, b0, codes[b0:b0 + runlen]))
             first = False
+            k += 1
     return records, frags
 
 

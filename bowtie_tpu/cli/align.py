@@ -133,7 +133,9 @@ def build_parser() -> argparse.ArgumentParser:
     # legacy/debug/perf-tuning flags accepted for compatibility; they
     # select internal strategies that have no analog (or are always-on)
     # in the batched TPU architecture
-    for flag in ("--filepar", "--noreconcile", "--pev2", "--strandfix",
+    p.add_argument("--pev2", action="store_true",
+                   help="use PairedBWAlignerV2 for paired-end")
+    for flag in ("--filepar", "--noreconcile", "--strandfix",
                  "--better", "--oldbest", "--stateful", "--phased",
                  "--reportopps", "--sanity", "--startverbose",
                  "--chunkverbose", "--pause"):
@@ -248,10 +250,6 @@ def main(argv=None) -> int:
     if not 0 <= args.seedmms <= 3:
         print("-n arg must be at least 0 and at most 3", file=sys.stderr)
         return 1
-    if args.reportse:
-        print("Error: --reportse is not supported yet by bowtie-tpu",
-              file=sys.stderr)
-        return 1
     if args.strata and not args.best:
         print("--strata must be combined with --best", file=sys.stderr)
         return 1
@@ -318,16 +316,35 @@ def main(argv=None) -> int:
         elif args.rf:
             m1fw, m2fw = False, True
         mode = "n" if args.mismatches < 0 else "v"
-        aligner = make_paired_best_aligner(
-            g_fw, g_bw, refs, policy, mode=mode,
-            v=max(args.mismatches, 0), seed_mms=args.seedmms,
-            seed_len=args.seedlen, qual_cutoff=args.maqerr,
-            fw1=m1fw, fw2=m2fw, min_insert=args.minins,
-            max_insert=args.maxins, pairtries=args.pairtries,
-            sym_ceiling=policy.max, nofw=args.nofw, norc=args.norc,
-            maq=not args.nomaqround, better=args.best,
-            global_seed=args.seed,
-            maxbts=args.maxbts if args.maxbts is not None else 800)
+        if args.best or args.pev2:
+            # PairedBWAlignerV2 (the reference's engine for --best PE
+            # and --pev2).  NOTE: --reportse alone does NOT select V2 —
+            # the reference then runs V1, which ignores its SE sinks,
+            # making the flag a no-op (aligner_0mm.h:309-321)
+            from ..align.best_factories import \
+                make_paired_best_aligner_v2
+            aligner = make_paired_best_aligner_v2(
+                g_fw, g_bw, refs, policy, mode=mode,
+                v=max(args.mismatches, 0), seed_mms=args.seedmms,
+                seed_len=args.seedlen, qual_cutoff=args.maqerr,
+                fw1=m1fw, fw2=m2fw, min_insert=args.minins,
+                max_insert=args.maxins, pairtries=args.pairtries,
+                nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, better=args.best,
+                report_se=args.reportse, best_sink=args.strata,
+                global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
+        else:
+            aligner = make_paired_best_aligner(
+                g_fw, g_bw, refs, policy, mode=mode,
+                v=max(args.mismatches, 0), seed_mms=args.seedmms,
+                seed_len=args.seedlen, qual_cutoff=args.maqerr,
+                fw1=m1fw, fw2=m2fw, min_insert=args.minins,
+                max_insert=args.maxins, pairtries=args.pairtries,
+                sym_ceiling=policy.max, nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, better=args.best,
+                global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
     elif args.mismatches >= 0 and (
             args.best or args.strata or args.sample_mhits is not None
             or args.mismatches == 3):
@@ -379,18 +396,30 @@ def main(argv=None) -> int:
                                        nofw=args.nofw, norc=args.norc,
                                        global_seed=args.seed)
     elif args.best or args.strata or args.sample_mhits is not None:
-        # seeded -n with the stateful best-first engine
-        host_engine = True
-        from ..align.best_factories import make_seeded_best_aligner
+        # seeded -n with the best-first engine: device lockstep machine
+        # by default, host engine on request or per-read overflow
         idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
-        g_fw = golden_cached(args.ebwt_base, idx)
-        g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
-        aligner = make_seeded_best_aligner(
-            g_fw, g_bw, args.seedmms, args.seedlen, args.maqerr,
-            policy, strata=args.strata, all_hits=args.all,
-            nofw=args.nofw, norc=args.norc,
-            maq=not args.nomaqround, global_seed=args.seed,
-            maxbts=args.maxbts if args.maxbts is not None else 800)
+        if os.environ.get("BOWTIE_TPU_HOST_ENGINE"):
+            host_engine = True
+            from ..align.best_factories import make_seeded_best_aligner
+            g_fw = golden_cached(args.ebwt_base, idx)
+            g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
+            aligner = make_seeded_best_aligner(
+                g_fw, g_bw, args.seedmms, args.seedlen, args.maqerr,
+                policy, strata=args.strata, all_hits=args.all,
+                nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
+        else:
+            _enable_compile_cache()
+            from ..align.best_device import DeviceBestAligner
+            aligner = DeviceBestAligner(
+                idx, idx_bw, policy, mode="n", seed_mms=args.seedmms,
+                seed_len=args.seedlen, qual_cutoff=args.maqerr,
+                strata=args.strata, all_hits=args.all,
+                nofw=args.nofw, norc=args.norc,
+                maq=not args.nomaqround, global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
     else:
         # default seeded Maq-like -n mode
         idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
@@ -503,7 +532,23 @@ def main(argv=None) -> int:
                                         aligner.align_batch):
             for (r1, r2), res in zip(batch, results):
                 stats.processed += 1
-                if res.maxed:
+                if res.maxed and res.sampled:
+                    # -M: sample one pair from the best stratum
+                    # (VerboseHitSink::reportMaxed paired, hit.cpp:28-53;
+                    # sam.cpp:273-298)
+                    stats.maxed += 1
+                    stats.aligned += 1
+                    stats.reported += 1
+                    for h in res.hits:
+                        if args.sam:
+                            writer.hit(h, xms=res.nbuffered + 1, mapq=0)
+                        else:
+                            h.oms = res.nbuffered
+                            writer.hit(h)
+                    if max_f:
+                        _dump_read(max_f, r1, fmt)
+                        _dump_read(max_f, r2, fmt)
+                elif res.maxed:
                     # -m exceeded without -M: counted, but NO record is
                     # emitted (HitSink::reportMaxed is counter-only,
                     # hit.h:494-500; only -M sampling reports)
@@ -511,16 +556,28 @@ def main(argv=None) -> int:
                     if max_f:
                         _dump_read(max_f, r1, fmt)
                         _dump_read(max_f, r2, fmt)
+                    for sehits in res.se_hits:
+                        for h in sehits:
+                            writer.hit(h, xms=len(sehits)) \
+                                if args.sam else writer.hit(h)
                 elif not res.hits:
-                    stats.failed += 1
                     if args.sam and not args.no_unal:
                         writer.unaligned(r1, nhits=0, paired=True,
                                          second=False)
                         writer.unaligned(r2, nhits=0, paired=True,
                                          second=True)
-                    if un_f:
-                        _dump_read(un_f, r1, fmt)
-                        _dump_read(un_f, r2, fmt)
+                    if any(res.se_hits):
+                        stats.aligned += 1
+                        for sehits in res.se_hits:
+                            stats.reported += len(sehits)
+                            for h in sehits:
+                                writer.hit(h, xms=len(sehits)) \
+                                    if args.sam else writer.hit(h)
+                    else:
+                        stats.failed += 1
+                        if un_f:
+                            _dump_read(un_f, r1, fmt)
+                            _dump_read(un_f, r2, fmt)
                 else:
                     stats.aligned += 1
                     stats.reported += len(res.hits) // 2

@@ -111,6 +111,12 @@ runpe pe_n2_IX_u200 -n 2 -I 50 -X 170 -u 200
 runpe pe_n2_a_u200  -n 2 -a -u 200
 runpe pe_ff_n2_u200 --ff -n 2 -u 200
 runpe pe_v0_u200    -v 0 -u 200
+runpe pe_best_n2_u200   -n 2 --best -u 200
+runpe pe_pev2_n2_u200   --pev2 -n 2 -u 200
+runpe pe_rs_pev2_u200   --reportse --pev2 -n 2 -u 200
+runpe pe_rs_pev2_S_u200 --reportse --pev2 -n 2 -S -u 200
+runpe pe_n2_M1_u200     -n 2 --best -M 1 -u 200
+runpe pe_best_v1_u200   -v 1 --best -u 200
 
 # ---- FF-orientation fixture with REAL alignments ----
 # e_coli_1000_{1,2}.fq are FR-oriented, so the --ff case above aligns

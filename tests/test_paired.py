@@ -18,6 +18,15 @@ CASES = [
     ("pe_n2_a_u200", ["-n", "2", "-a", "-u", "200"]),
     ("pe_ff_n2_u200", ["--ff", "-n", "2", "-u", "200"]),
     ("pe_v0_u200", ["-v", "0", "-u", "200"]),
+    # PairedBWAlignerV2 engine (--best PE / --pev2 / --reportse)
+    ("pe_best_n2_u200", ["-n", "2", "--best", "-u", "200"]),
+    ("pe_pev2_n2_u200", ["--pev2", "-n", "2", "-u", "200"]),
+    ("pe_rs_pev2_u200",
+     ["--reportse", "--pev2", "-n", "2", "-u", "200"]),
+    ("pe_rs_pev2_S_u200",
+     ["--reportse", "--pev2", "-n", "2", "-S", "-u", "200"]),
+    ("pe_n2_M1_u200", ["-n", "2", "--best", "-M", "1", "-u", "200"]),
+    ("pe_best_v1_u200", ["-v", "1", "--best", "-u", "200"]),
 ]
 
 
