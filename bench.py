@@ -88,18 +88,21 @@ def _replicate(reads, n):
 
 
 def bench_aligner(make, reads, total, batch):
-    """Time align_batch end-to-end (incl. assembly), warm-started."""
+    """Time align_batch end-to-end (incl. assembly), two batches in
+    flight like the CLI's pipelined writer loop: batch k+1's device
+    work overlaps batch k's host-side assembly."""
+    from concurrent.futures import ThreadPoolExecutor
     al = make()
     big = _replicate(reads, total + batch)
     al.align_batch(big[total:total + batch])     # warm-up / compile
+    batches = [big[i:i + batch] for i in range(0, total, batch)]
     t0 = time.time()
-    done = 0
-    while done < total:
-        b = big[done:done + batch]
-        res = al.align_batch(b)
-        done += len(b)
-        assert len(res) == len(b)
+    n = 0
+    with ThreadPoolExecutor(2) as ex:
+        for res in ex.map(al.align_batch, batches):
+            n += len(res)
     dt = time.time() - t0
+    assert n == total
     fb = getattr(al, "fallbacks", 0)
     return total / dt, fb
 
@@ -132,7 +135,7 @@ def main():
     def mk_n2():
         from bowtie_tpu.align.n_device import DeviceNAligner
         return DeviceNAligner(idx, idx_bw, KPolicy(1, INF))
-    r, fb = bench_aligner(mk_n2, reads, 16384, 16384)
+    r, fb = bench_aligner(mk_n2, reads, 32768, 16384)
     modes["n2"] = _emit("-n 2 (default mode) end-to-end reads/s/chip",
                         r, {"fallbacks": fb})
 
@@ -141,7 +144,7 @@ def main():
         from bowtie_tpu.align.best_device import DeviceBestAligner
         return DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
                                  strata=False, all_hits=False)
-    r, fb = bench_aligner(mk_best, reads, 16384, 16384)
+    r, fb = bench_aligner(mk_best, reads, 32768, 16384)
     modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip", r,
                              {"fallbacks": fb})
 

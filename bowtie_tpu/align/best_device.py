@@ -1914,8 +1914,19 @@ def _compact(st, idxs, pad, *, L: int):
 
 @jax.jit
 def _harvest_small(st, idxs):
-    return {k: st[k][idxs] for k in
-            ("result", "overflow", "count", "best_stratum", "nhits")}
+    ks = ("result", "overflow", "count", "best_stratum", "nhits")
+    return jnp.stack([st[k][idxs].astype(jnp.int32) for k in ks])
+
+
+_HARVEST_KEYS = ("result", "overflow", "count", "best_stratum",
+                 "nhits")
+
+
+def _unpack_small(packed):
+    arr = np.asarray(packed)
+    out = {k: arr[i] for i, k in enumerate(_HARVEST_KEYS)}
+    out["overflow"] = out["overflow"].astype(bool)
+    return out
 
 
 @jax.jit
@@ -1932,8 +1943,7 @@ def _pad_pow2(a, fill=0, lo=64):
 
 def _harvest(st, idxs):
     dev_idx = jnp.asarray(idxs)
-    out = {k: np.asarray(v)
-           for k, v in _harvest_small(st, dev_idx).items()}
+    out = _unpack_small(_harvest_small(st, dev_idx))
     n = len(idxs)
     counts = out["nhits"]
     total = int(counts.sum())

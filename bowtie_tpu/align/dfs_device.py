@@ -1517,9 +1517,22 @@ def _compact(st, jobs, idxs, pad):
 
 @jax.jit
 def _harvest_small(st, idxs):
-    """Per-lane scalars of the given lanes (cheap download)."""
-    return {k: st[k][idxs] for k in
-            ("result", "overflow", "count", "nhits", "npart", "rng")}
+    """Per-lane scalars of the given lanes, stacked into ONE array so
+    the slow tunnel pays a single round trip instead of six."""
+    ks = ("result", "overflow", "count", "nhits", "npart", "rng")
+    return jnp.stack([st[k][idxs].astype(jnp.int32) for k in ks])
+
+
+_HARVEST_KEYS = ("result", "overflow", "count", "nhits", "npart",
+                 "rng")
+
+
+def _unpack_small(packed):
+    arr = np.asarray(packed)
+    out = {k: arr[i] for i, k in enumerate(_HARVEST_KEYS)}
+    out["overflow"] = out["overflow"].astype(bool)
+    out["rng"] = out["rng"].astype(np.uint32)
+    return out
 
 
 @jax.jit
@@ -1541,8 +1554,7 @@ def _harvest(st, idxs):
     slow device links."""
     import jax.numpy as jnp
     dev_idx = jnp.asarray(idxs)
-    out = {k: np.asarray(v) for k, v in _harvest_small(st, dev_idx)
-           .items()}
+    out = _unpack_small(_harvest_small(st, dev_idx))
     n = len(idxs)
 
     def pack(counts, arr, width_shape):

@@ -74,6 +74,119 @@ class DeviceNAligner(DeviceDFSAligner):
         return self._oracle
 
     # -- launch B job table (phase 3/4 extensions + half-and-half) ------
+    def _jobs_b_vec(self, reads, out_a, L, fc, gated, jrc):
+        """Vectorized launch-B construction (derive-rows mode): the
+        per-partial extension jobs and half-and-half jobs are scattered
+        into the job table with numpy fancy indexing instead of a
+        per-(read, job) fill loop — the python loop dominated host time
+        at 16k-read batches."""
+        from .backtrack_oracle import QUAL_ROUNDS
+        from .dfs_jobs import attach_base, read_matrices
+        n, s, qt = self.n_mms, self.seed_len, self.qt
+        B = len(reads)
+        res = np.asarray(out_a["result"][:B])
+        ovf = np.asarray(out_a["overflow"][:B])
+        npart = np.asarray(out_a["npart"][:B])
+        active = (res == 0) & ~ovf & ~np.asarray(gated[:B], bool) & \
+            (n > 0)
+        if not active.any():
+            return None, 0
+        fwm, qm, lens = read_matrices(reads, L)
+        plen = lens
+        qs = np.minimum(plen, s)
+        pj = np.asarray(out_a["part_job"][:B])        # [B, P]
+        ppos = np.asarray(out_a["part_pos"][:B])      # [B, P, 3]
+        prefc = np.asarray(out_a["part_refc"][:B])
+        pn = np.asarray(out_a["part_n"][:B])
+        P = pj.shape[1]
+        slot = np.arange(P)[None, :]
+        vpart = (slot < npart[:, None]) & active[:, None]
+        rc = vpart & (pj == jrc)
+        fw = vpart & ~rc
+        nrc = rc.sum(axis=1)
+        nfw = fw.sum(axis=1)
+        hh_on = n >= 2
+        hh_rc_on = hh_on and not self.norc
+        hh_fw_on = hh_on and not self.nofw
+        fw_base = nrc + (1 if hh_rc_on else 0) * active
+        njobs = fw_base + nfw + (1 if hh_fw_on else 0) * active
+        nj = int(njobs.max()) if B else 0
+        if nj == 0:
+            return None, 0
+        J = _bucket(nj, (4, 8, 16, P_MAX + 4))
+        from .dfs_jobs import empty_jobs_vec
+        jobs = empty_jobs_vec(B, J, L, rows=False)
+        # penalty of each partial's quality (to_muts: oldq sums the
+        # penalty at the RAW stored positions)
+        mutq = np.take_along_axis(
+            np.pad(qm, ((0, 0), (0, 4))),
+            np.clip(ppos.reshape(B, -1), 0, L + 3), 1).reshape(B, P, 3)
+        pens = (QUAL_ROUNDS[np.clip(mutq, 0, 255)] if self.maq
+                else mutq)
+        kmask = np.arange(3)[None, None, :] < pn[:, :, None]
+        ham0 = (pens * kmask).sum(axis=2)             # [B, P]
+        tpos = plen[:, None, None] - 1 - ppos         # mutation coords
+
+        def scatter(mask, jj, is_rc_block):
+            bb, pp = np.nonzero(mask)
+            j = jj[bb, pp]
+            jobs["valid"][bb, j] = 1
+            jobs["qlen"][bb, j] = plen[bb]
+            jobs["fw"][bb, j] = 0 if is_rc_block else 1
+            jobs["ebwt_fw"][bb, j] = 1 if is_rc_block else 0
+            for f in ("unrev", "rev1", "rev2", "rev3"):
+                jobs[f][bb, j] = qs[bb]
+            jobs["ham0"][bb, j] = ham0[bb, pp]
+            jobs["report_exacts"][bb, j] = 1
+            jobs["max_bts"][bb, j] = self.maxbts
+            jobs["consider_quals"][bb, j] = 1
+            jobs["qual_thresh"][bb, j] = qt
+            jobs["maq_round"][bb, j] = int(self.maq)
+            # reset_rng only on the first extension of the block
+            first = (jj[bb, pp] == (0 if is_rc_block else fw_base[bb]))
+            jobs["reset_rng"][bb, j] = first.astype(np.int32)
+            jobs["npremut"][bb, j] = pn[bb, pp]
+            for k in range(3):
+                jobs[f"premut_pos{k}"][bb, j] = \
+                    np.where(pn[bb, pp] > k, tpos[bb, pp, k], 0)
+                jobs[f"premut_refc{k}"][bb, j] = \
+                    np.where(pn[bb, pp] > k, prefc[bb, pp, k], 0)
+
+        rc_rank = np.cumsum(rc, axis=1) - 1
+        fw_rank = np.cumsum(fw, axis=1) - 1 + fw_base[:, None]
+        if not self.norc:
+            scatter(rc, rc_rank, True)
+        if not self.nofw:
+            scatter(fw, fw_rank, False)
+
+        # half-and-half jobs
+        q5 = (qs >> 1) + (qs & 1)
+        hh_offs = (q5, qs, np.zeros_like(qs),
+                   q5 if n <= 2 else np.zeros_like(qs),
+                   qs if n < 3 else q5, qs)
+        for on, jcol, isrc in ((hh_rc_on, nrc, True),
+                               (hh_fw_on, fw_base + nfw, False)):
+            if not on:
+                continue
+            bb = np.flatnonzero(active)
+            j = jcol[bb]
+            jobs["valid"][bb, j] = 1
+            jobs["qlen"][bb, j] = plen[bb]
+            jobs["fw"][bb, j] = 0 if isrc else 1
+            jobs["ebwt_fw"][bb, j] = 1 if isrc else 0
+            for f, v in zip(("d5", "d3", "unrev", "rev1", "rev2",
+                             "rev3"), hh_offs):
+                jobs[f][bb, j] = v[bb]
+            jobs["half_and_half"][bb, j] = 1
+            jobs["report_exacts"][bb, j] = 1
+            jobs["max_bts"][bb, j] = self.maxbts
+            jobs["consider_quals"][bb, j] = 1
+            jobs["qual_thresh"][bb, j] = qt
+            jobs["maq_round"][bb, j] = int(self.maq)
+            jobs["reset_rng"][bb, j] = 1
+        attach_base(jobs, fwm, qm, lens)
+        return jobs, J
+
     def _jobs_b(self, reads, out_a, L, fc, gated, jrc):
         n, s, qt = self.n_mms, self.seed_len, self.qt
         B = len(reads)
@@ -179,7 +292,12 @@ class DeviceNAligner(DeviceDFSAligner):
             np.zeros(Bp, np.int32), J=J_A, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
 
-        jobs_b, J_B = self._jobs_b(reads, out_a, L, fc, gated, jrc)
+        from .dfs_jobs import derive_rows_enabled
+        if derive_rows_enabled():
+            jobs_b, J_B = self._jobs_b_vec(reads, out_a, L, fc, gated,
+                                           jrc)
+        else:
+            jobs_b, J_B = self._jobs_b(reads, out_a, L, fc, gated, jrc)
         if jobs_b is not None:
             out_b = run_compacting(
                 self.cat, pad(jobs_b), seeds,
