@@ -107,6 +107,58 @@ def bench_aligner(make, reads, total, batch):
     return total / dt, fb
 
 
+def bench_hg(base="/root/hg_synth/hg_synth"):
+    """hg-scale benchmark: exact search + walk-left resolve against a
+    ~3 Gbp synthetic genome index in the compact device layout
+    (occ checkpoints every 128 rows + packed 2-bit BWT + 2^offRate SA
+    sample; ~1.5 GB HBM) — the BASELINE.json hg-scale metric."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from bowtie_tpu.index.ebwt_io import read_ebwt
+    from bowtie_tpu.index.arrays import from_ebwt
+    from bowtie_tpu.align.exact import right_align
+    from bowtie_tpu.parallel.mesh import sharded_align_step
+
+    if not os.path.exists(base + ".1.ebwt"):
+        return None
+    idx = read_ebwt(base)
+    fm = from_ebwt(idx, occ_every=128, dense_sa=False)
+    # reads sampled from the genome itself (N-free 35-mers)
+    rng = np.random.default_rng(7)
+    from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
+                                          unpack_reference)
+    recs, packed = read_bitpair_reference(base)
+    refs = unpack_reference(recs, packed)
+    big = max(refs, key=len)
+    B = 262144
+    ITERS = 4
+    batches = []
+    for it in range(ITERS + 1):
+        pos = rng.integers(0, len(big) - 36, B)
+        codes = [np.where(big[p:p + 35] > 3, 0,
+                          big[p:p + 35]).astype(np.uint8)
+                 for p in pos]
+        mat, lens = right_align(codes, pad_to=36)
+        batches.append((jnp.asarray(mat), jnp.asarray(lens)))
+    del refs, packed, big
+
+    @jax.jit
+    def bench_step(fm, reads_d, lens):
+        t, b, o, k = sharded_align_step(fm, reads_d, lens)
+        return (jnp.sum(k.astype(jnp.int32)) + jnp.sum(o % 7) +
+                jnp.sum(b - t))
+
+    found = int(bench_step(fm, *batches[0]))
+    t0 = time.time()
+    for it in range(1, ITERS + 1):
+        found += int(bench_step(fm, *batches[it]))
+    dt = time.time() - t0
+    hbm = sum(int(np.asarray(x).nbytes) for x in
+              (fm.bwt, fm.occ, fm.offs, fm.ftab_hi, fm.ftab_lo))
+    return (B * ITERS) / dt, idx.length, hbm
+
+
 def main():
     from bowtie_tpu.index.ebwt_io import read_ebwt
     from bowtie_tpu.io.readers import ReadSource
@@ -172,6 +224,15 @@ def main():
     pe_al.align_batch(pairs)
     r = len(pairs) / (time.time() - t0)
     modes["pe_n2"] = _emit("paired -n 2 reads/s (host engine)", r)
+
+    # hg-scale exact (compact layout) when the synthetic index exists
+    hg = bench_hg()
+    if hg is not None:
+        r, glen, hbm = hg
+        modes["hg_exact"] = _emit(
+            f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp synthetic"
+            f" genome, compact layout, {hbm/1e9:.2f} GB HBM)", r,
+            {"genome_bp": glen, "hbm_bytes": hbm})
 
     # summary line: flagship value + all modes
     print(json.dumps({

@@ -54,8 +54,9 @@ def exact_ranges(fm: FMIndexArrays, reads: jnp.ndarray, lens: jnp.ndarray):
                    axis=1)
     ft_top = fmops.gather1d(fm.ftab_hi, foff)
     ft_bot = fmops.gather1d(fm.ftab_lo, foff + 1)
-    top0 = jnp.where(ftab_ok, ft_top, 0).astype(jnp.int32)
-    bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(jnp.int32)
+    rdt = fm.fchr.dtype
+    top0 = jnp.where(ftab_ok, ft_top, 0).astype(rdt)
+    bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(rdt)
     start = jnp.where(ftab_ok, L - fc, L)       # first unconsumed column+1
     stop = L - lens                              # consume down to here
 
@@ -95,10 +96,11 @@ def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
     steps (ok=False signals the rare >MAX_WALK overflow, resolved on
     host by the golden model).
     """
-    rows = rows.astype(jnp.int32)
+    rdt = fm.fchr.dtype
+    rows = rows.astype(rdt)
     if fm.sa is not None:
         return fmops.gather1d(fm.sa, rows), jnp.ones(rows.shape, bool)
-    mask = jnp.int32((1 << fm.off_rate) - 1)
+    mask = jnp.asarray((1 << fm.off_rate) - 1, rdt)
 
     def step(carry, _):
         i, jumps, done = carry
@@ -110,7 +112,7 @@ def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
         return (i, jumps, done2), None
 
     (i, jumps, done), _ = jax.lax.scan(
-        step, (rows, jnp.zeros(rows.shape, jnp.int32),
+        step, (rows, jnp.zeros(rows.shape, rdt),
                jnp.zeros(rows.shape, bool)), None, length=MAX_WALK)
     at_z = i == fm.zoff
     finished = at_z | ((i & mask) == 0)

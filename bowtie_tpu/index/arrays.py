@@ -86,8 +86,8 @@ def pack_bwt_words(bwt_codes: np.ndarray) -> np.ndarray:
     return (lanes << shifts).sum(axis=1, dtype=np.uint32)
 
 
-def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK
-                          ) -> np.ndarray:
+def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK,
+                          dtype=np.int32) -> np.ndarray:
     """occ[k, c] = count of stored code c in rows [0, k*block)."""
     n = len(bwt_codes)
     nblocks = (n + block - 1) // block
@@ -98,7 +98,7 @@ def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK
     ck = np.zeros((nblocks + 1, 4), dtype=np.int64)
     np.cumsum(per_block, axis=0, out=ck[1:])
     ck[-1, 0] -= pad  # padding zeros are not 'A's
-    return ck.astype(np.int32)
+    return ck.astype(dtype)
 
 
 def build_full_rank(bwt_codes: np.ndarray) -> np.ndarray:
@@ -163,17 +163,21 @@ def from_ebwt(idx: EbwtIndex, device=None,
     builds the per-row SA (4 B/row) so offset resolution is one gather."""
     hi, lo = idx.ftab_resolved()
     put = partial(jax.device_put, device=device)
+    # row dtype: int32 covers genomes < 2^31; the reference's "small"
+    # index spans up to 2^32-1 rows (TIndexOffU, btypes.h) — follow it
+    # with uint32 for hg-scale genomes (all kernels dtype-follow fm)
+    rdt = np.int32 if idx.bwt_len <= 0x7FFFFFFF else np.uint32
     occ = (build_full_rank(idx.bwt) if occ_every == 1
-           else build_occ_checkpoints(idx.bwt, occ_every))
+           else build_occ_checkpoints(idx.bwt, occ_every, dtype=rdt))
     return FMIndexArrays(
         bwt=put(pack_bwt_words(idx.bwt)),
         occ=put(occ),
-        fchr=put(idx.fchr.astype(np.int32)),
-        ftab_hi=put(hi.astype(np.int32)),
-        ftab_lo=put(lo.astype(np.int32)),
-        offs=put(idx.offs.astype(np.int32)),
-        zoff=put(jnp.int32(idx.zoff)),
-        bwt_len=put(jnp.int32(idx.bwt_len)),
+        fchr=put(idx.fchr.astype(rdt)),
+        ftab_hi=put(hi.astype(rdt)),
+        ftab_lo=put(lo.astype(rdt)),
+        offs=put(idx.offs.astype(rdt)),
+        zoff=put(jnp.asarray(idx.zoff, rdt)),
+        bwt_len=put(jnp.asarray(idx.bwt_len, rdt)),
         sa=put(build_dense_sa(idx)) if dense_sa else None,
         ftab_chars=idx.ftab_chars,
         off_rate=idx.off_rate,

@@ -201,9 +201,10 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
                              f"{sentinel:#x}")
         U = bo + ("u4" if osz == 4 else "u8")
         length = int(np.frombuffer(_read_exact(f, osz), dtype=U)[0])
-        line_rate, lines_per_side, off_rate, ftab_chars, neg_flags = \
-            np.frombuffer(_read_exact(f, 20), dtype=bo + "i4")
-        flags = -int(neg_flags)
+        line_rate, lines_per_side, off_rate, ftab_chars, neg_flags = (
+            int(x) for x in
+            np.frombuffer(_read_exact(f, 20), dtype=bo + "i4"))
+        flags = -neg_flags
         entire_reverse = bool(flags > 0 and (flags & 4))
 
         if (1 << line_rate) != side_sz or lines_per_side != 1:

@@ -45,7 +45,7 @@ def select4(table4: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 def fchr_at(fm, c: jnp.ndarray) -> jnp.ndarray:
     """fchr[c] via unrolled select (fchr is tiny; avoid 1D gather)."""
-    r = jnp.zeros(jnp.shape(c), dtype=jnp.int32)
+    r = jnp.zeros(jnp.shape(c), dtype=fm.fchr.dtype)
     for j in range(4):
         r = jnp.where(c == j, fm.fchr[j], r)
     return r
@@ -72,44 +72,46 @@ def rank1(fm: FMIndexArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     '$' correction per countFwSide (ebwt.h:2044-2052): the '$' row is
     stored as code 0; subtract it from A-counts when i > zoff.
     """
-    i = jnp.asarray(i, jnp.int32)
+    rdt = fm.fchr.dtype
+    i = jnp.asarray(i, rdt)
     c = jnp.asarray(c)
-    corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0)
+    corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0).astype(rdt)
     if fm.occ_every == 1:
         return select4(fm.occ[i], c) - corr
     blk = fm.occ_every
     wpb = blk // 16
     block = i // blk
     base = select4(fm.occ[block], c)
-    rem = i - block * blk                  # rows past the checkpoint
+    rem = (i - block * blk).astype(jnp.int32)   # rows past checkpoint
     # shape-polymorphic (scalar or [B]) block-word gather; rows of a
     # [nblocks, wpb] view so TPU vectorizes it
     words = fm.bwt.reshape(-1, wpb)[block]
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnt = base + _count_matches_in_word(
-        words, c[..., None], nlanes).sum(axis=-1)
+        words, c[..., None], nlanes).sum(axis=-1).astype(rdt)
     return cnt - corr
 
 
 def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """Occ(c, i) for all four codes at once (countUpToEx analog)."""
-    i = jnp.asarray(i, jnp.int32)
-    corr = (jnp.where(i > fm.zoff, 1, 0)[..., None] *
-            jnp.array([1, 0, 0, 0], jnp.int32))
+    rdt = fm.fchr.dtype
+    i = jnp.asarray(i, rdt)
+    corr = (jnp.where(i > fm.zoff, 1, 0)[..., None].astype(rdt) *
+            jnp.array([1, 0, 0, 0], rdt))
     if fm.occ_every == 1:
         return fm.occ[i] - corr.reshape(fm.occ[i].shape)
     blk = fm.occ_every
     wpb = blk // 16
     block = i // blk
     base = fm.occ[block]                                   # [..., 4]
-    rem = i - block * blk
+    rem = (i - block * blk).astype(jnp.int32)
     words = fm.bwt.reshape(-1, wpb)[block]
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnts = jnp.stack(
         [_count_matches_in_word(words, jnp.int32(cc), nlanes).sum(axis=-1)
-         for cc in range(4)], axis=-1)
+         for cc in range(4)], axis=-1).astype(rdt)
     return base + cnts - corr.reshape(base.shape)
 
 
@@ -126,7 +128,7 @@ def lf4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
 def bwt_char(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """The BWT char at row i (rowL).  Returns stored code; caller must
     treat row zoff specially ('$')."""
-    i = jnp.asarray(i, jnp.int32)
+    i = jnp.asarray(i, fm.fchr.dtype)
     word = gather1d(fm.bwt, i // 16)
     return ((word >> (2 * (i % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
 

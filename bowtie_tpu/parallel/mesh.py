@@ -62,4 +62,6 @@ def sharded_align_step(fm: FMIndexArrays, reads: jnp.ndarray,
     top, bot = exact_ranges(fm, reads, lens)
     has = bot > top
     offs, ok = resolve_rows(fm, jnp.where(has, top, 0))
-    return top, bot, jnp.where(has, offs, -1), ok & has
+    # all-ones sentinel: -1 for int32, 0xFFFFFFFF for uint32 (hg-scale)
+    sent = ~jnp.zeros((), offs.dtype)
+    return top, bot, jnp.where(has, offs, sent), ok & has
