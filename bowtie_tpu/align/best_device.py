@@ -796,10 +796,20 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
 # Aligner-level + outer CostAware steps
 # ---------------------------------------------------------------------------
 
-def _step_main(st, strata: bool):
-    """UnpairedAlignerV2 loop head (best_driver.py align_read)."""
+def _step_main(st, strata: bool, record: bool = False):
+    """UnpairedAlignerV2 loop head (best_driver.py align_read).
+
+    record=True: paired-end stream-recording mode — instead of chasing
+    a found range, append it to the hits pool verbatim (drv id, top,
+    bot, cost, stratum, edits) and keep advancing until the driver is
+    exhausted.  No sink backpressure and no chase RNG draw: the host
+    PairedBestAligner replay performs those (aligner.h:1092-1326
+    consumes driver ranges strictly in emission order, so the full
+    stream reproduces its behavior byte-identically)."""
     m = st["mode"] == M_MAIN
     found = st["ca_found"] > 0
+    if record:
+        return _record_range(st, m, found)
     irrf = m & found & _irrelevant(st, st["ls_cost"], strata)
     st = _w(st, "ca_found", irrf, 0)          # discard, stay M_MAIN
     chase = m & found & ~irrf
@@ -814,6 +824,40 @@ def _step_main(st, strata: bool):
     nf = m & ~found
     ex = nf & ((st["ca_done"] > 0) |
                _irrelevant(st, st["ca_min"], strata))
+    st["mode"] = jnp.where(ex, M_DONE, st["mode"])
+    st["mode"] = jnp.where(nf & ~ex, M_CADV, st["mode"])
+    return st
+
+
+def _record_range(st, m, found):
+    """Append the current found range to the hits pool (record mode)."""
+    B = m.shape[0]
+    rec_on = m & found
+    nmms = st["ls_ne"]
+
+    def _padmm(a):
+        if E_MAX >= MM_SLOTS:
+            return a[:, :MM_SLOTS]
+        return jnp.pad(a, ((0, 0), (0, MM_SLOTS - E_MAX)))
+    # [6] = driver done at emission: a range returned together with
+    # done=True is never consumed by the PE interleave (aligner.h:1190
+    # checks !drv.done before draining found_range) — replay needs it
+    rec = jnp.concatenate([
+        jnp.stack([st["ls_drv"], st["ls_top"], st["ls_bot"],
+                   st["ls_cost"], st["ls_strat"], nmms,
+                   st["ca_done"], st["qlen"]], axis=-1),
+        _padmm(st["ls_ed"]), _padmm(st["ls_ec"])], axis=-1)
+    over = rec_on & ((st["nhits"] >= H_MAX) | (nmms > MM_SLOTS))
+    st["overflow"] = st["overflow"] | over
+    st["mode"] = jnp.where(over, M_DONE, st["mode"])
+    do_store = rec_on & ~over
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
+          == st["nhits"][:, None]) & do_store[:, None]
+    st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
+    st = _w(st, "nhits", do_store, st["nhits"] + 1)
+    st = _w(st, "ca_found", rec_on, 0)        # consumed; keep advancing
+    nf = m & ~found
+    ex = nf & (st["ca_done"] > 0)
     st["mode"] = jnp.where(ex, M_DONE, st["mode"])
     st["mode"] = jnp.where(nf & ~ex, M_CADV, st["mode"])
     return st
@@ -1840,9 +1884,9 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
 def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
                   nfrag: int, n_k: int, m_max: int, strata: bool,
                   qual_lim: int, qual_order: bool, bt_on: bool,
-                  fc: int, has_seeded: bool):
+                  fc: int, has_seeded: bool, record: bool = False):
     st = dict(st)
-    st = _step_main(st, strata)
+    st = _step_main(st, strata, record)
     st = _step_cadv(st)
     st = _step_sfx(st)
     if has_seeded:
@@ -1861,18 +1905,19 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
     st = _step_cpost(st, cfgj, nd)
     st = _step_sfxend(st)
     st = _step_sort(st, nd)
-    st = _step_chase(st, cat, cfgj, nfrag, n_k, m_max, strata)
+    if not record:
+        st = _step_chase(st, cat, cfgj, nfrag, n_k, m_max, strata)
     return st
 
 
 @partial(jax.jit, static_argnames=("nd", "ndt", "L", "nfrag", "n_k",
                                    "m_max", "strata", "qual_lim",
                                    "qual_order", "bt_on", "fc",
-                                   "has_seeded", "chunk"))
+                                   "has_seeded", "chunk", "record"))
 def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
               nfrag: int, n_k: int, m_max: int, strata: bool,
               qual_lim: int, qual_order: bool, bt_on: bool, fc: int,
-              has_seeded: bool, chunk: int):
+              has_seeded: bool, chunk: int, record: bool = False):
     def cond(c):
         s, it = c
         return (it < chunk) & jnp.any(s["mode"] != M_DONE)
@@ -1881,7 +1926,7 @@ def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
         s, it = c
         return _machine_step(s, cat, cfgj, nd, ndt, L, nfrag, n_k,
                              m_max, strata, qual_lim, qual_order,
-                             bt_on, fc, has_seeded), it + 1
+                             bt_on, fc, has_seeded, record), it + 1
 
     st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st, st["mode"]

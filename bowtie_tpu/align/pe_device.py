@@ -1,0 +1,236 @@
+"""Device-batched paired-end alignment (PairedBWAlignerV1 on TPU).
+
+The V1 engine (aligner.h:606-1480) interleaves four per-(mate,strand)
+best-first anchor drivers with reference-window mate rescue.  The
+driver streams are interaction-free — the interleave only decides
+which ranges get chased/rescued and when to stop — so the expensive
+part (branch-and-bound search, >50% of host time) batches perfectly:
+
+1. RECORD (device): every (pair, mate, strand) is one lane of the
+   lockstep best-first machine in record mode (best_device._step_main
+   record=True): ranges are appended to the lane's pool in emission
+   order, with the driver's done-at-emission flag, until exhaustion.
+   One machine run per strand (fw lanes: norc; rc lanes: nofw) since
+   the driver DAG differs per strand.
+2. REPLAY (host): PairedBestAligner runs unchanged, but its four
+   drivers are ReplayDrivers that pop the precomputed streams.  All
+   interleave decisions, chase RNG draws, rescue scans and sink calls
+   happen exactly as on the pure-host path — byte-identical output.
+
+Lanes whose stream overflows the pool (H_MAX ranges) or whose machine
+overflows fall back to the pure-host aligner per pair.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .best import FoundRange
+from .best_device import (
+    H_MAX, HostInit, INF32, M_DONE, MM_SLOTS, _bucket, _init_state,
+    _len_bucket, build_fmcat, run_compacting, seeded_mode_configs,
+    v_mode_configs,
+)
+from .policy import KPolicy
+
+
+class ReplayDriver:
+    """Feeds a precomputed FoundRange stream through the BestDriver
+    advance()/range()/done interface the PE interleave consumes."""
+
+    __slots__ = ("_q", "_cur", "found_range", "done")
+
+    def __init__(self, ranges_with_done):
+        # list of (FoundRange, done_at_emission)
+        self._q = list(ranges_with_done)
+        self._cur = None
+        self.found_range = False
+        self.done = not self._q
+
+    def advance(self, _until):
+        if self._q:
+            r, done = self._q.pop(0)
+            self._cur = r
+            self.found_range = True
+            # done-at-emission: host CostAwareDriver.advance can set
+            # done together with found_range (range_source.h:2262+);
+            # otherwise done only once the stream is exhausted AND the
+            # machine reached M_DONE (always true post-exhaustion).
+            self.done = bool(done) or not self._q
+        else:
+            self.done = True
+
+    def range(self):
+        return self._cur
+
+
+class _StrandMachine:
+    """One record-mode machine: all lanes share a single per-strand
+    driver DAG (mate is per-lane via the query)."""
+
+    def __init__(self, cat, idx_fw, idx_bw, mode, v, seed_mms,
+                 seed_len, qual_cutoff, fw, maq, qual_order, maxbts,
+                 max_steps):
+        self.cat = cat
+        nofw, norc = (not fw), fw
+        if mode == "n":
+            self.outers = seeded_mode_configs(seed_mms, nofw, norc)
+            self.qual_lim = qual_cutoff
+            self.bt_on = seed_mms >= 2
+            sl = seed_len
+        else:
+            self.outers = v_mode_configs(v, nofw, norc)
+            self.qual_lim = INF32
+            self.bt_on = False
+            sl = 0
+        self.has_seeded = mode == "n"
+        self.hostinit = HostInit(self.outers, idx_fw, idx_bw, maq,
+                                 qual_order, self.qual_lim, sl)
+        import jax.numpy as jnp
+        self.cfgj = {k: jnp.asarray(v_)
+                     for k, v_ in self.hostinit.cfg.items()}
+        self.qual_order = qual_order
+        self.maxbts = maxbts
+        self.max_steps = max_steps
+        self.nfrag = int(idx_fw.nfrag)
+
+    def record(self, reads, seeds):
+        """reads: flat lane list; seeds: per-lane uint32 (mate1 seed).
+        Returns (streams, overflow): streams[lane] = list of
+        (FoundRange, done_flag)."""
+        import jax.numpy as jnp
+        B = len(reads)
+        host_only = [b for b, r in enumerate(reads)
+                     if len(r.seq) < 4 or len(r.seq) > 255]
+        Bp = _bucket(B)
+        L = _len_bucket(max(len(r.seq) for r in reads))
+        seeds_p = np.zeros(Bp, np.uint32)
+        seeds_p[:B] = seeds
+        host = self.hostinit.build(reads, L, seeds_p[:B])
+        if Bp > B:
+            for k, v_ in host.items():
+                pad = np.zeros((Bp - B,) + v_.shape[1:], dtype=v_.dtype)
+                host[k] = np.concatenate([v_, pad], axis=0)
+        st = _init_state(Bp, L, self.hostinit.nd, self.hostinit.ndt,
+                         seeds_p, host, self.maxbts)
+        dis = np.zeros(Bp, bool)
+        dis[B:] = True
+        for b in host_only:
+            dis[b] = True
+        if dis.any():
+            st["mode"] = jnp.where(jnp.asarray(dis), M_DONE, st["mode"])
+        out = run_compacting(
+            self.cat, self.cfgj, st, L=L, nd=self.hostinit.nd,
+            ndt=self.hostinit.ndt, nfrag=self.nfrag, n_k=INF32,
+            m_max=INF32, strata=False, qual_lim=self.qual_lim,
+            qual_order=self.qual_order, bt_on=self.bt_on,
+            fc=self.cat.ftab_chars, has_seeded=self.has_seeded,
+            max_steps=self.max_steps, record=True)
+        o_fw = self.hostinit.cfg["o_fw"]
+        o_efw = self.hostinit.cfg["o_chase_efw"]
+        streams = []
+        overflow = np.asarray(out["overflow"]).copy()
+        for b in host_only:
+            overflow[b] = True
+        hits = out["hits"]
+        nh = out["nhits"]
+        for b, read in enumerate(reads):
+            if overflow[b]:
+                streams.append(None)
+                continue
+            qlen = len(read.seq)
+            lst = []
+            for t in range(int(nh[b])):
+                rec = hits[b, t]
+                drv = int(rec[0])
+                ne = int(rec[5])
+                mms = [qlen - int(rec[8 + k]) - 1 for k in range(ne)]
+                refcs = [int(rec[8 + MM_SLOTS + k]) for k in range(ne)]
+                fr = FoundRange(
+                    top=int(rec[1]), bot=int(rec[2]), cost=int(rec[3]),
+                    stratum=int(rec[4]), num_mms=ne,
+                    fw=bool(o_fw[drv]), ebwt_fw=bool(o_efw[drv]),
+                    mms=mms, refcs=refcs)
+                lst.append((fr, bool(rec[6])))
+            streams.append(lst)
+        return streams, overflow
+
+
+class DevicePairedBestAligner:
+    """Drop-in replacement for make_paired_best_aligner's product:
+    align_batch(pairs) with device-recorded anchor streams."""
+
+    def __init__(self, idx_fw, idx_bw, refs, policy: KPolicy,
+                 mode: str = "n", v: int = 0, seed_mms: int = 2,
+                 seed_len: int = 28, qual_cutoff: int = 70,
+                 fw1: bool = True, fw2: bool = False,
+                 min_insert: int = 0, max_insert: int = 250,
+                 pairtries: int = 100, mixed_thresh: int = 4,
+                 sym_ceiling: int = 0xFFFFFFFF, maq: bool = True,
+                 better: bool = False, global_seed: int = 0,
+                 maxbts: int = 800, max_steps: int = 60000,
+                 compact: bool | None = None):
+        import os
+        from .best_factories import make_paired_best_aligner
+        from .golden import GoldenFM
+        if compact is None:
+            compact = (idx_fw.length > (1 << 28) or
+                       bool(os.environ.get("BOWTIE_TPU_COMPACT")))
+        self.cat = build_fmcat(idx_fw, idx_bw,
+                               occ_every=128 if compact else 1,
+                               dense_sa=not compact)
+        kw = dict(mode=mode, v=v, seed_mms=seed_mms,
+                  seed_len=seed_len, qual_cutoff=qual_cutoff,
+                  fw=True, maq=maq, qual_order=not better,
+                  maxbts=maxbts, max_steps=max_steps)
+        self.m_fw = _StrandMachine(self.cat, idx_fw, idx_bw, **kw)
+        kw["fw"] = False
+        self.m_rc = _StrandMachine(self.cat, idx_fw, idx_bw, **kw)
+        self.global_seed = global_seed
+        # host replay aligner: its factory pops installed streams,
+        # falling back to live host drivers for overflow pairs
+        self._streams = None        # per-pair [d1f, d1r, d2f, d2r]
+        self._host = make_paired_best_aligner(
+            GoldenFM(idx_fw), GoldenFM(idx_bw), refs, policy,
+            mode=mode, v=v, seed_mms=seed_mms, seed_len=seed_len,
+            qual_cutoff=qual_cutoff, fw1=fw1, fw2=fw2,
+            min_insert=min_insert, max_insert=max_insert,
+            pairtries=pairtries, mixed_thresh=mixed_thresh,
+            sym_ceiling=sym_ceiling, maq=maq, better=better,
+            global_seed=global_seed, maxbts=maxbts)
+        self._live_factory = self._host.driver_factory
+        self._host.driver_factory = self._factory
+        self.fallbacks = 0
+
+    def _factory(self, rd1, rd2):
+        if self._streams is not None:
+            return [ReplayDriver(s) for s in self._streams]
+        return self._live_factory(rd1, rd2)
+
+    def align_batch(self, pairs):
+        if not pairs:
+            return []
+        # lane layout per strand run: [m1_p0, m2_p0, m1_p1, m2_p1, ...]
+        lane_reads = []
+        seeds = np.zeros(2 * len(pairs), np.uint32)
+        for i, (rd1, rd2) in enumerate(pairs):
+            lane_reads += [rd1, rd2]
+            s = rd1.seed(self.global_seed)
+            seeds[2 * i] = s
+            seeds[2 * i + 1] = s
+        s_fw, ov_fw = self.m_fw.record(lane_reads, seeds)
+        s_rc, ov_rc = self.m_rc.record(lane_reads, seeds)
+        results = []
+        for i, (rd1, rd2) in enumerate(pairs):
+            lanes = (2 * i, 2 * i + 1)
+            if any(ov_fw[l] or ov_rc[l] for l in lanes):
+                self.fallbacks += 1
+                self._streams = None
+            else:
+                # factory order: d1f, d1r, d2f, d2r
+                self._streams = [s_fw[2 * i], s_rc[2 * i],
+                                 s_fw[2 * i + 1], s_rc[2 * i + 1]]
+            try:
+                results.append(self._host.align_pair(rd1, rd2))
+            finally:
+                self._streams = None
+        return results

@@ -22,7 +22,8 @@ class AlignStats:
     aligned: int = 0
     failed: int = 0
     maxed: int = 0
-    reported: int = 0
+    reported: int = 0          # unpaired/singleton alignments
+    reported_pairs: int = 0    # paired-end alignments (pairs)
 
 
 @dataclass

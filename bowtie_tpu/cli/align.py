@@ -334,6 +334,24 @@ def main(argv=None) -> int:
                 report_se=args.reportse, best_sink=args.strata,
                 global_seed=args.seed,
                 maxbts=args.maxbts if args.maxbts is not None else 800)
+        elif not (os.environ.get("BOWTIE_TPU_HOST_ENGINE")
+                  or args.nofw or args.norc):
+            # PairedBWAlignerV1 with device-recorded anchor streams:
+            # the four per-(mate,strand) best-first drivers run as
+            # lanes of the lockstep machine; the interleave/rescue
+            # replay on host is byte-identical (align/pe_device.py)
+            from ..align.pe_device import DevicePairedBestAligner
+            host_engine = False
+            aligner = DevicePairedBestAligner(
+                idx, idx_bw, refs, policy, mode=mode,
+                v=max(args.mismatches, 0), seed_mms=args.seedmms,
+                seed_len=args.seedlen, qual_cutoff=args.maqerr,
+                fw1=m1fw, fw2=m2fw, min_insert=args.minins,
+                max_insert=args.maxins, pairtries=args.pairtries,
+                sym_ceiling=policy.max,
+                maq=not args.nomaqround, better=args.best,
+                global_seed=args.seed,
+                maxbts=args.maxbts if args.maxbts is not None else 800)
         else:
             aligner = make_paired_best_aligner(
                 g_fw, g_bw, refs, policy, mode=mode,
@@ -538,7 +556,7 @@ def main(argv=None) -> int:
                     # sam.cpp:273-298)
                     stats.maxed += 1
                     stats.aligned += 1
-                    stats.reported += 1
+                    stats.reported_pairs += 1
                     for h in res.hits:
                         if args.sam:
                             writer.hit(h, xms=res.nbuffered + 1, mapq=0)
@@ -557,6 +575,7 @@ def main(argv=None) -> int:
                         _dump_read(max_f, r1, fmt)
                         _dump_read(max_f, r2, fmt)
                     for sehits in res.se_hits:
+                        stats.reported += len(sehits)
                         for h in sehits:
                             writer.hit(h, xms=len(sehits)) \
                                 if args.sam else writer.hit(h)
@@ -580,7 +599,7 @@ def main(argv=None) -> int:
                             _dump_read(un_f, r2, fmt)
                 else:
                     stats.aligned += 1
-                    stats.reported += len(res.hits) // 2
+                    stats.reported_pairs += len(res.hits) // 2
                     xms = len(res.hits) // 2
                     for h in res.hits:
                         if args.sam:
@@ -657,7 +676,19 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
                   f"{stats.maxed} "
                   f"({100.0*stats.maxed/max(1,stats.processed):.2f}%)",
                   file=sys.stderr)
-        print(f"Reported {stats.reported} alignments", file=sys.stderr)
+        # four-case summary wording (HitSink::finish, hit.h:321-337)
+        if stats.reported == 0 and stats.reported_pairs == 0:
+            print("No alignments", file=sys.stderr)
+        elif stats.reported_pairs > 0 and stats.reported == 0:
+            print(f"Reported {stats.reported_pairs} paired-end "
+                  f"alignments", file=sys.stderr)
+        elif stats.reported > 0 and stats.reported_pairs == 0:
+            print(f"Reported {stats.reported} alignments",
+                  file=sys.stderr)
+        else:
+            print(f"Reported {stats.reported_pairs} paired-end "
+                  f"alignments and {stats.reported} singleton "
+                  f"alignments", file=sys.stderr)
     if getattr(args, "hadoopout", False):
         # Hadoop streaming counters (hit.h:338-344)
         print(f"reporter:counter:Bowtie,Reads with reported alignments,"
@@ -666,13 +697,11 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
               f"{stats.failed}", file=sys.stderr)
         print(f"reporter:counter:Bowtie,Reads exceeding -m limit,"
               f"{stats.maxed}", file=sys.stderr)
-        paired = bool(args.mates1 or args.tabbed or args.interleaved)
-        nup = 0 if paired else stats.reported
-        npp = stats.reported if paired else 0
+        # numReportedPaired counts individual mates (hit.h:343)
         print(f"reporter:counter:Bowtie,Unpaired alignments reported,"
-              f"{nup}", file=sys.stderr)
+              f"{stats.reported}", file=sys.stderr)
         print(f"reporter:counter:Bowtie,Paired alignments reported,"
-              f"{npp}", file=sys.stderr)
+              f"{2 * stats.reported_pairs}", file=sys.stderr)
 
     for f in (un_f, al_f, max_f):
         if f:

@@ -1,11 +1,19 @@
 """Paired-end parity: byte-identical output vs reference goldens
-(stateful PairedBWAlignerV1 engine) + genome-level validity."""
+(stateful PairedBWAlignerV1 engine) + genome-level validity.
+
+Runs the HOST engine (BOWTIE_TPU_HOST_ENGINE) so the quick gate stays
+compile-free; the device PE path is covered by test_pe_device.py."""
 import os
 
 import numpy as np
 import pytest
 
 from tests.test_parity_v0 import GOLDEN, IDX
+
+
+@pytest.fixture(autouse=True)
+def _host_engine(monkeypatch):
+    monkeypatch.setenv("BOWTIE_TPU_HOST_ENGINE", "1")
 
 R1 = "/root/reference/reads/e_coli_1000_1.fq"
 R2 = "/root/reference/reads/e_coli_1000_2.fq"

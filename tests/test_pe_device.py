@@ -1,0 +1,74 @@
+"""Device paired-end engine (align/pe_device.py): the recorded anchor
+streams + host replay must match the pure-host PairedBWAlignerV1
+re-expression hit-for-hit, and the CLI device path must stay
+byte-identical to the reference goldens."""
+import os
+
+import pytest
+
+from tests.test_parity_v0 import GOLDEN, IDX
+
+R1 = "/root/reference/reads/e_coli_1000_1.fq"
+R2 = "/root/reference/reads/e_coli_1000_2.fq"
+
+
+def _key(r):
+    return ([(h.fw, h.tidx, h.toff, h.oms, h.stratum, h.cost,
+              tuple(h.mms), h.mate) for h in r.hits],
+            r.maxed, r.nvalid)
+
+
+@pytest.fixture(scope="module")
+def _setup():
+    from bowtie_tpu.index.ebwt_io import (read_ebwt,
+                                          read_bitpair_reference,
+                                          unpack_reference)
+    from bowtie_tpu.io.readers import ReadSource
+    idx = read_ebwt(IDX)
+    idxb = read_ebwt(IDX + ".rev")
+    recs, packed = read_bitpair_reference(IDX)
+    refs = unpack_reference(recs, packed)
+    p1 = list(ReadSource([R1], "fastq").records())
+    p2 = list(ReadSource([R2], "fastq").records())
+    return idx, idxb, refs, list(zip(p1, p2))
+
+
+@pytest.mark.parametrize("tag,kw,k,m", [
+    ("n2", dict(mode="n"), 1, None),
+    ("v1", dict(mode="v", v=1), 1, None),
+    ("n2_IX", dict(mode="n", min_insert=50, max_insert=170), 1, None),
+])
+def test_device_pe_matches_host(_setup, tag, kw, k, m):
+    from bowtie_tpu.align.policy import INF, KPolicy
+    from bowtie_tpu.align.golden import GoldenFM
+    from bowtie_tpu.align.best_factories import make_paired_best_aligner
+    from bowtie_tpu.align.pe_device import DevicePairedBestAligner
+    idx, idxb, refs, pairs = _setup
+    pairs = pairs[:120]
+    pol = KPolicy(k, m if m is not None else INF)
+    host = make_paired_best_aligner(GoldenFM(idx), GoldenFM(idxb),
+                                    refs, pol, **kw)
+    dev = DevicePairedBestAligner(idx, idxb, refs, pol, **kw)
+    hr = host.align_batch(pairs)
+    dr = dev.align_batch(pairs)
+    bad = [i for i, (a, b) in enumerate(zip(hr, dr))
+           if _key(a) != _key(b)]
+    assert not bad, bad[:5]
+
+
+@pytest.mark.parametrize("key,args", [
+    ("pe_n2_u200", ["-n", "2", "-u", "200"]),
+    ("pe_v1_u200", ["-v", "1", "-u", "200"]),
+    ("pe_n2_S_u200", ["-n", "2", "-S", "-u", "200"]),
+])
+def test_cli_device_pe_golden(key, args, tmp_path, monkeypatch):
+    """CLI with the device PE engine (default routing) matches the
+    reference goldens byte-for-byte."""
+    monkeypatch.delenv("BOWTIE_TPU_HOST_ENGINE", raising=False)
+    from bowtie_tpu.cli import align as cli
+    golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
+    out = tmp_path / "out.txt"
+    cli.main(args + ["--quiet", "-1", R1, "-2", R2, IDX, str(out)])
+    mine = b"".join(l for l in out.read_bytes().splitlines(keepends=True)
+                    if not l.startswith(b"@PG"))
+    assert mine == golden
