@@ -44,7 +44,12 @@ class RefAlignerPy:
              seed_on_left: bool, tidx: int, num_to_find: int = 1):
         """Returns [(result_off, mms[(pos,refchr)], stratum, ham)].
         qry is in fw-reference orientation; for seed_on_left=False the
-        mate's 5' seed sits at the RIGHT end of qry."""
+        mate's 5' seed sits at the RIGHT end of qry.
+
+        Vectorized: all window positions are scored at once via a
+        strided [npos, qlen] view, then visited in the reference's
+        zig-zag-from-the-middle order (ref_aligner.h:204-212) so
+        first-hit-wins and the dedup set behave identically."""
         qlen = len(qry)
         if (qry > 3).any():
             return []   # Ns in query disqualify (ref_aligner.h:322)
@@ -56,56 +61,52 @@ class RefAlignerPy:
         lim = qend - qbegin
         halfway = qbegin + (lim >> 1)
         slen = min(self.seed_len, qlen) if self.v is None else qlen
-        hi = False
-        for i in range(1, lim + 2):
-            if hi:
-                ri = halfway + (i >> 1)
+        # zig-zag candidate order: i=1..lim+1 alternating lo/hi
+        i = np.arange(1, lim + 2)
+        ri = np.where(i & 1, halfway - (i >> 1), halfway + (i >> 1))
+        left_all = ri if seed_on_left else ri - qlen
+        ok = (left_all >= 0) & (left_all + qlen <= len(ref))
+        lefts = left_all[ok]
+        if len(lefts) == 0:
+            return out
+        lo_w, hi_w = int(lefts.min()), int(lefts.max()) + qlen
+        win = ref[lo_w:hi_w]
+        segs = np.lib.stride_tricks.sliding_window_view(win, qlen)
+        segs = segs[lefts - lo_w]                    # [ncand, qlen]
+        neq = segs != qry[None, :]
+        valid = ~(segs > 3).any(axis=1)
+        if self.v is not None:
+            mmc = neq.sum(axis=1)
+            valid &= mmc <= self.v
+            strat_all = mmc
+            ham_all = np.zeros(len(lefts), np.int64)
+        else:
+            if seed_on_left:
+                seedcols = np.arange(qlen) < slen
             else:
-                ri = halfway - (i >> 1)
-            hi = not hi
-            left = ri if seed_on_left else ri - qlen
-            if left < 0 or left + qlen > len(ref):
-                continue
-            seg = ref[left:left + qlen]
-            if (seg > 3).any():
-                continue
-            neq = seg != qry
-            mms_total = int(neq.sum())
-            if self.v is not None:
-                if mms_total > self.v:
-                    continue
-                stratum = mms_total
-                ham = 0
-            else:
-                # seed = first slen bases from the mate's 5' end
-                if seed_on_left:
-                    seedcols = np.arange(qlen) < slen
-                else:
-                    seedcols = np.arange(qlen) >= qlen - slen
-                seed_mm = int((neq & seedcols).sum())
-                if seed_mm > self.seed_mms:
-                    continue
-                quals = np.frombuffer(qual, np.uint8).astype(np.int32) - 33
-                pens = (QUAL_ROUNDS[quals] if self.maq else quals)
-                ham = int(pens[neq].sum())
-                if ham > self.qual_max:
-                    continue
-                stratum = seed_mm
+                seedcols = np.arange(qlen) >= qlen - slen
+            seed_mm = (neq & seedcols[None, :]).sum(axis=1)
+            quals = np.frombuffer(qual, np.uint8).astype(np.int32) - 33
+            pens = (QUAL_ROUNDS[quals] if self.maq else quals)
+            ham_all = (pens[None, :] * neq).sum(axis=1)
+            valid &= (seed_mm <= self.seed_mms) & \
+                (ham_all <= self.qual_max)
+            strat_all = seed_mm
+        for j in np.flatnonzero(valid):
+            left = int(lefts[j])
             # dedup on (upstream, downstream) coordinates
             lo, hi2 = (left, aoff) if left < aoff else (aoff, left)
             key = ((tidx << 32) | lo, (tidx << 32) | hi2)
             if key in pairs:
                 continue
             pairs.add(key)
-            cols = np.flatnonzero(neq)
-            mms = [(int(c) if seed_on_left or True else int(c),
-                    ord("ACGTN"[int(seg[c])])) for c in cols]
-            # positions relative to the mate's 5' end
+            seg = segs[j]
             mms5 = []
-            for c, refc in mms:
-                p5 = c if seed_on_left else qlen - 1 - c
-                mms5.append((p5, refc))
-            out.append((left, sorted(mms5), stratum, ham))
+            for c in np.flatnonzero(neq[j]):
+                p5 = int(c) if seed_on_left else qlen - 1 - int(c)
+                mms5.append((p5, ord("ACGTN"[int(seg[c])])))
+            out.append((left, sorted(mms5), int(strat_all[j]),
+                        int(ham_all[j])))
             if len(out) == num_to_find:
                 return out
         return out
