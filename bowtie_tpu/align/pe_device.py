@@ -234,3 +234,51 @@ class DevicePairedBestAligner:
             finally:
                 self._streams = None
         return results
+
+
+def dryrun_pe(n_lanes_per_dev: int = 4, mesh=None) -> int:
+    """Compile + run one tiny sharded record-mode batch (the PE anchor
+    stream recorder, -n 2 defaults) over the mesh; used by the
+    driver's multi-chip dry run."""
+    import jax
+    import jax.numpy as jnp
+    from ..index.ebwt_io import read_ebwt
+    from ..io.readers import ReadSource
+    from ..parallel.dfs_mesh import make_dp_mesh, replicate_cat
+    from .best_device import (_init_state, _len_bucket, run_chunk,
+                              shard_best_state)
+
+    mesh = mesh or make_dp_mesh()
+    ndev = mesh.devices.size
+    B = n_lanes_per_dev * ndev
+    idx = read_ebwt("/root/reference/indexes/e_coli")
+    idx_bw = read_ebwt("/root/reference/indexes/e_coli.rev")
+    from .best_device import build_fmcat
+    cat = build_fmcat(idx, idx_bw, occ_every=1, dense_sa=True)
+    sm = _StrandMachine(cat, idx, idx_bw, mode="n", v=0, seed_mms=2,
+                        seed_len=28, qual_cutoff=70, fw=True, maq=True,
+                        qual_order=True, maxbts=800, max_steps=60000)
+    reads = list(ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
+                            "fastq", upto=B).records())
+    while len(reads) < B:
+        reads.append(reads[len(reads) % 1000])
+    L = _len_bucket(max(len(r.seq) for r in reads))
+    seeds = np.array([r.seed(0) for r in reads], np.uint32)
+    host = sm.hostinit.build(reads, L, seeds)
+    st = _init_state(B, L, sm.hostinit.nd, sm.hostinit.ndt, seeds,
+                     host, sm.maxbts)
+    catr = replicate_cat(cat, mesh)
+    cfgj = {k: jax.device_put(v, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec())) for k, v in sm.cfgj.items()}
+    st = shard_best_state(st, mesh)
+    kw = dict(nd=sm.hostinit.nd, ndt=sm.hostinit.ndt, L=L,
+              nfrag=sm.nfrag, n_k=INF32, m_max=INF32, strata=False,
+              qual_lim=sm.qual_lim, qual_order=True, bt_on=sm.bt_on,
+              fc=cat.ftab_chars, has_seeded=True, record=True)
+    for _ in range(60):
+        st, mode = run_chunk(catr, cfgj, st, chunk=256, **kw)
+        if int(jnp.sum((mode != M_DONE).astype(jnp.int32))) == 0:
+            break
+    nranges = int(jnp.sum(st["nhits"]))
+    assert nranges > 0, "no PE lane recorded a range"
+    return nranges
