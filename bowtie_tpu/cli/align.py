@@ -334,12 +334,18 @@ def main(argv=None) -> int:
                 report_se=args.reportse, best_sink=args.strata,
                 global_seed=args.seed,
                 maxbts=args.maxbts if args.maxbts is not None else 800)
-        elif not (os.environ.get("BOWTIE_TPU_HOST_ENGINE")
-                  or args.nofw or args.norc):
+        elif (os.environ.get("BOWTIE_TPU_DEVICE_PE")
+              and not (os.environ.get("BOWTIE_TPU_HOST_ENGINE")
+                       or args.nofw or args.norc)):
             # PairedBWAlignerV1 with device-recorded anchor streams:
             # the four per-(mate,strand) best-first drivers run as
             # lanes of the lockstep machine; the interleave/rescue
-            # replay on host is byte-identical (align/pe_device.py)
+            # replay on host is byte-identical (align/pe_device.py).
+            # Opt-in (BOWTIE_TPU_DEVICE_PE): the host engine is still
+            # faster until the interleave itself runs on device —
+            # stream recording pays full driver exhaustion (~320
+            # machine steps/lane) while the host interleave stops
+            # after a handful of advances per driver.
             from ..align.pe_device import DevicePairedBestAligner
             host_engine = False
             aligner = DevicePairedBestAligner(

@@ -62,9 +62,10 @@ def test_device_pe_matches_host(_setup, tag, kw, k, m):
     ("pe_n2_S_u200", ["-n", "2", "-S", "-u", "200"]),
 ])
 def test_cli_device_pe_golden(key, args, tmp_path, monkeypatch):
-    """CLI with the device PE engine (default routing) matches the
-    reference goldens byte-for-byte."""
+    """CLI with the device PE engine (BOWTIE_TPU_DEVICE_PE opt-in)
+    matches the reference goldens byte-for-byte."""
     monkeypatch.delenv("BOWTIE_TPU_HOST_ENGINE", raising=False)
+    monkeypatch.setenv("BOWTIE_TPU_DEVICE_PE", "1")
     from bowtie_tpu.cli import align as cli
     golden = open(os.path.join(GOLDEN, f"{key}.out"), "rb").read()
     out = tmp_path / "out.txt"
