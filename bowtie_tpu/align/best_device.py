@@ -1963,6 +1963,36 @@ def _harvest_small(st, idxs):
     return jnp.stack([st[k][idxs].astype(jnp.int32) for k in ks])
 
 
+@jax.jit
+def _poll_all(st):
+    """Mode + per-lane scalars in ONE [6, B] transfer (each tunnel
+    round trip costs ~0.2 s; the poll carries the harvest scalars)."""
+    ks = ("mode", "result", "overflow", "count", "best_stratum",
+          "nhits")
+    return jnp.stack([st[k].astype(jnp.int32) for k in ks])
+
+
+def _harvest_poll(st, poll, idxs):
+    """Harvest lanes from a poll snapshot: one pack transfer."""
+    out = {k: poll[i + 1][idxs].copy()
+           for i, k in enumerate(_HARVEST_KEYS)}
+    out["overflow"] = out["overflow"].astype(bool)
+    n = len(idxs)
+    counts = out["nhits"]
+    total = int(counts.sum())
+    full = np.zeros((n, H_MAX, 8 + 2 * MM_SLOTS), np.int32)
+    if total:
+        lanes_rel = np.repeat(np.arange(n), counts)
+        slots = np.concatenate([np.arange(c) for c in counts])
+        la = _pad_pow2(idxs[lanes_rel].astype(np.int64))
+        sl = _pad_pow2(slots.astype(np.int64))
+        packed = np.asarray(_gather_rows(st["hits"], jnp.asarray(la),
+                                         jnp.asarray(sl)))[:total]
+        full[lanes_rel, slots] = packed
+    out["hits"] = full
+    return out
+
+
 _HARVEST_KEYS = ("result", "overflow", "count", "best_stratum",
                  "nhits")
 
@@ -2015,7 +2045,7 @@ def _merge_out(out, h, ids, B0):
 
 
 def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
-                   chunk: int = 192, min_bucket: int = 512, **kw):
+                   chunk: int = 768, min_bucket: int = 512, **kw):
     B0 = st["mode"].shape[0]
     orig = np.arange(B0)
     out = None
@@ -2023,12 +2053,13 @@ def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
     while True:
         st, _ = run_chunk(cat, cfgj, st, chunk=chunk, L=L, **kw)
         steps += chunk
-        mode = np.asarray(st["mode"])
+        poll = np.asarray(_poll_all(st))
+        mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0
         if len(act) == 0 or steps >= max_steps:
             sub = np.flatnonzero(live)
-            h = _harvest(st, sub)
+            h = _harvest_poll(st, poll, sub)
             if steps >= max_steps and len(act):
                 h["overflow"] = h["overflow"] | np.isin(sub, act)
             return _merge_out(out, h, orig[sub], B0)
@@ -2037,7 +2068,8 @@ def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
         if newB < mode.shape[0]:
             done_live = np.flatnonzero((mode == M_DONE) & live)
             if len(done_live):
-                out = _merge_out(out, _harvest(st, done_live),
+                out = _merge_out(out, _harvest_poll(st, poll,
+                                                    done_live),
                                  orig[done_live], B0)
             pad_n = newB - len(act)
             idxs = np.concatenate([act, np.full(pad_n, act[0],

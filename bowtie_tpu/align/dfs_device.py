@@ -1572,10 +1572,90 @@ def _harvest(st, idxs):
 
     out["hits"] = pack(out["nhits"], st["hits"], (H_MAX,
                                                   8 + 2 * MM_SLOTS))
-    out["part_n"] = pack(out["npart"], st["part_n"], (P_MAX,))
-    out["part_job"] = pack(out["npart"], st["part_job"], (P_MAX,))
-    out["part_pos"] = pack(out["npart"], st["part_pos"], (P_MAX, 3))
-    out["part_refc"] = pack(out["npart"], st["part_refc"], (P_MAX, 3))
+    # one fused gather+transfer for the four partial pools: [P_MAX, 8]
+    fused = pack(out["npart"], _fuse_parts(st), (P_MAX, 8))
+    out["part_n"] = fused[:, :, 0]
+    out["part_job"] = fused[:, :, 1]
+    out["part_pos"] = fused[:, :, 2:5]
+    out["part_refc"] = fused[:, :, 5:8]
+    return out
+
+
+@jax.jit
+def _fuse_parts_jit(pn, pj, pp, pr):
+    return jnp.concatenate(
+        [pn[..., None], pj[..., None], pp, pr], axis=-1)
+
+
+def _fuse_parts(st):
+    """[B, P_MAX, 8] device view of the four partial pools."""
+    return _fuse_parts_jit(st["part_n"], st["part_job"],
+                           st["part_pos"], st["part_refc"])
+
+
+_POLL_KEYS = ("mode", "result", "overflow", "count", "nhits", "npart",
+              "rng")
+
+
+@jax.jit
+def _poll_all(st):
+    """Mode + every per-lane scalar in ONE [7, B] transfer: each
+    device->host round trip costs ~0.2 s over the remote tunnel, so
+    the chunk poll must also carry everything the final harvest
+    needs."""
+    return jnp.stack([st[k].astype(jnp.int32) for k in _POLL_KEYS])
+
+
+@jax.jit
+def _pack_all(st, la_h, sl_h, la_p, sl_p):
+    """Hit rows + fused partial rows in ONE gather+transfer."""
+    hits = st["hits"][la_h, sl_h]                       # [PH, W]
+    parts = _fuse_parts_jit(
+        st["part_n"], st["part_job"], st["part_pos"],
+        st["part_refc"])[la_p, sl_p]                    # [PP, 8]
+    W = hits.shape[-1]
+    parts = jnp.pad(parts, ((0, 0), (0, W - 8)))
+    return jnp.concatenate([hits, parts], axis=0)
+
+
+def _harvest_poll(st, poll, idxs):
+    """Harvest the given lanes from an existing poll snapshot: one
+    fused pack transfer (the scalars ride the poll)."""
+    out = {k: poll[i + 1][idxs].copy()
+           for i, k in enumerate(_HARVEST_KEYS)}
+    out["overflow"] = out["overflow"].astype(bool)
+    out["rng"] = out["rng"].astype(np.uint32)
+    n = len(idxs)
+    W = 8 + 2 * MM_SLOTS
+
+    def pidx(counts):
+        lanes_rel = np.repeat(np.arange(n), counts)
+        slots = np.concatenate([np.arange(c) for c in counts]) \
+            if counts.sum() else np.zeros(0, np.int64)
+        return (lanes_rel, slots,
+                _pad_pow2(idxs[lanes_rel].astype(np.int64)),
+                _pad_pow2(slots.astype(np.int64)))
+
+    lr_h, sl0_h, la_h, sl_h = pidx(out["nhits"])
+    lr_p, sl0_p, la_p, sl_p = pidx(out["npart"])
+    tot_h, tot_p = len(lr_h), len(lr_p)
+    hits = np.zeros((n, H_MAX, W), np.int32)
+    parts = np.zeros((n, P_MAX, 8), np.int32)
+    if tot_h or tot_p:
+        packed = np.asarray(_pack_all(st, jnp.asarray(la_h),
+                                      jnp.asarray(sl_h),
+                                      jnp.asarray(la_p),
+                                      jnp.asarray(sl_p)))
+        if tot_h:
+            hits[lr_h, sl0_h] = packed[:tot_h]
+        if tot_p:
+            parts[lr_p, sl0_p] = packed[len(la_h):len(la_h) + tot_p,
+                                        :8]
+    out["hits"] = hits
+    out["part_n"] = parts[:, :, 0]
+    out["part_job"] = parts[:, :, 1]
+    out["part_pos"] = parts[:, :, 2:5]
+    out["part_refc"] = parts[:, :, 5:8]
     return out
 
 
@@ -1595,17 +1675,21 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
     orig = np.arange(B0)
     out = None
     steps = 0
-    csteps = chunk or 192
+    # big chunks: the in-graph while_loop self-terminates when every
+    # lane is done, so a large bound costs nothing when lanes finish
+    # early — and each host poll costs a ~0.2 s tunnel round trip
+    csteps = chunk or 768
     while True:
         st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
                           n_k=n_k, m_max=m_max, chunk=csteps)
         steps += csteps
-        mode = np.asarray(st["mode"])
+        poll = np.asarray(_poll_all(st))
+        mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0
         if len(act) == 0 or steps >= max_steps:
             sub = np.flatnonzero(live)
-            h = _harvest(st, sub)
+            h = _harvest_poll(st, poll, sub)
             if steps >= max_steps and len(act):
                 # ran out of budget: flag still-active lanes
                 still = np.isin(sub, act)
@@ -1617,7 +1701,8 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         if newB < mode.shape[0]:
             done_live = np.flatnonzero((mode == M_DONE) & live)
             if len(done_live):
-                out = _merge_out(out, _harvest(st, done_live),
+                out = _merge_out(out, _harvest_poll(st, poll,
+                                                    done_live),
                                  orig[done_live], B0)
             pad_n = newB - len(act)
             idxs = np.concatenate([act, np.full(pad_n, act[0],

@@ -114,14 +114,21 @@ class PackedText:
         self.codes = codes
 
     def keys(self, pos: np.ndarray) -> np.ndarray:
+        # temporaries are kept to a minimum (in-place ops): this runs
+        # over multi-GB position streams during bucket scans, and each
+        # len(pos) temporary costs 8 B/entry of peak RSS
         w = pos >> 5
+        out = self.words[w]                    # hi word (gather copy)
+        w += 1
+        lo = self.words[w]                     # lo word
+        del w
         r = (pos & 31).astype(np.uint64)
-        hi = self.words[w]
-        lo = self.words[w + 1]
-        two_r = 2 * r
-        out = hi << two_r
-        nz = two_r > 0
-        out[nz] |= lo[nz] >> (64 - two_r[nz])
+        r <<= 1                                # 2*(pos%32)
+        out <<= r
+        nz = r > 0
+        np.subtract(64, r, out=r)
+        lo >>= r
+        out[nz] |= lo[nz]
         return out
 
 
@@ -325,10 +332,11 @@ def blockwise_sa_chunks(codes: np.ndarray, bmax: int | None = None,
     tail_sorted = sorted(range(cut, n), key=functools.cmp_to_key(cmp))
     tail_keys = [_tail_key16(codes, p) for p in tail_sorted]
 
-    # histogram of 16-bit bucket keys (one streaming pass)
+    # histogram of 16-bit bucket keys (one streaming pass); small scan
+    # step bounds the keys()/argsort transients (~10 arrays x step)
     nbkt = 1 << (2 * BKT_CHARS)
     hist = np.zeros(nbkt, np.int64)
-    step = 1 << 24
+    step = 1 << 22
     for lo in range(0, cut, step):
         hi = min(cut, lo + step)
         hist += np.bincount(_bucket_keys16(pt, lo, hi),
