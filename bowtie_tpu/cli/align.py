@@ -224,6 +224,14 @@ def _enable_compile_cache():
     processes, and the DFS-engine compiles are expensive (~30-60 s per
     batch/length/policy shape)."""
     import jax
+    # honor JAX_PLATFORMS even when a site hook pre-selected a remote
+    # backend through jax.config (env alone is ignored after that)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     cache = os.environ.get("BOWTIE_TPU_CACHE",
                            os.path.expanduser("~/.cache/bowtie-tpu-xla"))
     try:
@@ -615,6 +623,7 @@ def main(argv=None) -> int:
                     if al_f:
                         _dump_read(al_f, r1, fmt)
                         _dump_read(al_f, r2, fmt)
+        args._fallbacks = getattr(aligner, "fallbacks", None)
         return _finish(args, stats, t0, out, un_f, al_f, max_f)
     for batch, results in pipelined(src.batches(batch_size),
                                     aligner.align_batch):
@@ -657,12 +666,13 @@ def main(argv=None) -> int:
                         writer.hit(h)
                 if al_f:
                     _dump_read(al_f, read, fmt)
+    args._fallbacks = getattr(aligner, "fallbacks", None)
     return _finish(args, stats, t0, out, un_f, al_f, max_f)
 
 
 def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
     if getattr(args, "_metrics", None) is not None:
-        args._metrics.print()
+        args._metrics.print(fallbacks=getattr(args, "_fallbacks", None))
     if args.time:
         dt = time.time() - t0
         print(f"Time searching: {dt:.2f}s "

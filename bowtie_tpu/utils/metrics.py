@@ -66,7 +66,7 @@ class AlignerMetrics:
         else:
             self.failed += 1
 
-    def print(self, out=None):
+    def print(self, out=None, fallbacks: int | None = None):
         out = out or sys.stderr
         dt = time.time() - self.t0
         w = out.write
@@ -75,6 +75,10 @@ class AlignerMetrics:
           f"reads/s)\n")
         w(f"  reads: {self.reads}  aligned: {self.aligned}  "
           f"failed: {self.failed}  maxed: {self.maxed}\n")
+        if fallbacks is not None:
+            w(f"  device-pool overflow fallbacks: {fallbacks} "
+              f"({100.0 * fallbacks / max(1, self.reads):.3f}% of "
+              f"reads re-run on the host oracle)\n")
         w(f"  alignments reported: {self.hits}\n")
         w(f"  read length: mean {self.read_len.mean():.1f} "
           f"sd {self.read_len.stddev():.2f}\n")
