@@ -23,8 +23,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.ebwt_io import EbwtIndex
-from .dfs_device import (DeviceDFSAligner, INF32, P_MAX, build_fmcat,
-                         fill_job, run_compacting, _bucket, _len_bucket)
+from .dfs_device import (DeviceDFSAligner, INF32, JOB_FIELDS, P_MAX,
+                         build_fmcat, fill_job, run_compacting,
+                         _bucket, _len_bucket)
 from .dfs_jobs import attach_base, empty_jobs_vec, read_matrices
 from .drivers import to_muts
 
@@ -41,6 +42,145 @@ def _hh_offs(qs, s, n):
     q = min(qs, s)
     q5 = (q >> 1) + (q & 1)
     return (q5, q, 0, q5 if n <= 2 else 0, q if n < 3 else q5, q)
+
+
+def _poll_one(st):
+    import jax.numpy as jnp
+    ks = ("mode", "result", "overflow", "count", "nhits")
+    return jnp.stack([st[k].astype(jnp.int32) for k in ks])
+
+
+def _poll_pair(st_a, st_b):
+    """A+B per-lane scalars in ONE [10, B] transfer."""
+    import jax.numpy as jnp
+    ks = ("mode", "result", "overflow", "count", "nhits")
+    return jnp.stack([s[k].astype(jnp.int32)
+                      for s in (st_a, st_b) for k in ks])
+
+
+def _pack_hits2(st_a, st_b, la_a, sl_a, la_b, sl_b):
+    """A-hit rows + B-hit rows in ONE gather+transfer."""
+    import jax.numpy as jnp
+    return jnp.concatenate([st_a["hits"][la_a, sl_a],
+                            st_b["hits"][la_b, sl_b]], axis=0)
+
+
+def _derive_b_jobs_device(st_a, gated, base_codes, base_qual,
+                          base_plen, qr_tab, *, J, jrc, n, s, qt,
+                          maxbts, maq, norc, nofw, L):
+    """jnp twin of _jobs_b_vec, run ON DEVICE from launch-A state: the
+    A->B host round trip (poll + partial download + job upload) costs
+    ~3 tunnel syncs x ~0.7 s per batch, which dominated -n 2.  Field-
+    for-field identical to the host derivation (test_n_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = st_a["mode"].shape[0]
+    res = st_a["result"]
+    ovf = st_a["overflow"] | (st_a["mode"] != 0)    # M_DONE == 0
+    npart = st_a["npart"]
+    active = (res == 0) & ~ovf & ~gated & (n > 0)
+    plen = base_plen.astype(jnp.int32)
+    qs = jnp.minimum(plen, s)
+    pj = st_a["part_job"]                           # [B, P]
+    ppos = st_a["part_pos"]                         # [B, P, 3]
+    prefc = st_a["part_refc"]
+    pn = st_a["part_n"]
+    P = pj.shape[1]
+    slot = jnp.arange(P)[None, :]
+    vpart = (slot < npart[:, None]) & active[:, None]
+    rc = vpart & (pj == jrc)
+    fw = vpart & ~rc
+    nrc = rc.sum(axis=1).astype(jnp.int32)
+    nfw = fw.sum(axis=1).astype(jnp.int32)
+    hh_on = n >= 2
+    hh_rc_on = hh_on and not norc
+    hh_fw_on = hh_on and not nofw
+    fw_base = nrc + (1 if hh_rc_on else 0) * active.astype(jnp.int32)
+
+    jobs = {f: jnp.zeros((B, J), jnp.int32) for f in JOB_FIELDS}
+    qm = base_qual.astype(jnp.int32)
+    mutq = jnp.take_along_axis(
+        jnp.pad(qm, ((0, 0), (0, 4))),
+        jnp.clip(ppos.reshape(B, -1), 0, L + 3), 1).reshape(B, P, 3)
+    pens = qr_tab[jnp.clip(mutq, 0, 255)] if maq else mutq
+    kmask = jnp.arange(3)[None, None, :] < pn[:, :, None]
+    ham0 = (pens * kmask).sum(axis=2).astype(jnp.int32)
+    tpos = plen[:, None, None] - 1 - ppos
+
+    bcol = jnp.broadcast_to(jnp.arange(B)[:, None], (B, P))
+
+    def scatter(jobs, mask, jj, is_rc_block):
+        j = jnp.where(mask, jj, J)                  # J -> dropped
+        def sj(jobs, f, val):
+            jobs[f] = jobs[f].at[bcol, j].set(
+                jnp.broadcast_to(val, (B, P)).astype(jnp.int32),
+                mode="drop")
+            return jobs
+        jobs = sj(jobs, "valid", 1)
+        jobs = sj(jobs, "qlen", plen[:, None])
+        jobs = sj(jobs, "fw", 0 if is_rc_block else 1)
+        jobs = sj(jobs, "ebwt_fw", 1 if is_rc_block else 0)
+        for f in ("unrev", "rev1", "rev2", "rev3"):
+            jobs = sj(jobs, f, qs[:, None])
+        jobs = sj(jobs, "ham0", ham0)
+        jobs = sj(jobs, "report_exacts", 1)
+        jobs = sj(jobs, "max_bts", maxbts)
+        jobs = sj(jobs, "consider_quals", 1)
+        jobs = sj(jobs, "qual_thresh", qt)
+        jobs = sj(jobs, "maq_round", int(maq))
+        first = jj == (0 if is_rc_block else fw_base[:, None])
+        jobs = sj(jobs, "reset_rng", first.astype(jnp.int32))
+        jobs = sj(jobs, "npremut", pn)
+        for k in range(3):
+            jobs = sj(jobs, f"premut_pos{k}",
+                      jnp.where(pn > k, tpos[:, :, k], 0))
+            jobs = sj(jobs, f"premut_refc{k}",
+                      jnp.where(pn > k, prefc[:, :, k], 0))
+        return jobs
+
+    rc_rank = jnp.cumsum(rc, axis=1).astype(jnp.int32) - 1
+    fw_rank = jnp.cumsum(fw, axis=1).astype(jnp.int32) - 1 \
+        + fw_base[:, None]
+    if not norc:
+        jobs = scatter(jobs, rc, rc_rank, True)
+    if not nofw:
+        jobs = scatter(jobs, fw, fw_rank, False)
+
+    # half-and-half jobs
+    q5 = (qs >> 1) + (qs & 1)
+    z = jnp.zeros_like(qs)
+    hh_offs = (q5, qs, z, q5 if n <= 2 else z,
+               qs if n < 3 else q5, qs)
+    brow = jnp.arange(B)
+    for on, jcol, isrc in ((hh_rc_on, nrc, True),
+                           (hh_fw_on, fw_base + nfw, False)):
+        if not on:
+            continue
+        j = jnp.where(active, jcol, J)
+        def sh(jobs, f, val):
+            jobs[f] = jobs[f].at[brow, j].set(
+                jnp.broadcast_to(val, (B,)).astype(jnp.int32),
+                mode="drop")
+            return jobs
+        jobs = sh(jobs, "valid", 1)
+        jobs = sh(jobs, "qlen", plen)
+        jobs = sh(jobs, "fw", 0 if isrc else 1)
+        jobs = sh(jobs, "ebwt_fw", 1 if isrc else 0)
+        for f, v in zip(("d5", "d3", "unrev", "rev1", "rev2",
+                         "rev3"), hh_offs):
+            jobs = sh(jobs, f, v)
+        jobs = sh(jobs, "half_and_half", 1)
+        jobs = sh(jobs, "report_exacts", 1)
+        jobs = sh(jobs, "max_bts", maxbts)
+        jobs = sh(jobs, "consider_quals", 1)
+        jobs = sh(jobs, "qual_thresh", qt)
+        jobs = sh(jobs, "maq_round", int(maq))
+        jobs = sh(jobs, "reset_rng", 1)
+    jobs["base_codes"] = base_codes
+    jobs["base_qual"] = base_qual
+    jobs["base_plen"] = base_plen
+    return jobs
 
 
 class DeviceNAligner(DeviceDFSAligner):
@@ -283,16 +423,21 @@ class DeviceNAligner(DeviceDFSAligner):
                     jobs[k] = np.concatenate([v, z], axis=0)
             return {k: jnp.asarray(v) for k, v in jobs.items()}
 
-        from .dfs_jobs import build_n_jobs_a_vec
+        from .dfs_jobs import build_n_jobs_a_vec, derive_rows_enabled
         jobs_a, J_A, gated, jrc, jfw = build_n_jobs_a_vec(
             reads, self.n_mms, self.seed_len, self.qt, self.maxbts,
             self.maq, self.nofw, self.norc, L, fc)
+        if derive_rows_enabled() and not int(
+                __import__("os").environ.get("BOWTIE_TPU_N2_UNFUSED",
+                                             0)):
+            return self._align_batch_fused(
+                reads, pad(jobs_a), J_A, gated, jrc, seeds, Bp, L,
+                n_k, m_max)
         out_a = run_compacting(
             self.cat, pad(jobs_a), seeds,
             np.zeros(Bp, np.int32), J=J_A, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
 
-        from .dfs_jobs import derive_rows_enabled
         if derive_rows_enabled():
             jobs_b, J_B = self._jobs_b_vec(reads, out_a, L, fc, gated,
                                            jrc)
@@ -307,6 +452,98 @@ class DeviceNAligner(DeviceDFSAligner):
         else:
             out_b = None
         return self._assemble_n(reads, out_a, out_b, seeds, gated)
+
+    def _align_batch_fused(self, reads, jobs_a, J_A, gated, jrc,
+                           seeds, Bp, L, n_k, m_max):
+        """Single-round-trip -n path: launch A, derive the launch-B
+        job table ON DEVICE from A's partial pools, launch B, then one
+        stacked poll + one fused hit-pack transfer.  Each tunnel sync
+        costs ~0.7 s, so the host A->B handoff (poll, partial
+        download, job upload) dominated the old flow."""
+        import jax.numpy as jnp
+        from .backtrack_oracle import QUAL_ROUNDS
+        from .dfs_device import (M_DONE, _pad_pow2, _gather_rows,
+                                 run_chunk, _init_state, MM_SLOTS,
+                                 H_MAX)
+        B = len(reads)
+        seeds_d = jnp.asarray(seeds)
+        st_a = _init_state(Bp, L, seeds_d,
+                           jnp.zeros(Bp, jnp.int32))
+        st_a, _ = run_chunk(self.cat, jobs_a, st_a, J=J_A, L=L,
+                            nfrag=self.nfrag, n_k=n_k, m_max=m_max,
+                            chunk=self.max_steps)
+        J_B = P_MAX + 4
+        if self.n_mms > 0:
+            gp = np.ones(Bp, bool)
+            gp[:B] = np.asarray(gated, bool)[:B]
+            jobs_b = self._derive_b_jit(
+                st_a, jnp.asarray(gp), jobs_a["base_codes"],
+                jobs_a["base_qual"], jobs_a["base_plen"],
+                jnp.asarray(QUAL_ROUNDS.astype(np.int32)), J_B, L,
+                int(jrc))
+            st_b = _init_state(Bp, L, seeds_d, st_a["count"])
+            st_b, _ = run_chunk(self.cat, jobs_b, st_b, J=J_B, L=L,
+                                nfrag=self.nfrag, n_k=n_k,
+                                m_max=m_max, chunk=self.max_steps)
+        else:
+            st_b = None
+        poll = np.asarray(_poll_pair(st_a, st_b)
+                          if st_b is not None else _poll_one(st_a))
+        ks = ("mode", "result", "overflow", "count", "nhits")
+
+        def unpack(rows):
+            o = {k: rows[i][:B].copy() for i, k in enumerate(ks)}
+            o["overflow"] = (o["overflow"] | (o["mode"] != M_DONE)) \
+                .astype(bool)
+            return o
+        out_a = unpack(poll[:5])
+        out_b = unpack(poll[5:]) if st_b is not None else None
+
+        def pidx(counts):
+            lanes_rel = np.repeat(np.arange(B), counts)
+            slots = (np.concatenate([np.arange(c) for c in counts])
+                     if counts.sum() else np.zeros(0, np.int64))
+            return (lanes_rel, slots,
+                    _pad_pow2(lanes_rel.astype(np.int64)),
+                    _pad_pow2(slots.astype(np.int64)))
+        W = 8 + 2 * MM_SLOTS
+        lr_a, sl_a, pla, psa = pidx(out_a["nhits"])
+        ha = np.zeros((B, H_MAX, W), np.int32)
+        if st_b is not None:
+            lr_b, sl_b, plb, psb = pidx(out_b["nhits"])
+            hb = np.zeros((B, H_MAX, W), np.int32)
+            if len(lr_a) or len(lr_b):
+                packed = np.asarray(_pack_hits2(
+                    st_a, st_b, jnp.asarray(pla), jnp.asarray(psa),
+                    jnp.asarray(plb), jnp.asarray(psb)))
+                if len(lr_a):
+                    ha[lr_a, sl_a] = packed[:len(lr_a)]
+                if len(lr_b):
+                    hb[lr_b, sl_b] = packed[len(pla):len(pla)
+                                            + len(lr_b)]
+            out_b["hits"] = hb
+        elif len(lr_a):
+            ha[lr_a, sl_a] = np.asarray(_gather_rows(
+                st_a["hits"], jnp.asarray(pla),
+                jnp.asarray(psa)))[:len(lr_a)]
+        out_a["hits"] = ha
+        return self._assemble_n(reads, out_a, out_b, seeds, gated)
+
+    def _derive_b_jit(self, st_a, gated_d, bc, bq, bp, qr, J_B, L,
+                      jrc):
+        import jax
+        key = (J_B, L, jrc)
+        cache = getattr(self, "_derive_b_cache", None)
+        if cache is None:
+            cache = self._derive_b_cache = {}
+        if key not in cache:
+            from functools import partial as _p
+            cache[key] = jax.jit(_p(
+                _derive_b_jobs_device, J=J_B, jrc=jrc,
+                n=self.n_mms, s=self.seed_len, qt=self.qt,
+                maxbts=self.maxbts, maq=self.maq, norc=self.norc,
+                nofw=self.nofw, L=L))
+        return cache[key](st_a, gated_d, bc, bq, bp, qr)
 
     def _assemble_n(self, reads, out_a, out_b, seeds, gated) -> list:
         results = []
