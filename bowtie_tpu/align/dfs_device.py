@@ -1661,25 +1661,36 @@ def _harvest_poll(st, poll, idxs):
 
 def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
                    L: int, nfrag: int, n_k: int, m_max: int,
-                   max_steps: int, chunk: int | None = None,
-                   min_bucket: int = 512):
+                   max_steps: int, chunk=None,
+                   min_bucket: int = 512, st0=None):
     """Run the machine in chunks, compacting live lanes into smaller
     buckets as reads finish.  Per-step cost scales with the bucket
     size, so this converts total cost from B * max(lane steps) to
     ~ sum(lane steps) — the straggler-dilution fix for lockstep DFS.
 
+    chunk may be an int or a schedule tuple (the last entry repeats);
+    st0 supplies a pre-built device state (seeds/count0 then unused).
     Returns host-side outputs at the ORIGINAL lane indexing."""
-    B0 = seeds.shape[0]
-    st = _init_state(B0, L, jnp.asarray(seeds), jnp.asarray(count0))
+    if st0 is not None:
+        st = st0
+        B0 = int(st["mode"].shape[0])
+    else:
+        B0 = seeds.shape[0]
+        st = _init_state(B0, L, jnp.asarray(seeds),
+                         jnp.asarray(count0))
     jobs_d = jobs_dev
     orig = np.arange(B0)
     out = None
     steps = 0
-    # big chunks: the in-graph while_loop self-terminates when every
-    # lane is done, so a large bound costs nothing when lanes finish
-    # early — and each host poll costs a ~0.2 s tunnel round trip
-    csteps = chunk or 768
+    # chunk schedule: polls cost a tunnel round trip, full-bucket
+    # steps cost device time — short early chunks compact the ~50%
+    # fast lanes, longer late chunks avoid poll spam on stragglers
+    sched = ((chunk,) if isinstance(chunk, int) else chunk) \
+        or (768,)
+    ci = 0
     while True:
+        csteps = sched[min(ci, len(sched) - 1)]
+        ci += 1
         st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
                           n_k=n_k, m_max=m_max, chunk=csteps)
         steps += csteps

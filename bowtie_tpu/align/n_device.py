@@ -481,14 +481,13 @@ class DeviceNAligner(DeviceDFSAligner):
                 jobs_a["base_qual"], jobs_a["base_plen"],
                 jnp.asarray(QUAL_ROUNDS.astype(np.int32)), J_B, L,
                 int(jrc))
-            st_b = _init_state(Bp, L, seeds_d, st_a["count"])
-            st_b, _ = run_chunk(self.cat, jobs_b, st_b, J=J_B, L=L,
-                                nfrag=self.nfrag, n_k=n_k,
-                                m_max=m_max, chunk=self.max_steps)
-        else:
-            st_b = None
-        poll = np.asarray(_poll_pair(st_a, st_b)
-                          if st_b is not None else _poll_one(st_a))
+            st_b0 = _init_state(Bp, L, seeds_d, st_a["count"])
+            # dispatch B's first chunk BEFORE syncing on A's results:
+            # the A poll/pack transfers then overlap B device compute
+            st_b0, _ = run_chunk(self.cat, jobs_b, st_b0, J=J_B, L=L,
+                                 nfrag=self.nfrag, n_k=n_k,
+                                 m_max=m_max, chunk=64)
+        poll_a = np.asarray(_poll_one(st_a))
         ks = ("mode", "result", "overflow", "count", "nhits")
 
         def unpack(rows):
@@ -496,8 +495,7 @@ class DeviceNAligner(DeviceDFSAligner):
             o["overflow"] = (o["overflow"] | (o["mode"] != M_DONE)) \
                 .astype(bool)
             return o
-        out_a = unpack(poll[:5])
-        out_b = unpack(poll[5:]) if st_b is not None else None
+        out_a = unpack(poll_a)
 
         def pidx(counts):
             lanes_rel = np.repeat(np.arange(B), counts)
@@ -509,24 +507,24 @@ class DeviceNAligner(DeviceDFSAligner):
         W = 8 + 2 * MM_SLOTS
         lr_a, sl_a, pla, psa = pidx(out_a["nhits"])
         ha = np.zeros((B, H_MAX, W), np.int32)
-        if st_b is not None:
-            lr_b, sl_b, plb, psb = pidx(out_b["nhits"])
-            hb = np.zeros((B, H_MAX, W), np.int32)
-            if len(lr_a) or len(lr_b):
-                packed = np.asarray(_pack_hits2(
-                    st_a, st_b, jnp.asarray(pla), jnp.asarray(psa),
-                    jnp.asarray(plb), jnp.asarray(psb)))
-                if len(lr_a):
-                    ha[lr_a, sl_a] = packed[:len(lr_a)]
-                if len(lr_b):
-                    hb[lr_b, sl_b] = packed[len(pla):len(pla)
-                                            + len(lr_b)]
-            out_b["hits"] = hb
-        elif len(lr_a):
+        if len(lr_a):
             ha[lr_a, sl_a] = np.asarray(_gather_rows(
                 st_a["hits"], jnp.asarray(pla),
                 jnp.asarray(psa)))[:len(lr_a)]
         out_a["hits"] = ha
+        if self.n_mms > 0:
+            # launch B with straggler compaction (death is bimodal:
+            # ~half the lanes finish in <=64 steps, half-and-half
+            # searches run to ~640)
+            out_b = run_compacting(
+                self.cat, jobs_b, None, None, J=J_B, L=L,
+                nfrag=self.nfrag, n_k=n_k, m_max=m_max,
+                max_steps=self.max_steps - 64, chunk=(128, 512),
+                st0=st_b0)
+            out_b = {k: (v[:B] if hasattr(v, "shape") else v)
+                     for k, v in out_b.items()}
+        else:
+            out_b = None
         return self._assemble_n(reads, out_a, out_b, seeds, gated)
 
     def _derive_b_jit(self, st_a, gated_d, bc, bq, bp, qr, J_B, L,
