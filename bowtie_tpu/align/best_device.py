@@ -1106,8 +1106,13 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     mj1 = jnp.clip(flen, 0, L - 1)
     mi2 = jnp.where(extend & (flen + 1 < L), mrow, MBIG)
     mj2 = jnp.clip(flen + 1, 0, L - 1)
-    st["meta"] = st["meta"].at[mi1, mj1].set(meta_new, mode="drop")
-    st["meta"] = st["meta"].at[mi2, mj2].set(META_ALL_DEAD, mode="drop")
+    # one combined scatter: each .at[].set() on the pool materializes a
+    # full copy on TPU, so two writes cost twice the HBM traffic
+    st["meta"] = st["meta"].at[
+        jnp.concatenate([mi1, mi2]), jnp.concatenate([mj1, mj2])].set(
+        jnp.concatenate([meta_new,
+                         jnp.full_like(meta_new, META_ALL_DEAD)]),
+        mode="drop", unique_indices=True)
     st["overflow"] = st["overflow"] | (extend & (flen + 1 >= L))
 
     # CURTAIL (range_source.h:877-939 + PathManager::curtail 1434-1455)
@@ -1299,10 +1304,15 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
 
     MBIG = jnp.int32(B * NBR + 7)
     mi1 = jnp.where(ok, mrow, MBIG)
-    st["meta"] = st["meta"].at[mi1, jnp.clip(pos, 0, L - 1)].set(
-        pm_new, mode="drop")
     crow = jnp.where(ok, lane * NBR + cslot, MBIG)
-    st["meta"] = st["meta"].at[crow, 0].set(META_ALL_DEAD, mode="drop")
+    # combined parent-elim + child-clear scatter (one pool copy)
+    st["meta"] = st["meta"].at[
+        jnp.concatenate([mi1, crow]),
+        jnp.concatenate([jnp.clip(pos, 0, L - 1),
+                         jnp.zeros_like(pos)])].set(
+        jnp.concatenate([pm_new,
+                         jnp.full_like(pm_new, META_ALL_DEAD)]),
+        mode="drop", unique_indices=True)
 
     # ---- loop exit checks (advance_branch tail) ----------------------
     chk = (rest & ~over) | pm_empty
@@ -2045,14 +2055,22 @@ def _merge_out(out, h, ids, B0):
 
 
 def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
-                   chunk: int = 768, min_bucket: int = 512, **kw):
+                   chunk=(96, 96, 192, 384, 768),
+                   min_bucket: int = 512, **kw):
+    """chunk may be an int or a schedule tuple (last entry repeats):
+    per-step cost scales with the live bucket size, so short early
+    chunks compact away the fast lanes before the straggler tail."""
     B0 = st["mode"].shape[0]
     orig = np.arange(B0)
     out = None
     steps = 0
+    sched = (chunk,) if isinstance(chunk, int) else tuple(chunk)
+    ci = 0
     while True:
-        st, _ = run_chunk(cat, cfgj, st, chunk=chunk, L=L, **kw)
-        steps += chunk
+        csteps = sched[min(ci, len(sched) - 1)]
+        ci += 1
+        st, _ = run_chunk(cat, cfgj, st, chunk=csteps, L=L, **kw)
+        steps += csteps
         poll = np.asarray(_poll_all(st))
         mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)

@@ -102,18 +102,25 @@ def resolve_rows(fm: FMIndexArrays, rows: jnp.ndarray):
         return fmops.gather1d(fm.sa, rows), jnp.ones(rows.shape, bool)
     mask = jnp.asarray((1 << fm.off_rate) - 1, rdt)
 
-    def step(carry, _):
-        i, jumps, done = carry
+    def cond(carry):
+        i, jumps, done, it = carry
+        return (it < MAX_WALK) & ~jnp.all(done)
+
+    def step(carry):
+        i, jumps, done, it = carry
         at_mark = ((i & mask) == 0) | (i == fm.zoff)
         done2 = done | at_mark
         ni = fmops.lf_row(fm, jnp.where(done2, 0, i))
         i = jnp.where(done2, i, ni)
         jumps = jnp.where(done2, jumps, jumps + 1)
-        return (i, jumps, done2), None
+        return (i, jumps, done2, it + 1)
 
-    (i, jumps, done), _ = jax.lax.scan(
-        step, (rows, jnp.zeros(rows.shape, rdt),
-               jnp.zeros(rows.shape, bool)), None, length=MAX_WALK)
+    # while_loop, not a fixed-length scan: walks are geometric with
+    # mean 2^offRate, so the batch max (~2^offRate * ln B) terminates
+    # the loop far before the MAX_WALK safety bound
+    (i, jumps, done, _) = jax.lax.while_loop(
+        cond, step, (rows, jnp.zeros(rows.shape, rdt),
+                     jnp.zeros(rows.shape, bool), jnp.int32(0)))
     at_z = i == fm.zoff
     finished = at_z | ((i & mask) == 0)
     off = jnp.where(at_z, jumps,

@@ -135,7 +135,33 @@ def bwt_char(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
 
 def lf_row(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """LF of row i via its own char (mapLF(l)); undefined at zoff."""
-    return lf(fm, i, bwt_char(fm, i))
+    if fm.occ_every == 1:
+        return lf(fm, i, bwt_char(fm, i))
+    return lf_row_compact(fm, i)
+
+
+def lf_row_compact(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
+    """mapLF(l) for the checkpointed layout in TWO row gathers (occ row
+    + BWT word row): the row's own char is extracted from the same word
+    block the rank scan needs, instead of a third bwt_char gather —
+    the walk-left hot path (reportChaseOne, ebwt.h:2727-2746)."""
+    rdt = fm.fchr.dtype
+    i = jnp.asarray(i, rdt)
+    blk = fm.occ_every
+    wpb = blk // 16
+    block = i // blk
+    rem = (i - block * blk).astype(jnp.int32)
+    words = fm.bwt.reshape(-1, wpb)[block]          # [..., wpb]
+    wsel = jnp.arange(wpb, dtype=jnp.int32) == (rem // 16)[..., None]
+    w = (words * wsel).sum(axis=-1).astype(jnp.uint32)
+    c = ((w >> (2 * (rem % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
+    base = select4(fm.occ[block], c)
+    nlanes = jnp.clip(rem[..., None] -
+                      16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
+    cnt = base + _count_matches_in_word(
+        words, c[..., None], nlanes).sum(axis=-1).astype(rdt)
+    corr = jnp.where((c == 0) & (i > fm.zoff), 1, 0).astype(rdt)
+    return fchr_at(fm, c) + cnt - corr
 
 
 def ftab_jump(fm: FMIndexArrays, codes: jnp.ndarray) -> tuple[jnp.ndarray,

@@ -77,3 +77,23 @@ def test_short_reads_and_ns(fm, golden):
     gt, gb = golden.exact_range(q_short)
     assert (int(top[0]), int(bot[0])) == (gt, gb)
     assert int(bot[1]) == int(top[1]) == 0
+
+
+def test_compact_layout_matches_dense(fm, ecoli_index, rng):
+    """occ_every=128 + walk-left (the hg-scale layout) reproduces the
+    dense path bit-for-bit: search ranges AND resolved offsets."""
+    import jax
+    fmc = from_ebwt(ecoli_index, occ_every=128, dense_sa=False)
+    fmd = from_ebwt(ecoli_index, occ_every=1, dense_sa=True)
+    rows = jnp.array(rng.integers(0, int(fm.bwt_len), size=512), jnp.int32)
+    # fused walk step == dense LF at every row (zoff excluded: lf_row
+    # is undefined there)
+    rows = jnp.where(rows == fm.zoff, rows + 1, rows)
+    lf_d = jax.jit(fmops.lf_row)(fmd, rows)
+    lf_c = jax.jit(fmops.lf_row)(fmc, rows)
+    np.testing.assert_array_equal(np.asarray(lf_d), np.asarray(lf_c))
+    offs_d, ok_d = resolve_rows(fmd, rows)
+    offs_c, ok_c = resolve_rows(fmc, rows)
+    assert bool(np.all(np.asarray(ok_c)))
+    np.testing.assert_array_equal(np.asarray(offs_d),
+                                  np.asarray(offs_c))
