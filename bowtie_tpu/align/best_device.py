@@ -34,12 +34,16 @@ lives in separate [B, ND] arrays.
 
 State layout (the TPU-critical decision): branch *scalars* live in
 [B, NBR] arrays updated with one-hot masked writes (cheap VPU sweeps);
-per-position range data lives in two flat pools —
-``ptpb[B*NBR*L, 2]`` (each consumed position's entry top/bot) and
-``meta[B*NBR, L]`` (packed elimination bits + quallo) — so one machine
-step costs one or two row scatters plus O([B, NBR]) vector work.  A
-split recomputes the needed LF quartet from the stored (top, bot) pair
-(mapLFEx, ebwt.h:2334) instead of storing 8 ints per position.
+per-position range data lives in flat 1-D pools —
+``pt_pool/pb_pool[B*NBR*L]`` (each consumed position's entry top/bot)
+and ``meta[B*NBR*L]`` (packed elimination bits + quallo) — so one
+machine step costs a few dense-pool scatters plus O([B, NBR]) vector
+work.  The pools are deliberately 1-D: TPU memory is tiled (8, 128)
+over the trailing two dims, so e.g. a [N, 2] entry array would occupy
+64x its logical bytes and every scatter's operand copy would sweep
+gigabytes per step.  A split recomputes the needed LF quartet from the
+stored (top, bot) pair (mapLFEx, ebwt.h:2334) instead of storing 8
+ints per position.
 """
 from __future__ import annotations
 
@@ -327,6 +331,7 @@ class HostInit:
         di = np.arange(L)[None, :]
         adj = np.zeros((B, ndt), np.int32)
         drv_dead = np.zeros((B, ndt), bool)
+        drv_skip = np.zeros((B, ndt), bool)
         ns_ftab = np.zeros((B, ndt), np.int32)
         qd_all = {}
         for f, c in enumerate(self.flat):
@@ -373,13 +378,18 @@ class HostInit:
                 p = np.argmax(at, axis=1)
                 dead |= has & (p < rev[:, f, col])
             dead |= csum[:, -1] > 3
-            # init_branch's dqlen < 4 early-out
+            # init_branch's dqlen < 4 early-out — the ONLY condition
+            # that sets rs.done at setQuery (ebwt_search_backtrack.h:
+            # 1935-1948); an N-killed source stays alive with nothing
+            # pushed (tallyNs failure is a bare `return`, :1950-1955)
+            # and participates in sortActives until first advanced
             maxmms = np.zeros(B, np.int32)
             for a_, b_ in ((0, 1), (1, 2), (2, 3)):
                 maxmms = np.where(rev[:, f, a_] != rev[:, f, b_],
                                   a_ + 1, maxmms)
-            dead |= (dq < 4) & (dq <= maxmms)
-            drv_dead[:, f] = dead
+            skip = (dq < 4) & (dq <= maxmms)
+            drv_skip[:, f] = skip
+            drv_dead[:, f] = dead | skip
             ns_ftab[:, f] = ((qd[:, :self.fc] == 4) &
                              (di[:, :self.fc] < dq[:, None])) \
                 .sum(axis=1)
@@ -437,7 +447,11 @@ class HostInit:
             P["p_bot"][pushf, slot] = fb[pushf]
             p_d[pushed, slot, :] = rev[pushed, f, :]
             nextid[pushed, f] = 1
-            drv_done[:, f] = (~pushed & ~imm).astype(np.int32)
+            # done = rs.done only (range_source.h:1766): an alive
+            # driver with an empty pool participates in sortActives
+            # (soaking tie draws) until its first advance kills it in
+            # _step_dadv — required for CostAware RNG-sequence parity
+            drv_done[:, f] = drv_skip[:, f].astype(np.int32)
             drv_min[:, f] = adj[:, f]    # max(icost=0, adj)
         assert slot_cursor <= NBR
         st.update(P)
@@ -549,7 +563,10 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
                         (1, ndt)),
         seed=jnp.asarray(seeds, jnp.uint32),
         count=z(B), best_stratum=jnp.full((B,), 999, jnp.int32),
-        nhits=z(B), hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
+        # hits is kept flat [B, H_MAX*W]: a trailing dim of W=24 would
+        # be padded to 128 lanes by TPU (8,128) tiling, multiplying the
+        # HBM cost of every masked sweep ~5x
+        nhits=z(B), hits=z(B, H_MAX * (8 + 2 * MM_SLOTS)),
         qlen=jnp.asarray(host["qlen"], jnp.int32),
         codes=jnp.asarray(host["codes"], jnp.int32),
         pen=jnp.asarray(host["pen"], jnp.int32),
@@ -601,10 +618,14 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         il_top=z(B, nd), il_bot=z(B, nd), il_cost=z(B, nd),
         il_strat=z(B, nd), il_ne=z(B, nd),
         il_ed=z(B, nd, E_MAX), il_ec=z(B, nd, E_MAX),
-        # branch pool
-        ptpb=z(B * NBR * L, 2),
-        meta=jnp.full((B * NBR, L), META_ALL_DEAD, jnp.int32),
-        p_ed=z(B, NBR, E_MAX), p_ec=z(B, NBR, E_MAX),
+        # branch pool.  All pool arrays are FLAT 1-D (or [B, k*E_MAX])
+        # on purpose: TPU memory is tiled (8, 128) over the last two
+        # dims, so a [N, 2] entry array would physically occupy 64x its
+        # logical size and every per-step scatter's full-array copy
+        # would sweep gigabytes.  Flat layouts keep copies dense.
+        pt_pool=z(B * NBR * L), pb_pool=z(B * NBR * L),
+        meta=jnp.full((B * NBR * L,), META_ALL_DEAD, jnp.int32),
+        p_ed=z(B, NBR * E_MAX), p_ec=z(B, NBR * E_MAX),
     )
     # outer rr for pre-found plain drivers (immediate ftab ranges)
     for k in ("p_valid", "p_drv", "p_cost", "p_ham", "p_rdepth",
@@ -643,6 +664,21 @@ def _dw(st, name, mask, drv, val):
           == drv[:, None]) & mask[:, None]
     st[name] = jnp.where(mm, val[:, None], st[name])
     return st
+
+
+def _meta_row(st, mrow, L, B):
+    """[B, L] row gather from the flat meta pool."""
+    base = jnp.clip(mrow, 0, B * NBR - 1) * L
+    return st["meta"][base[:, None] + jnp.arange(L, dtype=jnp.int32)]
+
+
+def _lane_block(arr, slot, width, nslots):
+    """arr[b, slot[b]*width : +width] -> [B, width] from a per-lane
+    flat [B, nslots*width] pool."""
+    B = slot.shape[0]
+    cb = jnp.clip(slot, 0, nslots - 1) * width
+    return arr[jnp.arange(B)[:, None],
+               cb[:, None] + jnp.arange(width, dtype=jnp.int32)]
 
 
 def _dsel2(st, name, drv):
@@ -851,9 +887,11 @@ def _record_range(st, m, found):
     st["overflow"] = st["overflow"] | over
     st["mode"] = jnp.where(over, M_DONE, st["mode"])
     do_store = rec_on & ~over
+    W = 8 + 2 * MM_SLOTS
     hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
           == st["nhits"][:, None]) & do_store[:, None]
-    st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
+    st["hits"] = jnp.where(jnp.repeat(hm, W, axis=1),
+                           jnp.tile(rec, (1, H_MAX)), st["hits"])
     st = _w(st, "nhits", do_store, st["nhits"] + 1)
     st = _w(st, "ca_found", rec_on, 0)        # consumed; keep advancing
     nf = m & ~found
@@ -1065,7 +1103,7 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     # _hh_check (best.py:437-450)
     ii = jax.lax.broadcasted_iota(jnp.int32, (B, E_MAX), 1)
     edm = ii < fne[:, None]
-    ed_row = st["p_ed"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
+    ed_row = _lane_block(st["p_ed"], fs, E_MAX, NBR)
     hi_n = jnp.sum((edm & (ed_row < d5[:, None])).astype(jnp.int32), 1)
     lo_n = jnp.sum((edm & (ed_row >= d5[:, None]) &
                     (ed_row < d3[:, None])).astype(jnp.int32), 1)
@@ -1083,7 +1121,7 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     # FOUND: record cur_range for this flat driver (_mk_range, with
     # the driver's seed premuts appended)
     st = _w(st, "adv_found", found, 1)
-    ec_row = st["p_ec"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
+    ec_row = _lane_block(st["p_ec"], fs, E_MAX, NBR)
     med, mec, mne = _merged_edits(st, cur, ed_row, ec_row, fne)
     rrv = jnp.stack([eff_top, eff_bot, fcost, fcost >> 14, mne], -1)
     st = _dw2(st, "rr", found, cur, rrv)
@@ -1098,25 +1136,26 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     rowbase = (lane * NBR + fs) * L
     BIG = jnp.int32(B * NBR * L + 7)
     i1 = jnp.where(consume, rowbase + flen, BIG)
-    st["ptpb"] = st["ptpb"].at[i1].set(
-        jnp.stack([pt, pb], -1), mode="drop", unique_indices=True)
+    st["pt_pool"] = st["pt_pool"].at[i1].set(pt, mode="drop",
+                                             unique_indices=True)
+    st["pb_pool"] = st["pb_pool"].at[i1].set(pb, mode="drop",
+                                             unique_indices=True)
     mrow = lane * NBR + fs
-    MBIG = jnp.int32(B * NBR + 7)
-    mi1 = jnp.where(consume, mrow, MBIG)
     mj1 = jnp.clip(flen, 0, L - 1)
-    mi2 = jnp.where(extend & (flen + 1 < L), mrow, MBIG)
     mj2 = jnp.clip(flen + 1, 0, L - 1)
-    # one combined scatter: each .at[].set() on the pool materializes a
-    # full copy on TPU, so two writes cost twice the HBM traffic
-    st["meta"] = st["meta"].at[
-        jnp.concatenate([mi1, mi2]), jnp.concatenate([mj1, mj2])].set(
+    # one combined scatter into the flat pool: each .at[].set()
+    # materializes a full copy on TPU, so two writes cost twice the
+    # HBM traffic (distinct OOB fills keep dropped indices unique)
+    f1 = jnp.where(consume, mrow * L + mj1, BIG)
+    f2 = jnp.where(extend & (flen + 1 < L), mrow * L + mj2, BIG + 1)
+    st["meta"] = st["meta"].at[jnp.concatenate([f1, f2])].set(
         jnp.concatenate([meta_new,
                          jnp.full_like(meta_new, META_ALL_DEAD)]),
         mode="drop", unique_indices=True)
     st["overflow"] = st["overflow"] | (extend & (flen + 1 >= L))
 
     # CURTAIL (range_source.h:877-939 + PathManager::curtail 1434-1455)
-    meta_row = st["meta"][jnp.clip(mrow, 0, B * NBR - 1)]
+    meta_row = _meta_row(st, mrow, L, B)
     elig, costs = _meta_costs(st, meta_row, frd, flen, fd0, d3,
                               qual_order)
     lowest = jnp.min(costs, axis=1)
@@ -1190,7 +1229,7 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
     mrow = lane * NBR + fs
-    meta_row = st["meta"][jnp.clip(mrow, 0, B * NBR - 1)]
+    meta_row = _meta_row(st, mrow, L, B)
     elig, costs = _meta_costs(st, meta_row, frd, flen, fd0, d3,
                               qual_order)
     best = jnp.min(costs, axis=1)
@@ -1216,9 +1255,9 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     pos = jnp.argmax(posm, axis=1).astype(jnp.int32)
     depth_split = frd + pos
 
-    prow = (lane * NBR + fs) * L + pos
-    ent = st["ptpb"][jnp.clip(prow, 0, B * NBR * L - 1)]
-    spt, spb = ent[:, 0], ent[:, 1]
+    prow = jnp.clip((lane * NBR + fs) * L + pos, 0, B * NBR * L - 1)
+    spt = st["pt_pool"][prow]
+    spb = st["pb_pool"][prow]
     meta_pos = _sel_col(meta_row, pos)
     is_fchr = (meta_pos & META_FCHR) > 0
     tops, bots = _lf4pair(cat, occ_base, zoff,
@@ -1281,17 +1320,18 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
                       ("p_d0", nd0), ("p_d1", nd1), ("p_d2", nd2),
                       ("p_d3", fd3)):
         st = _pw(st, name, ok, cslot, val)
-    ed_row = st["p_ed"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
-    ec_row = st["p_ec"][jnp.arange(B), jnp.clip(fs, 0, NBR - 1)]
+    ed_row = _lane_block(st["p_ed"], fs, E_MAX, NBR)
+    ec_row = _lane_block(st["p_ec"], fs, E_MAX, NBR)
     sl = jax.lax.broadcasted_iota(jnp.int32, (B, E_MAX), 1)
     at_ne = sl == jnp.clip(fne, 0, E_MAX - 1)[:, None]
     ned_row = jnp.where(at_ne, depth_split[:, None], ed_row)
     nec_row = jnp.where(at_ne, chosen[:, None], ec_row)
     ohc = (jax.lax.broadcasted_iota(jnp.int32, (B, NBR), 1)
            == cslot[:, None]) & ok[:, None]
-    st["p_ed"] = jnp.where(ohc[:, :, None], ned_row[:, None, :],
+    ohf = jnp.repeat(ohc, E_MAX, axis=1)           # [B, NBR*E_MAX]
+    st["p_ed"] = jnp.where(ohf, jnp.tile(ned_row, (1, NBR)),
                            st["p_ed"])
-    st["p_ec"] = jnp.where(ohc[:, :, None], nec_row[:, None, :],
+    st["p_ec"] = jnp.where(ohf, jnp.tile(nec_row, (1, NBR)),
                            st["p_ec"])
 
     # parent post-split bookkeeping
@@ -1302,14 +1342,11 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     st = _pw(st, "p_dly", dly, fs, fcost - best + nxt)
     st = _pw(st, "p_dlyf", dly, fs, jnp.ones_like(fs))
 
-    MBIG = jnp.int32(B * NBR + 7)
-    mi1 = jnp.where(ok, mrow, MBIG)
-    crow = jnp.where(ok, lane * NBR + cslot, MBIG)
+    BIGF = jnp.int32(B * NBR * L + 7)
+    f1 = jnp.where(ok, mrow * L + jnp.clip(pos, 0, L - 1), BIGF)
+    f2 = jnp.where(ok, (lane * NBR + cslot) * L, BIGF + 1)
     # combined parent-elim + child-clear scatter (one pool copy)
-    st["meta"] = st["meta"].at[
-        jnp.concatenate([mi1, crow]),
-        jnp.concatenate([jnp.clip(pos, 0, L - 1),
-                         jnp.zeros_like(pos)])].set(
+    st["meta"] = st["meta"].at[jnp.concatenate([f1, f2])].set(
         jnp.concatenate([pm_new,
                          jnp.full_like(pm_new, META_ALL_DEAD)]),
         mode="drop", unique_indices=True)
@@ -1458,7 +1495,10 @@ def _step_sort(st, nd: int):
     st["act_n"] = jnp.where(m, act_n, st["act_n"])
     st["rng_ca"] = jnp.where(m, rng, st["rng_ca"])
     first = act[:, 0]
-    st = _w(st, "ca_min", m & (act_n > 0),
+    # minCost update skipped while a delayed range is pending
+    # (range_source.h:2409-2413): its cost, not active[0]'s, is the
+    # frontier the sink's irrelevantCost must see
+    st = _w(st, "ca_min", m & (act_n > 0) & (st["dl_valid"] == 0),
             jnp.maximum(_dsel(st, "od_min", first), st["ca_min"]))
     emp = m & (act_n == 0)
     st = _w(st, "ca_done", emp, (st["dl_valid"] == 0).astype(jnp.int32))
@@ -1636,10 +1676,11 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     st = _dw(st, "drv_nextid", pushed, flat_e, jnp.ones_like(flat_e))
     # clear the created branch's first scan position
     lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-    MBIG = jnp.int32(B * NBR + 7)
-    crow = jnp.where(pushed, lane * NBR + cslot, MBIG)
-    st["meta"] = st["meta"].at[crow, jnp.clip(blen0, 0, L - 1)].set(
-        META_ALL_DEAD, mode="drop")
+    BIGF = jnp.int32(B * NBR * L + 7)
+    cf = jnp.where(pushed,
+                   (lane * NBR + cslot) * L + jnp.clip(blen0, 0, L - 1),
+                   BIGF)
+    st["meta"] = st["meta"].at[cf].set(META_ALL_DEAD, mode="drop")
     st = _dw(st, "drv_done", ok, flat_e,
              (~pushed & ~imm).astype(jnp.int32))
     st = _dw(st, "drv_found", ok, flat_e, imm.astype(jnp.int32))
@@ -1868,9 +1909,11 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
     st["overflow"] = st["overflow"] | over
     st["mode"] = jnp.where(over, M_DONE, st["mode"])
     do_store = stored & ~over
+    W = 8 + 2 * MM_SLOTS
     hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
           == st["nhits"][:, None]) & do_store[:, None]
-    st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
+    st["hits"] = jnp.where(jnp.repeat(hm, W, axis=1),
+                           jnp.tile(rec, (1, H_MAX)), st["hits"])
     st = _w(st, "nhits", do_store, st["nhits"] + 1)
     stop = do_store & (newcount == n_k) & \
         ((m_max == INF32) | (m_max < n_k))
@@ -2016,7 +2059,10 @@ def _unpack_small(packed):
 
 @jax.jit
 def _gather_rows(arr, lanes, slots):
-    return arr[lanes, slots]
+    """[n, W] hit records from the flat [B, H_MAX*W] hits pool."""
+    W = 8 + 2 * MM_SLOTS
+    return arr[lanes[:, None],
+               (slots * W)[:, None] + jnp.arange(W, dtype=slots.dtype)]
 
 
 def _pad_pow2(a, fill=0, lo=64):

@@ -58,8 +58,12 @@ class BestDriver:
             self.rs.init_branch(self.pm)
         icost = seed_range.cost if seed_range is not None else 0
         self.min_cost = max(icost, self.min_cost_adj)
-        self.done = self.rs.done or (self.pm.empty() and
-                                     not self.rs.found_range)
+        # done = rs.done ONLY (range_source.h:1766): a driver whose pm
+        # is empty stays alive until its first advance marks it done —
+        # while alive it participates in CostAware sortActives and
+        # soaks tie-break RNG draws, which shifts the whole draw
+        # sequence (observed: -v 3 --best --strata -M 1 strand order)
+        self.done = self.rs.done
         self.found_range = self.rs.found_range
 
     def _init_range_source(self):
@@ -236,7 +240,10 @@ class CostAwareDriver:
             if min_off != i:
                 vec[i], vec[min_off] = vec[min_off], vec[i]
             i += 1
-        if vec:
+        if vec and self.delayed_range is None:
+            # while a delayed range is pending, minCost stays at its
+            # cost — the guard the reference applies at
+            # range_source.h:2409-2413 (sortActives)
             self.min_cost = max(vec[0].min_cost, self.min_cost)
 
     def _found_first_range(self, r: FoundRange):

@@ -313,7 +313,11 @@ def _init_state(B: int, L: int, seeds, count0):
         blk_base=z(B),
         num_bts=z(B), bailed=jnp.zeros((B,), bool),
         # current-frame data rows
-        pairs=z(B, L, 8),
+        # pairs is FLAT [B, L*8] (position-major, 8 channels per
+        # position): a trailing dim of 8 would be padded to 128 lanes
+        # by TPU (8, 128) tiling — 16x the HBM bytes on an array this
+        # machine sweeps every step
+        pairs=z(B, L * 8),
         elims=z(B, L),
         # frame stack: one combined row per (lane, level) — regs,
         # pairs rows, elims row.  A single array means ONE scatter per
@@ -329,9 +333,9 @@ def _init_state(B: int, L: int, seeds, count0):
         r_row=z(B), r_jumps=z(B), r_walk=z(B),
         # outputs
         nhits=z(B),
-        hits=z(B, H_MAX, 8 + 2 * MM_SLOTS),
+        hits=z(B, H_MAX * (8 + 2 * MM_SLOTS)),
         npart=z(B), part_n=z(B, P_MAX), part_job=z(B, P_MAX),
-        part_pos=z(B, P_MAX, 3), part_refc=z(B, P_MAX, 3),
+        part_pos=z(B, P_MAX * 3), part_refc=z(B, P_MAX * 3),
     )
     for r in REGS:
         st["c_" + r] = z(B)
@@ -362,8 +366,7 @@ def _push_frame(st, mask):
     row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
     tgt = jnp.where(mask, row, st["stk"].shape[0])
     regs = jnp.stack([st["c_" + r] for r in REGS], axis=-1)   # [B, NREG]
-    rec = jnp.concatenate([regs, st["pairs"].reshape(B, -1),
-                           st["elims"]], axis=-1)
+    rec = jnp.concatenate([regs, st["pairs"], st["elims"]], axis=-1)
     st["stk"] = st["stk"].at[tgt].set(rec, mode="drop",
                                       unique_indices=True)
     return st
@@ -379,8 +382,8 @@ def _pop_frame(st, mask):
     rec = st["stk"][src]                                      # [B, 388]
     for k, r in enumerate(REGS):
         st = _w(st, "c_" + r, mask, rec[:, k])
-    pr = rec[:, NREG:NREG + L * 8].reshape(B, L, 8)
-    st["pairs"] = jnp.where(mask[:, None, None], pr, st["pairs"])
+    pr = rec[:, NREG:NREG + L * 8]
+    st["pairs"] = jnp.where(mask[:, None], pr, st["pairs"])
     er = rec[:, NREG + L * 8:]
     st["elims"] = jnp.where(mask[:, None], er, st["elims"])
     return st
@@ -501,10 +504,12 @@ def _store_partial(st, mask, n):
           == st["npart"][:, None]) & ok[:, None]
     st["part_n"] = jnp.where(pm, n[:, None], st["part_n"])
     st["part_job"] = jnp.where(pm, st["job"][:, None], st["part_job"])
-    st["part_pos"] = jnp.where(pm[:, :, None],
-                               st["mms"][:, None, :3], st["part_pos"])
-    st["part_refc"] = jnp.where(pm[:, :, None],
-                                st["refcs"][:, None, :3], st["part_refc"])
+    pmf = jnp.repeat(pm, 3, axis=1)
+    st["part_pos"] = jnp.where(pmf, jnp.tile(st["mms"][:, :3],
+                                             (1, P_MAX)), st["part_pos"])
+    st["part_refc"] = jnp.where(pmf, jnp.tile(st["refcs"][:, :3],
+                                              (1, P_MAX)),
+                                st["part_refc"])
     st["npart"] = jnp.where(ok, st["npart"] + 1, st["npart"])
     return st
 
@@ -602,7 +607,9 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     do_store = stored & ~over
     hm = (jax.lax.broadcasted_iota(jnp.int32, (B, H_MAX), 1)
           == st["nhits"][:, None]) & do_store[:, None]
-    st["hits"] = jnp.where(hm[:, :, None], rec[:, None, :], st["hits"])
+    W = 8 + 2 * MM_SLOTS
+    st["hits"] = jnp.where(jnp.repeat(hm, W, axis=1),
+                           jnp.tile(rec, (1, H_MAX)), st["hits"])
     st["nhits"] = jnp.where(do_store, st["nhits"] + 1, st["nhits"])
     st["count"] = jnp.where(hit, newcount, st["count"])
     # stop rules (hit.h:969-985 + reportHit count>max check)
@@ -868,8 +875,8 @@ def _step_adv(st, cat: FMCat, L: int):
     rec8 = jnp.concatenate([row_t, row_b], axis=-1)
     ml = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) ==
           d[:, None]) & write_pairs[:, None]
-    st["pairs"] = jnp.where(ml[:, :, None], rec8[:, None, :],
-                            st["pairs"])
+    st["pairs"] = jnp.where(jnp.repeat(ml, 8, axis=1),
+                            jnp.tile(rec8, (1, L)), st["pairs"])
     cK = jnp.clip(c, 0, 3)
     top_n = jnp.where(zero_case, _sel_col(row_t, cK), _sel_col(lf4t, cK))
     bot_n = jnp.where(zero_case, _sel_col(row_b, cK), _sel_col(lf4b, cK))
@@ -994,9 +1001,9 @@ def _step_br(st, cat: FMCat, L: int):
     istar_s = jnp.max(jnp.where(elig, li, -1), axis=1)
     no_pos = scan & (istar_s < 0)            # defensive: cannot happen
     istar_safe = jnp.maximum(istar_s, 0)
-    onehot_i = li == istar_safe[:, None]                   # [B, L]
-    p8 = jnp.sum(jnp.where(onehot_i[:, :, None], st["pairs"], 0),
-                 axis=1)                                   # [B, 8]
+    p8 = st["pairs"][jnp.arange(B)[:, None],
+                     (istar_safe * 8)[:, None]
+                     + jnp.arange(8, dtype=jnp.int32)]     # [B, 8]
     er_i = _sel_col(er, istar_safe)
     jar = jnp.arange(4, dtype=jnp.int32)[None, :]
     nonelim = ((er_i[:, None] >> jar) & 1) == 0
@@ -1124,15 +1131,17 @@ def _step_pop(st, L: int):
         unrev = st["c_unrev"]
         ham = st["c_ham"]
         er = st["elims"]                                   # [B, L]
-        pf = st["pairs"]                                   # [B, L, 8]
-        spreads = pf[:, :, 4:8] - pf[:, :, 0:4]            # [B, L, 4]
-        jar = jnp.arange(4, dtype=jnp.int32)[None, None, :]
-        live = (((er[:, :, None] >> jar) & 1) == 0) & (spreads > 0)
+        pf = st["pairs"]                                   # [B, L*8]
+        # per-channel strided views keep everything [B, L] (no padded
+        # [B, L, 4] materialization)
+        spread_c = [pf[:, 4 + j::8] - pf[:, j::8] for j in range(4)]
+        live_c = [(((er >> j) & 1) == 0) & (spread_c[j] > 0)
+                  for j in range(4)]
         in_rng = (li >= jnp.maximum(depth, unrev)[:, None]) & \
             (li <= d[:, None])
         k_alt = (ham[:, None] + st["pend"]) <= st["qthresh"][:, None]
-        nlive = jnp.sum(live.astype(jnp.int32), axis=2)
-        szs = jnp.sum(jnp.where(live, spreads, 0), axis=2)
+        nlive = sum(lc.astype(jnp.int32) for lc in live_c)
+        szs = sum(jnp.where(live_c[j], spread_c[j], 0) for j in range(4))
         valid_k = in_rng & k_alt & (nlive > 0)
         qv = jnp.where(valid_k, st["quald"], 0x7FFF)
         low = jnp.min(qv, axis=1)
@@ -1142,12 +1151,13 @@ def _step_pop(st, L: int):
         ks = jnp.maximum(kstar, 0)
         n_el = jnp.sum(jnp.where(at_low, nlive, 0), axis=1)
         s_el = jnp.sum(jnp.where(at_low, szs, 0), axis=1)
-        ohk = (li == ks[:, None])
         # first live char at kstar (ascending l, :453)
-        lk = jnp.sum(jnp.where(ohk[:, :, None], live, False)
-                     .astype(jnp.int32), axis=1) > 0      # [B, 4]
+        lk = jnp.stack([_sel_col(live_c[j].astype(jnp.int32), ks)
+                        for j in range(4)], axis=-1) > 0  # [B, 4]
         lstar = jnp.argmax(lk, axis=1).astype(jnp.int32)
-        p8k = jnp.sum(jnp.where(ohk[:, :, None], pf, 0), axis=1)
+        Brs = ks.shape[0]
+        p8k = pf[jnp.arange(Brs)[:, None],
+                 (ks * 8)[:, None] + jnp.arange(8, dtype=jnp.int32)]
         mm = rescan & has
         st2 = dict(st)
         st2 = _w(st2, "c_lowq", mm, low)
@@ -1537,6 +1547,13 @@ def _unpack_small(packed):
 
 @jax.jit
 def _gather_rows(arr, lanes, slots):
+    """Row gather that accepts both [B, S, W] pools and flat [B, S*W]
+    pools (hits): returns [n, W]."""
+    if arr.ndim == 2:
+        W = 8 + 2 * MM_SLOTS
+        return arr[lanes[:, None],
+                   (slots * W)[:, None]
+                   + jnp.arange(W, dtype=slots.dtype)]
     return arr[lanes, slots]
 
 
@@ -1583,8 +1600,10 @@ def _harvest(st, idxs):
 
 @jax.jit
 def _fuse_parts_jit(pn, pj, pp, pr):
+    B = pn.shape[0]
     return jnp.concatenate(
-        [pn[..., None], pj[..., None], pp, pr], axis=-1)
+        [pn[..., None], pj[..., None],
+         pp.reshape(B, P_MAX, 3), pr.reshape(B, P_MAX, 3)], axis=-1)
 
 
 def _fuse_parts(st):
@@ -1609,7 +1628,7 @@ def _poll_all(st):
 @jax.jit
 def _pack_all(st, la_h, sl_h, la_p, sl_p):
     """Hit rows + fused partial rows in ONE gather+transfer."""
-    hits = st["hits"][la_h, sl_h]                       # [PH, W]
+    hits = _gather_rows(st["hits"], la_h, sl_h)         # [PH, W]
     parts = _fuse_parts_jit(
         st["part_n"], st["part_job"], st["part_pos"],
         st["part_refc"])[la_p, sl_p]                    # [PP, 8]

@@ -61,8 +61,10 @@ def _poll_pair(st_a, st_b):
 def _pack_hits2(st_a, st_b, la_a, sl_a, la_b, sl_b):
     """A-hit rows + B-hit rows in ONE gather+transfer."""
     import jax.numpy as jnp
-    return jnp.concatenate([st_a["hits"][la_a, sl_a],
-                            st_b["hits"][la_b, sl_b]], axis=0)
+    from .dfs_device import _gather_rows
+    return jnp.concatenate([_gather_rows(st_a["hits"], la_a, sl_a),
+                            _gather_rows(st_b["hits"], la_b, sl_b)],
+                           axis=0)
 
 
 def _derive_b_jobs_device(st_a, gated, base_codes, base_qual,
