@@ -600,24 +600,26 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         drv_adj=jnp.asarray(host["drv_adj"], jnp.int32),
         pm_min=z(B, ndt),
         drv_nextid=jnp.asarray(host["drv_nextid"], jnp.int32),
-        rr=jnp.asarray(host["rr"], jnp.int32),        # [B, NDT, 5]
-        rr_ed=z(B, ndt, E_MAX), rr_ec=z(B, ndt, E_MAX),
+        # per-driver blocks are FLAT [B, K*W] (see _BLK)
+        rr=jnp.asarray(host["rr"], jnp.int32).reshape(B, -1),
+        rr_ed=z(B, ndt * E_MAX), rr_ec=z(B, ndt * E_MAX),
         # extender dynamic state
-        pm_m=z(B, ndt, 3), pm_c=z(B, ndt, 3), pm_n=z(B, ndt),
+        pm_m=z(B, ndt * 3), pm_c=z(B, ndt * 3), pm_n=z(B, ndt),
         ex_next=z(B, nd),
         # outer driver state
         od_done=jnp.asarray(host["od_done"], jnp.int32),
         od_found=jnp.asarray(host["od_found"], jnp.int32),
         od_min=jnp.asarray(host["od_min"], jnp.int32),
-        od_rr=z(B, nd, 5), od_ed=z(B, nd, E_MAX), od_ec=z(B, nd, E_MAX),
+        od_rr=z(B, nd * 5), od_ed=z(B, nd * E_MAX),
+        od_ec=z(B, nd * E_MAX),
         # inner CostAware state (one per outer slot; used when seeded)
-        ic_act=z(B, nd, PEX), ic_actn=z(B, nd), ic_found=z(B, nd),
+        ic_act=z(B, nd * PEX), ic_actn=z(B, nd), ic_found=z(B, nd),
         ic_done=z(B, nd), ic_min=z(B, nd),
         ic_rng=jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None],
                         (1, nd)),
         il_top=z(B, nd), il_bot=z(B, nd), il_cost=z(B, nd),
         il_strat=z(B, nd), il_ne=z(B, nd),
-        il_ed=z(B, nd, E_MAX), il_ec=z(B, nd, E_MAX),
+        il_ed=z(B, nd * E_MAX), il_ec=z(B, nd * E_MAX),
         # branch pool.  All pool arrays are FLAT 1-D (or [B, k*E_MAX])
         # on purpose: TPU memory is tiled (8, 128) over the last two
         # dims, so a [N, 2] entry array would physically occupy 64x its
@@ -681,20 +683,29 @@ def _lane_block(arr, slot, width, nslots):
                cb[:, None] + jnp.arange(width, dtype=jnp.int32)]
 
 
+# Per-driver block widths for the flat [B, K*W] per-lane state (the
+# logical [B, K, W] layout would be TPU-padded to [B, K, 128] — 24-49x
+# its logical bytes, swept in full by every masked write).
+_BLK = {"rr": 5, "rr_ed": E_MAX, "rr_ec": E_MAX, "pm_m": 3, "pm_c": 3,
+        "od_rr": 5, "od_ed": E_MAX, "od_ec": E_MAX, "il_ed": E_MAX,
+        "il_ec": E_MAX, "ic_act": PEX}
+
+
 def _dsel2(st, name, drv):
-    """[B, K, W] row select -> [B, W]."""
-    K = st[name].shape[1]
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
-          == drv[:, None, None])
-    return jnp.sum(jnp.where(oh, st[name], 0), axis=1)
+    """Block select from flat [B, K*W] -> [B, W]."""
+    W = _BLK[name]
+    a = st[name]
+    return _lane_block(a, drv, W, a.shape[1] // W)
 
 
 def _dw2(st, name, mask, drv, val):
-    """[B, K, W] row write."""
-    B, K, W = st[name].shape
-    oh = (jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    """Block write into flat [B, K*W]."""
+    a = st[name]
+    B, KW = a.shape
+    W = _BLK[name]
+    mm = ((jax.lax.broadcasted_iota(jnp.int32, (B, KW), 1) // W)
           == drv[:, None]) & mask[:, None]
-    st[name] = jnp.where(oh[:, :, None], val[:, None, :], st[name])
+    st[name] = jnp.where(mm, jnp.tile(val, (1, KW // W)), a)
     return st
 
 
@@ -832,7 +843,8 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
 # Aligner-level + outer CostAware steps
 # ---------------------------------------------------------------------------
 
-def _step_main(st, strata: bool, record: bool = False):
+def _step_main(st, strata: bool, record: bool = False,
+               rec_cap: int | None = None):
     """UnpairedAlignerV2 loop head (best_driver.py align_read).
 
     record=True: paired-end stream-recording mode — instead of chasing
@@ -845,7 +857,7 @@ def _step_main(st, strata: bool, record: bool = False):
     m = st["mode"] == M_MAIN
     found = st["ca_found"] > 0
     if record:
-        return _record_range(st, m, found)
+        return _record_range(st, m, found, rec_cap)
     irrf = m & found & _irrelevant(st, st["ls_cost"], strata)
     st = _w(st, "ca_found", irrf, 0)          # discard, stay M_MAIN
     chase = m & found & ~irrf
@@ -865,8 +877,17 @@ def _step_main(st, strata: bool, record: bool = False):
     return st
 
 
-def _record_range(st, m, found):
-    """Append the current found range to the hits pool (record mode)."""
+def _record_range(st, m, found, rec_cap: int | None = None):
+    """Append the current found range to the hits pool (record mode).
+
+    rec_cap: stop a lane once it has recorded this many ranges instead
+    of advancing its driver to exhaustion.  The PE interleave usually
+    consumes only the first range of one driver (a chased anchor +
+    reference-space mate rescue decides the pair, aligner.h:1190-1326),
+    so full exhaustion wastes most machine steps.  A lane frozen by
+    the cap stores 2 in the record's done column — the replay treats
+    its stream as truncated and falls back to the live host drivers
+    if the interleave ever asks for a range past the recorded end."""
     B = m.shape[0]
     rec_on = m & found
     nmms = st["ls_ne"]
@@ -877,11 +898,16 @@ def _record_range(st, m, found):
         return jnp.pad(a, ((0, 0), (0, MM_SLOTS - E_MAX)))
     # [6] = driver done at emission: a range returned together with
     # done=True is never consumed by the PE interleave (aligner.h:1190
-    # checks !drv.done before draining found_range) — replay needs it
+    # checks !drv.done before draining found_range) — replay needs it.
+    # 2 = lane frozen by rec_cap with the driver NOT exhausted.
+    done_col = st["ca_done"]
+    if rec_cap is not None:
+        frz = (st["nhits"] + 1 >= rec_cap) & (st["ca_done"] == 0)
+        done_col = jnp.where(frz, 2, done_col)
     rec = jnp.concatenate([
         jnp.stack([st["ls_drv"], st["ls_top"], st["ls_bot"],
                    st["ls_cost"], st["ls_strat"], nmms,
-                   st["ca_done"], st["qlen"]], axis=-1),
+                   done_col, st["qlen"]], axis=-1),
         _padmm(st["ls_ed"]), _padmm(st["ls_ec"])], axis=-1)
     over = rec_on & ((st["nhits"] >= H_MAX) | (nmms > MM_SLOTS))
     st["overflow"] = st["overflow"] | over
@@ -893,6 +919,9 @@ def _record_range(st, m, found):
     st["hits"] = jnp.where(jnp.repeat(hm, W, axis=1),
                            jnp.tile(rec, (1, H_MAX)), st["hits"])
     st = _w(st, "nhits", do_store, st["nhits"] + 1)
+    if rec_cap is not None:
+        st["mode"] = jnp.where(do_store & (st["nhits"] >= rec_cap),
+                               M_DONE, st["mode"])
     st = _w(st, "ca_found", rec_on, 0)        # consumed; keep advancing
     nf = m & ~found
     ex = nf & (st["ca_done"] > 0)
@@ -1937,9 +1966,10 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
 def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
                   nfrag: int, n_k: int, m_max: int, strata: bool,
                   qual_lim: int, qual_order: bool, bt_on: bool,
-                  fc: int, has_seeded: bool, record: bool = False):
+                  fc: int, has_seeded: bool, record: bool = False,
+                  rec_cap: int | None = None):
     st = dict(st)
-    st = _step_main(st, strata, record)
+    st = _step_main(st, strata, record, rec_cap)
     st = _step_cadv(st)
     st = _step_sfx(st)
     if has_seeded:
@@ -1966,11 +1996,13 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
 @partial(jax.jit, static_argnames=("nd", "ndt", "L", "nfrag", "n_k",
                                    "m_max", "strata", "qual_lim",
                                    "qual_order", "bt_on", "fc",
-                                   "has_seeded", "chunk", "record"))
+                                   "has_seeded", "chunk", "record",
+                                   "rec_cap"))
 def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
               nfrag: int, n_k: int, m_max: int, strata: bool,
               qual_lim: int, qual_order: bool, bt_on: bool, fc: int,
-              has_seeded: bool, chunk: int, record: bool = False):
+              has_seeded: bool, chunk: int, record: bool = False,
+              rec_cap: int | None = None):
     def cond(c):
         s, it = c
         return (it < chunk) & jnp.any(s["mode"] != M_DONE)
@@ -1979,7 +2011,8 @@ def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
         s, it = c
         return _machine_step(s, cat, cfgj, nd, ndt, L, nfrag, n_k,
                              m_max, strata, qual_lim, qual_order,
-                             bt_on, fc, has_seeded, record), it + 1
+                             bt_on, fc, has_seeded, record,
+                             rec_cap), it + 1
 
     st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st, st["mode"]
