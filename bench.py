@@ -200,7 +200,36 @@ def main():
     modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip", r,
                              {"fallbacks": fb})
 
-    # paired-end (host engine until the device PE port lands)
+    # paired-end, device-recorded anchor streams + host replay
+    src1 = ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
+                      "fastq")
+    src2 = ReadSource(["/root/reference/reads/e_coli_1000_2.fq"],
+                      "fastq")
+    p1, p2 = list(src1.records()), list(src2.records())
+
+    def mk_pe_dev():
+        from bowtie_tpu.align.pe_device import DevicePairedBestAligner
+        from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
+                                              unpack_reference)
+        recs, packed = read_bitpair_reference(
+            "/root/reference/indexes/e_coli")
+        refs = unpack_reference(recs, packed)
+        return DevicePairedBestAligner(idx, idx_bw, refs,
+                                       KPolicy(1, INF))
+    pairs_big = list(zip(_replicate(p1, 8192 + 2048),
+                         _replicate(p2, 8192 + 2048)))
+    pe_dev = mk_pe_dev()
+    pe_dev.align_batch(pairs_big[8192:])         # warm-up / compile
+    t0 = time.time()
+    n = 0
+    for i in range(0, 8192, 2048):
+        n += len(pe_dev.align_batch(pairs_big[i:i + 2048]))
+    r = n / (time.time() - t0)
+    modes["pe_n2_device"] = _emit(
+        "paired -n 2 end-to-end reads/s/chip (device anchor streams)",
+        r, {"fallbacks": pe_dev.fallbacks})
+
+    # paired-end host engine (parity/reference point)
     def mk_pe():
         from bowtie_tpu.align.golden import GoldenFM
         from bowtie_tpu.align.best_factories import \
@@ -212,11 +241,6 @@ def main():
         refs = unpack_reference(recs, packed)
         return make_paired_best_aligner(
             GoldenFM(idx), GoldenFM(idx_bw), refs, KPolicy(1, INF))
-    src1 = ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
-                      "fastq")
-    src2 = ReadSource(["/root/reference/reads/e_coli_1000_2.fq"],
-                      "fastq")
-    p1, p2 = list(src1.records()), list(src2.records())
     pe_al = mk_pe()
     pairs = list(zip(p1, p2))
     pe_al.align_batch(pairs[:64])                # warm-up

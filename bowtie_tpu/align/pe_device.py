@@ -33,30 +33,76 @@ from .best_device import (
 from .policy import KPolicy
 
 
+class ReplayTruncated(Exception):
+    """The interleave asked for a range past the recorded end of a
+    rec_cap-truncated stream — the pair must re-run on live host
+    drivers."""
+
+
+class RecordedStream:
+    """A lane's device-recorded range stream: the raw hit-record rows
+    plus the per-driver strand tables needed to materialize each
+    FoundRange lazily (many queued ranges are never popped — the
+    interleave stops as soon as the pair is decided)."""
+
+    __slots__ = ("rows", "qlen", "o_fw", "o_efw", "capped")
+
+    def __init__(self, rows, qlen, o_fw, o_efw):
+        self.rows = rows            # np [n, REC] int64 hit records
+        self.qlen = qlen
+        self.o_fw = o_fw
+        self.o_efw = o_efw
+        # done column 2 = lane frozen by rec_cap, stream may be
+        # truncated (best_device._record_range)
+        self.capped = len(rows) > 0 and int(rows[-1][6]) == 2
+
+    def __len__(self):
+        return len(self.rows)
+
+    def materialize(self, t):
+        rec = self.rows[t]
+        drv = int(rec[0])
+        ne = int(rec[5])
+        mms = [self.qlen - int(rec[8 + k]) - 1 for k in range(ne)]
+        refcs = [int(rec[8 + MM_SLOTS + k]) for k in range(ne)]
+        fr = FoundRange(
+            top=int(rec[1]), bot=int(rec[2]), cost=int(rec[3]),
+            stratum=int(rec[4]), num_mms=ne, fw=bool(self.o_fw[drv]),
+            ebwt_fw=bool(self.o_efw[drv]), mms=mms, refcs=refcs)
+        return fr, int(rec[6]) == 1
+
+
 class ReplayDriver:
     """Feeds a precomputed FoundRange stream through the BestDriver
     advance()/range()/done interface the PE interleave consumes."""
 
-    __slots__ = ("_q", "_cur", "found_range", "done")
+    __slots__ = ("_s", "_i", "_cur", "found_range", "done")
 
-    def __init__(self, ranges_with_done):
-        # list of (FoundRange, done_at_emission)
-        self._q = list(ranges_with_done)
+    def __init__(self, stream: RecordedStream):
+        self._s = stream
+        self._i = 0
         self._cur = None
         self.found_range = False
-        self.done = not self._q
+        self.done = len(stream) == 0
 
     def advance(self, _until):
-        if self._q:
-            r, done = self._q.pop(0)
+        if self._i < len(self._s):
+            r, done = self._s.materialize(self._i)
+            self._i += 1
             self._cur = r
             self.found_range = True
             # done-at-emission: host CostAwareDriver.advance can set
             # done together with found_range (range_source.h:2262+);
             # otherwise done only once the stream is exhausted AND the
             # machine reached M_DONE (always true post-exhaustion).
-            self.done = bool(done) or not self._q
+            # A capped stream's machine was frozen early, so exhaustion
+            # of the *recorded* stream proves nothing — stay not-done
+            # and escalate if the interleave ever advances again.
+            self.done = bool(done) or (self._i >= len(self._s)
+                                       and not self._s.capped)
         else:
+            if self._s.capped:
+                raise ReplayTruncated
             self.done = True
 
     def range(self):
@@ -93,10 +139,13 @@ class _StrandMachine:
         self.max_steps = max_steps
         self.nfrag = int(idx_fw.nfrag)
 
-    def record(self, reads, seeds):
+    def record(self, reads, seeds, rec_cap=None):
         """reads: flat lane list; seeds: per-lane uint32 (mate1 seed).
-        Returns (streams, overflow): streams[lane] = list of
-        (FoundRange, done_flag)."""
+        Returns (streams, overflow): streams[lane] = RecordedStream
+        (None for overflowed lanes).  rec_cap stops each lane after
+        that many recorded ranges (truncated streams are marked and
+        escalate to a host fallback only if the replay pops past the
+        recorded end)."""
         import jax.numpy as jnp
         B = len(reads)
         host_only = [b for b, r in enumerate(reads)
@@ -124,34 +173,21 @@ class _StrandMachine:
             m_max=INF32, strata=False, qual_lim=self.qual_lim,
             qual_order=self.qual_order, bt_on=self.bt_on,
             fc=self.cat.ftab_chars, has_seeded=self.has_seeded,
-            max_steps=self.max_steps, record=True)
+            max_steps=self.max_steps, record=True, rec_cap=rec_cap)
         o_fw = self.hostinit.cfg["o_fw"]
         o_efw = self.hostinit.cfg["o_chase_efw"]
         streams = []
         overflow = np.asarray(out["overflow"]).copy()
         for b in host_only:
             overflow[b] = True
-        hits = out["hits"]
-        nh = out["nhits"]
+        hits = np.asarray(out["hits"][:B])
+        nh = np.asarray(out["nhits"][:B])
         for b, read in enumerate(reads):
             if overflow[b]:
                 streams.append(None)
                 continue
-            qlen = len(read.seq)
-            lst = []
-            for t in range(int(nh[b])):
-                rec = hits[b, t]
-                drv = int(rec[0])
-                ne = int(rec[5])
-                mms = [qlen - int(rec[8 + k]) - 1 for k in range(ne)]
-                refcs = [int(rec[8 + MM_SLOTS + k]) for k in range(ne)]
-                fr = FoundRange(
-                    top=int(rec[1]), bot=int(rec[2]), cost=int(rec[3]),
-                    stratum=int(rec[4]), num_mms=ne,
-                    fw=bool(o_fw[drv]), ebwt_fw=bool(o_efw[drv]),
-                    mms=mms, refcs=refcs)
-                lst.append((fr, bool(rec[6])))
-            streams.append(lst)
+            streams.append(RecordedStream(hits[b, :int(nh[b])],
+                                          len(read.seq), o_fw, o_efw))
         return streams, overflow
 
 
@@ -200,6 +236,13 @@ class DevicePairedBestAligner:
         self._live_factory = self._host.driver_factory
         self._host.driver_factory = self._factory
         self.fallbacks = 0
+        # record cap: the interleave usually consumes only the first
+        # range of one driver under first-k-good policies, so stop
+        # each lane after a few recorded ranges instead of running its
+        # driver to exhaustion (ReplayTruncated escalates the rare
+        # deep consumer to a live-driver rerun).  -k>1/-a/-m/-M chase
+        # every range, so record uncapped there.
+        self.rec_cap = 8 if not policy.want_all_rows() else None
 
     def _factory(self, rd1, rd2):
         if self._streams is not None:
@@ -217,8 +260,8 @@ class DevicePairedBestAligner:
             s = rd1.seed(self.global_seed)
             seeds[2 * i] = s
             seeds[2 * i + 1] = s
-        s_fw, ov_fw = self.m_fw.record(lane_reads, seeds)
-        s_rc, ov_rc = self.m_rc.record(lane_reads, seeds)
+        s_fw, ov_fw = self.m_fw.record(lane_reads, seeds, self.rec_cap)
+        s_rc, ov_rc = self.m_rc.record(lane_reads, seeds, self.rec_cap)
         results = []
         for i, (rd1, rd2) in enumerate(pairs):
             lanes = (2 * i, 2 * i + 1)
@@ -230,6 +273,10 @@ class DevicePairedBestAligner:
                 self._streams = [s_fw[2 * i], s_rc[2 * i],
                                  s_fw[2 * i + 1], s_rc[2 * i + 1]]
             try:
+                results.append(self._host.align_pair(rd1, rd2))
+            except ReplayTruncated:
+                self.fallbacks += 1
+                self._streams = None
                 results.append(self._host.align_pair(rd1, rd2))
             finally:
                 self._streams = None
