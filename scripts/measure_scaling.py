@@ -118,22 +118,36 @@ def mesh_weak_scaling():
                                    cat.ftab_chars)
         seeds = np.array([r.seed(0) for r in batch], np.uint32)
         mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
+        kw = dict(J=J, L=40, nfrag=int(idx.nfrag), n_k=1,
+                  m_max=D.INF32, max_steps=8192)
+        # warm-up: the per-(mesh,bucket) XLA compile must not count
+        # toward the scaling ratio
+        run_sharded(cat, jobs, seeds, np.zeros(B, np.int32), mesh,
+                    **kw)
         t0 = time.time()
         run_sharded(cat, jobs, seeds, np.zeros(B, np.int32), mesh,
-                    J=J, L=40, nfrag=int(idx.nfrag), n_k=1,
-                    m_max=D.INF32, max_steps=8192)
+                    **kw)
         dt = time.time() - t0
         res[n] = B / dt
         print(json.dumps({
             "metric": "mesh weak scaling (-v1, per-dev batch "
                       f"{per_dev})", "devices": n,
             "value": round(B / dt, 1), "unit": "reads/s"}), flush=True)
-    eff = res[ndev] / (res[1] * ndev)
-    print(json.dumps({"metric": "weak-scaling efficiency 1->"
-                      f"{ndev}", "value": round(eff, 3),
-                      "note": "timing includes one-off compiles; on a "
-                              "single shared host CPU the virtual "
-                              "devices serialize"}), flush=True)
+    import jax
+    virtual = jax.devices()[0].platform == "cpu"
+    if virtual:
+        # N virtual devices share the physical core(s): weak-scaling
+        # ideal is res[N] == res[1] (N x work in N x time).  The ratio
+        # isolates GSPMD partitioning overhead; the hot loop has no
+        # collectives except the while-loop termination reduce.
+        eff = res[ndev] / res[1]
+        metric = (f"GSPMD overhead factor, 1 vs {ndev} virtual "
+                  "devices (1.0 = no partitioning cost)")
+    else:
+        eff = res[ndev] / (res[1] * ndev)
+        metric = f"weak-scaling efficiency 1->{ndev}"
+    print(json.dumps({"metric": metric, "value": round(eff, 3)}),
+          flush=True)
 
 
 if __name__ == "__main__":
