@@ -107,7 +107,8 @@ def bench_aligner(make, reads, total, batch):
     return total / dt, fb
 
 
-def bench_hg(base="/root/hg_synth/hg_synth"):
+def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
+             ITERS=4, v1_n=16384):
     """hg-scale benchmark: exact search + walk-left resolve against a
     ~3 Gbp synthetic genome index in the compact device layout
     (occ checkpoints every 128 rows + packed 2-bit BWT + 2^offRate SA
@@ -131,8 +132,6 @@ def bench_hg(base="/root/hg_synth/hg_synth"):
     recs, packed = read_bitpair_reference(base)
     refs = unpack_reference(recs, packed)
     big = max(refs, key=len)
-    B = 262144
-    ITERS = 4
     batches = []
     for it in range(ITERS + 1):
         pos = rng.integers(0, len(big) - 36, B)
@@ -156,7 +155,30 @@ def bench_hg(base="/root/hg_synth/hg_synth"):
     dt = time.time() - t0
     hbm = sum(int(np.asarray(x).nbytes) for x in
               (fm.bwt, fm.occ, fm.offs, fm.ftab_hi, fm.ftab_lo))
-    return (B * ITERS) / dt, idx.length, hbm
+
+    # -v 1 end-to-end on the same hg-scale index (compact layout, DFS
+    # engine): the second half of BASELINE.json's hg-scale metric
+    from bowtie_tpu.io.readers import ReadRecord
+    from bowtie_tpu.align.dfs_device import DeviceDFSAligner
+    from bowtie_tpu.align.policy import INF, KPolicy
+    idx_bw = read_ebwt(base + ".rev")
+    al = DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1,
+                          compact=True)
+    recs = []
+    mat0 = np.asarray(batches[0][0])
+    lens0 = np.asarray(batches[0][1])
+    for i in range(2 * v1_n):
+        r = mat0[i % mat0.shape[0]]
+        n = int(lens0[i % lens0.shape[0]])
+        seq = bytes(b"ACGT"[c] for c in r[-n:])
+        recs.append(ReadRecord(name=b"hg%d" % i, seq=seq,
+                               qual=b"I" * n, rdid=i))
+    al.align_batch(recs[v1_n:])              # warm-up / compile
+    t0 = time.time()
+    nn = len(al.align_batch(recs[:v1_n]))
+    v1_rate = nn / (time.time() - t0)
+
+    return (B * ITERS) / dt, v1_rate, idx.length, hbm
 
 
 def main():
@@ -252,11 +274,14 @@ def main():
     # hg-scale exact (compact layout) when the synthetic index exists
     hg = bench_hg()
     if hg is not None:
-        r, glen, hbm = hg
+        r, v1r, glen, hbm = hg
         modes["hg_exact"] = _emit(
             f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp synthetic"
             f" genome, compact layout, {hbm/1e9:.2f} GB HBM)", r,
             {"genome_bp": glen, "hbm_bytes": hbm})
+        modes["hg_v1"] = _emit(
+            f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f} "
+            "Gbp synthetic genome, compact layout)", v1r)
 
     # summary line: flagship value + all modes
     print(json.dumps({
