@@ -16,6 +16,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA cache (same dir as the CLI): recompiles forced by the
+# per-module cache clear below are then cheap deserializations.
+_cache = os.environ.get("BOWTIE_TPU_CACHE",
+                        os.path.expanduser("~/.cache/bowtie-tpu-xla"))
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -41,6 +52,25 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.quick)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable references after each module.
+
+    Every XLA:CPU executable keeps mmap'd code regions alive as long
+    as jax's in-memory jit caches reference it.  The full suite
+    compiles enough distinct programs to exhaust the kernel's
+    vm.max_map_count (~65k mappings; measured 62k right before a
+    deterministic SIGSEGV inside executable (de)serialization at ~86%
+    of the suite).  Clearing between modules caps the live-executable
+    population; cross-module recompiles are served quickly from the
+    persistent disk cache.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")
