@@ -204,6 +204,22 @@ def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
     return make
 
 
+def _pe_do_matrix(nofw, norc, fw1, fw2):
+    """--nofw/--norc gate PAIR orientations, mapped per mate through
+    its --ff/--fr/--rf orientation (PairedSeedAlignerFactory,
+    aligner_seed_mm.h:676-691): --nofw kills each mate's driver for
+    the strand it uses in the fw-pair orientation; --norc the other.
+    Keyed by (is_mate1, fw)."""
+    do = {(m1, fw): True for m1 in (True, False) for fw in (True, False)}
+    if nofw:
+        do[(True, fw1)] = False
+        do[(False, fw2)] = False
+    if norc:
+        do[(True, not fw1)] = False
+        do[(False, not fw2)] = False
+    return do
+
+
 def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
                              seed_mms=2, seed_len=28, qual_cutoff=70,
                              fw1=True, fw2=False, min_insert=0,
@@ -235,11 +251,23 @@ def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
             g_fw, g_bw, v == 2, not fw, fw, True, maq, qual_order,
             global_seed, maxbts)
 
+    do = _pe_do_matrix(nofw, norc, fw1, fw2)
+
     def driver_factory(rd1, rd2):
         out = []
         for mate_read, mate1 in ((rd1, True), (rd2, False)):
             for fw in (True, False):
-                ca = strand_factory(fw)(mate_read)
+                if do[(mate1, fw)]:
+                    ca = strand_factory(fw)(mate_read)
+                else:
+                    # banned by --nofw/--norc: the reference leaves the
+                    # per-(mate,strand) source vector empty
+                    # (aligner_seed_mm.h:676-691), yielding a CostAware
+                    # driver that is done on first advance with no
+                    # RNG draws
+                    from .best_driver import CostAwareDriver
+                    ca = CostAwareDriver([], strand_fix=True,
+                                         global_seed=global_seed)
                 ca.seed_read = rd1
                 for d in ca.rss:
                     d.mate1_flag = mate1
@@ -338,10 +366,12 @@ def make_paired_best_aligner_v2(g_fw, g_bw, refs, policy, mode="n",
                  [(True, True), (False, True), (True, False),
                   (False, False)])
 
+    do = _pe_do_matrix(nofw, norc, fw1, fw2)
+
     def driver_factory(rd1, rd2):
         drs = []
         for mate1, fw in order:
-            if (fw and nofw) or (not fw and norc):
+            if not do[(mate1, fw)]:
                 continue
             ca = strand_factory(fw)(rd1 if mate1 else rd2)
             for d in ca.rss:

@@ -75,7 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mapq", type=int, default=255)
     p.add_argument("--sam-nohead", action="store_true")
     p.add_argument("--sam-nosq", action="store_true")
-    p.add_argument("--sam-RG", default=None)
+    p.add_argument("--sam-RG", action="append", default=None,
+                   help="field for the @RG header; repeatable, fields "
+                        "joined with tabs (ebwt_search.cpp:791-795)")
     p.add_argument("--fullref", action="store_true")
     p.add_argument("--no-qname-trunc", action="store_true")
     p.add_argument("--refidx", action="store_true")
@@ -377,7 +379,24 @@ def main(argv=None) -> int:
                 maq=not args.nomaqround, better=args.best,
                 global_seed=args.seed,
                 maxbts=args.maxbts if args.maxbts is not None else 800)
-    elif args.mismatches >= 0 and (
+    else:
+        aligner, host_engine = _build_se_aligner(args, idx, policy)
+
+    if host_engine and args.threads > 1:
+        # -p for the host engines: fork pool over read-batch slices,
+        # byte-identical output (align/parallel_host.py)
+        from ..align.parallel_host import ParallelHostAligner
+        aligner = ParallelHostAligner(aligner, args.threads)
+
+    return _run(args, argv, idx, policy, aligner, paired, fmt, cont)
+
+
+def _build_se_aligner(args, idx, policy):
+    """Single-end aligner for the mode flags; returns
+    (aligner, host_engine).  Mirrors the reference's per-mode dispatch
+    (driver(), ebwt_search.cpp:2955-3295)."""
+    host_engine = False
+    if args.mismatches >= 0 and (
             args.best or args.strata or args.sample_mhits is not None
             or args.mismatches == 3):
         # best-first engine (bowtie forces it for --best, -M, --strata
@@ -475,17 +494,44 @@ def main(argv=None) -> int:
                 seed_len=args.seedlen, qual_thresh=args.maqerr,
                 maxbts=mb, maq_round=not args.nomaqround,
                 nofw=args.nofw, norc=args.norc, global_seed=args.seed)
+    return aligner, host_engine
 
-    if host_engine and args.threads > 1:
-        # -p for the host engines: fork pool over read-batch slices,
-        # byte-identical output (align/parallel_host.py)
-        from ..align.parallel_host import ParallelHostAligner
-        aligner = ParallelHostAligner(aligner, args.threads)
 
+def _build_stateful_se_aligner(args, idx, policy):
+    """SE aligner for solo records inside a paired run.  ANY paired
+    input forces the stateful path for the whole run
+    (ebwt_search.cpp:3002 `if(paired) stateful = true`), so --12 solo
+    reads go through UnpairedAlignerV2-style engines with an NGood
+    sink — NOT the phased greedy workers — and their random draws
+    (e.g. report-row choice) follow that engine's order."""
+    if (args.best or args.strata or args.sample_mhits is not None
+            or args.mismatches == 3):
+        return _build_se_aligner(args, idx, policy)[0]  # already stateful
+    mb = args.maxbts if args.maxbts is not None else 800
+    idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
+    g_fw = golden_cached(args.ebwt_base, idx)
+    g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
+    if args.mismatches >= 0:
+        from ..align.best_factories import make_best_aligner
+        return make_best_aligner(
+            g_fw, g_bw, args.mismatches, policy, strata=False,
+            all_hits=args.all, nofw=args.nofw, norc=args.norc,
+            maq=not args.nomaqround, global_seed=args.seed, maxbts=mb)
+    from ..align.best_factories import make_seeded_best_aligner
+    return make_seeded_best_aligner(
+        g_fw, g_bw, args.seedmms, args.seedlen, args.maqerr, policy,
+        strata=False, all_hits=args.all, nofw=args.nofw,
+        norc=args.norc, maq=not args.nomaqround,
+        global_seed=args.seed, maxbts=mb)
+
+
+def _run(args, argv, idx, policy, aligner, paired, fmt, cont):
+    dumps_active = bool(args.un or args.al or args.maxfile)
     qual_kw = dict(trim5=args.trim5, trim3=args.trim3,
                    solexa=args.solexa_quals,
                    phred64=args.phred64_quals or args.solexa13,
-                   integer_quals=args.integer_quals)
+                   integer_quals=args.integer_quals,
+                   keep_orig=dumps_active)
     if paired:
         # hits positional shifts when reads positional is absent
         if args.reads and args.hits is None:
@@ -520,7 +566,8 @@ def main(argv=None) -> int:
                            sam_nohead=args.sam_nohead,
                            sam_nosq=args.sam_nosq,
                            cmdline=" ".join(argv or sys.argv[1:]),
-                           rgline=args.sam_RG)
+                           rgline=("\t".join(args.sam_RG)
+                                   if args.sam_RG else None))
     else:
         suppress = (set(int(x) for x in args.suppress.split(","))
                     if args.suppress else set())
@@ -530,9 +577,15 @@ def main(argv=None) -> int:
                                partition=args.partition,
                                global_seed=args.seed)
 
-    un_f = open(args.un, "wb") if args.un else None
-    al_f = open(args.al, "wb") if args.al else None
-    max_f = open(args.maxfile, "wb") if args.maxfile else None
+    one_pair_file = bool(args.tabbed)    # --12: whole pair in one record
+    un_f = _DumpStream(args.un, one_pair_file, fmt) if args.un else None
+    al_f = _DumpStream(args.al, one_pair_file, fmt) if args.al else None
+    max_f = (_DumpStream(args.maxfile, one_pair_file, fmt)
+             if args.maxfile else None)
+    if max_f is None:
+        # maxed reads dump to --un when --max isn't given
+        # (HitSink::dumpMaxed falls through to dumpUnal, hit.h:458-460)
+        max_f = un_f
 
     from ..align.policy import AlignStats
     stats = AlignStats()
@@ -559,113 +612,141 @@ def main(argv=None) -> int:
             if pending is not None:
                 yield pending[0], pending[1].result()
 
-    if paired:
-        for batch, results in pipelined(src.batches(batch_size),
-                                        aligner.align_batch):
-            for (r1, r2), res in zip(batch, results):
-                stats.processed += 1
-                if res.maxed and res.sampled:
-                    # -M: sample one pair from the best stratum
-                    # (VerboseHitSink::reportMaxed paired, hit.cpp:28-53;
-                    # sam.cpp:273-298)
-                    stats.maxed += 1
-                    stats.aligned += 1
-                    stats.reported_pairs += 1
-                    for h in res.hits:
-                        if args.sam:
-                            writer.hit(h, xms=res.nbuffered + 1, mapq=0)
-                        else:
-                            h.oms = res.nbuffered
-                            writer.hit(h)
-                    if max_f:
-                        _dump_read(max_f, r1, fmt)
-                        _dump_read(max_f, r2, fmt)
-                elif res.maxed:
-                    # -m exceeded without -M: counted, but NO record is
-                    # emitted (HitSink::reportMaxed is counter-only,
-                    # hit.h:494-500; only -M sampling reports)
-                    stats.maxed += 1
-                    if max_f:
-                        _dump_read(max_f, r1, fmt)
-                        _dump_read(max_f, r2, fmt)
-                    for sehits in res.se_hits:
-                        stats.reported += len(sehits)
-                        for h in sehits:
-                            writer.hit(h, xms=len(sehits)) \
-                                if args.sam else writer.hit(h)
-                elif not res.hits:
-                    if args.sam and not args.no_unal:
-                        writer.unaligned(r1, nhits=0, paired=True,
-                                         second=False)
-                        writer.unaligned(r2, nhits=0, paired=True,
-                                         second=True)
-                    if any(res.se_hits):
-                        stats.aligned += 1
-                        for sehits in res.se_hits:
-                            stats.reported += len(sehits)
-                            for h in sehits:
-                                writer.hit(h, xms=len(sehits)) \
-                                    if args.sam else writer.hit(h)
-                    else:
-                        stats.failed += 1
-                        if un_f:
-                            _dump_read(un_f, r1, fmt)
-                            _dump_read(un_f, r2, fmt)
-                else:
-                    stats.aligned += 1
-                    stats.reported_pairs += len(res.hits) // 2
-                    xms = len(res.hits) // 2
-                    for h in res.hits:
-                        if args.sam:
-                            writer.hit(h, xms=xms)
-                        else:
-                            writer.hit(h)
-                    if al_f:
-                        _dump_read(al_f, r1, fmt)
-                        _dump_read(al_f, r2, fmt)
-        args._fallbacks = getattr(aligner, "fallbacks", None)
-        return _finish(args, stats, t0, out, un_f, al_f, max_f)
-    for batch, results in pipelined(src.batches(batch_size),
-                                    aligner.align_batch):
-        for read, res in zip(batch, results):
-            stats.processed += 1
-            if metrics is not None:
-                metrics.next_read(read.codes_fw)
-                metrics.record_result(res)
-            if res.maxed and res.sampled:
-                stats.maxed += 1
-                stats.aligned += 1
-                stats.reported += 1
-                h = res.hits[0]
+    def emit_pe(r1, r2, res):
+        stats.processed += 1
+        if res.maxed and res.sampled:
+            # -M: sample one pair from the best stratum
+            # (VerboseHitSink::reportMaxed paired, hit.cpp:28-53;
+            # sam.cpp:273-298)
+            stats.maxed += 1
+            stats.aligned += 1
+            stats.reported_pairs += 1
+            for h in res.hits:
                 if args.sam:
                     writer.hit(h, xms=res.nbuffered + 1, mapq=0)
                 else:
                     h.oms = res.nbuffered
                     writer.hit(h)
-                if max_f:
-                    _dump_read(max_f, read, fmt)
-            elif res.maxed:
-                # no SAM record for -m-suppressed reads (see above)
-                stats.maxed += 1
-                if max_f:
-                    _dump_read(max_f, read, fmt)
-            elif not res.hits:
-                stats.failed += 1
-                if args.sam and not args.no_unal:
-                    writer.unaligned(read, nhits=0)
-                if un_f:
-                    _dump_read(un_f, read, fmt)
-            else:
+            if max_f:
+                max_f.write_pe(r1, r2)
+        elif res.maxed:
+            # -m exceeded without -M: counted, but NO record is
+            # emitted (HitSink::reportMaxed is counter-only,
+            # hit.h:494-500; only -M sampling reports)
+            stats.maxed += 1
+            if max_f:
+                max_f.write_pe(r1, r2)
+            for sehits in res.se_hits:
+                stats.reported += len(sehits)
+                for h in sehits:
+                    writer.hit(h, xms=len(sehits)) \
+                        if args.sam else writer.hit(h)
+        elif not res.hits:
+            if args.sam and not args.no_unal:
+                writer.unaligned(r1, nhits=0, paired=True,
+                                 second=False)
+                writer.unaligned(r2, nhits=0, paired=True,
+                                 second=True)
+            if any(res.se_hits):
                 stats.aligned += 1
-                stats.reported += len(res.hits)
-                xms = len(res.hits)
-                for h in res.hits:
-                    if args.sam:
-                        writer.hit(h, xms=xms)
-                    else:
-                        writer.hit(h)
-                if al_f:
-                    _dump_read(al_f, read, fmt)
+                for sehits in res.se_hits:
+                    stats.reported += len(sehits)
+                    for h in sehits:
+                        writer.hit(h, xms=len(sehits)) \
+                            if args.sam else writer.hit(h)
+            else:
+                stats.failed += 1
+                if un_f:
+                    un_f.write_pe(r1, r2)
+        else:
+            stats.aligned += 1
+            stats.reported_pairs += len(res.hits) // 2
+            xms = len(res.hits) // 2
+            for h in res.hits:
+                if args.sam:
+                    writer.hit(h, xms=xms)
+                else:
+                    writer.hit(h)
+            if al_f:
+                al_f.write_pe(r1, r2)
+
+    def emit_se(read, res):
+        stats.processed += 1
+        if metrics is not None:
+            metrics.next_read(read.codes_fw)
+            metrics.record_result(res)
+        if res.maxed and res.sampled:
+            stats.maxed += 1
+            stats.aligned += 1
+            stats.reported += 1
+            h = res.hits[0]
+            if args.sam:
+                writer.hit(h, xms=res.nbuffered + 1, mapq=0)
+            else:
+                h.oms = res.nbuffered
+                writer.hit(h)
+            if max_f:
+                max_f.write_se(read)
+        elif res.maxed:
+            # no SAM record for -m-suppressed reads (see above)
+            stats.maxed += 1
+            if max_f:
+                max_f.write_se(read)
+        elif not res.hits:
+            stats.failed += 1
+            if args.sam and not args.no_unal:
+                writer.unaligned(read, nhits=0)
+            if un_f:
+                un_f.write_se(read)
+        else:
+            stats.aligned += 1
+            stats.reported += len(res.hits)
+            xms = len(res.hits)
+            for h in res.hits:
+                if args.sam:
+                    writer.hit(h, xms=xms)
+                else:
+                    writer.hit(h)
+            if al_f:
+                al_f.write_se(read)
+
+    if paired:
+        # --12 tabbed files may mix paired (5-col) and unpaired (3-col)
+        # records; solo reads route to an SE aligner with the same
+        # policy (the reference's worker does this per read via
+        # GET_READ's bufb-empty check, ebwt_search.cpp:934)
+        se_state = [None]
+
+        def align_mixed(batch):
+            res = [None] * len(batch)
+            pair_i = [i for i, (_a, b) in enumerate(batch)
+                      if b is not None]
+            solo_i = [i for i, (_a, b) in enumerate(batch) if b is None]
+            if pair_i:
+                for i, r in zip(pair_i, aligner.align_batch(
+                        [batch[i] for i in pair_i])):
+                    res[i] = r
+            if solo_i:
+                if se_state[0] is None:
+                    se_state[0] = _build_stateful_se_aligner(
+                        args, idx, policy)
+                for i, r in zip(solo_i, se_state[0].align_batch(
+                        [batch[i][0] for i in solo_i])):
+                    res[i] = r
+            return res
+
+        for batch, results in pipelined(src.batches(batch_size),
+                                        align_mixed):
+            for (r1, r2), res in zip(batch, results):
+                if r2 is None:
+                    emit_se(r1, res)
+                else:
+                    emit_pe(r1, r2, res)
+    else:
+        for batch, results in pipelined(src.batches(batch_size),
+                                        aligner.align_batch):
+            for read, res in zip(batch, results):
+                emit_se(read, res)
     args._fallbacks = getattr(aligner, "fallbacks", None)
     return _finish(args, stats, t0, out, un_f, al_f, max_f)
 
@@ -719,20 +800,63 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
         print(f"reporter:counter:Bowtie,Paired alignments reported,"
               f"{2 * stats.reported_pairs}", file=sys.stderr)
 
-    for f in (un_f, al_f, max_f):
-        if f:
-            f.close()
+    for f in {id(x): x for x in (un_f, al_f, max_f) if x}.values():
+        f.close()
     if args.hits:
         out.close()
     return 0
 
 
-def _dump_read(f, read, fmt):
-    if fmt == "fasta":
-        f.write(b">" + read.name + b"\n" + read.seq + b"\n")
-    else:
-        f.write(b"@" + read.name + b"\n" + read.seq + b"\n+\n" +
+class _DumpStream:
+    """Lazy same-format read dump (--al/--un/--max).
+
+    Mirrors HitSink's dump machinery (hit.h:385-490): files are opened
+    on the FIRST dumped read (no file is created otherwise); paired
+    reads split into <base>_1/<base>_2 with the suffix inserted before
+    the last '.' (openOf, hit.h:629-649) — except when the pair came
+    from a single file (--12 tabbed), where the whole raw record rides
+    on mate 1.  What's written is the raw input record (readOrigBuf),
+    not a re-synthesized one."""
+
+    def __init__(self, base: str, one_pair_file: bool, fmt: str):
+        self.base = base
+        self.one = one_pair_file
+        self.fmt = fmt
+        self.f = self.f1 = self.f2 = None
+
+    def _mate_name(self, mate: int) -> str:
+        dot = self.base.rfind(".")
+        if dot == -1:
+            return f"{self.base}_{mate}"
+        return f"{self.base[:dot]}_{mate}{self.base[dot:]}"
+
+    def _rec(self, read) -> bytes:
+        if read.orig is not None:
+            return read.orig
+        if self.fmt == "fasta":
+            return b">" + read.name + b"\n" + read.seq + b"\n"
+        return (b"@" + read.name + b"\n" + read.seq + b"\n+\n" +
                 read.qual + b"\n")
+
+    def write_se(self, read):
+        if self.f is None:
+            self.f = open(self.base, "wb")
+        self.f.write(self._rec(read))
+
+    def write_pe(self, r1, r2):
+        if self.one:
+            self.write_se(r1)      # raw line holds both mates
+            return
+        if self.f1 is None:
+            self.f1 = open(self._mate_name(1), "wb")
+            self.f2 = open(self._mate_name(2), "wb")
+        self.f1.write(self._rec(r1))
+        self.f2.write(self._rec(r2))
+
+    def close(self):
+        for f in (self.f, self.f1, self.f2):
+            if f:
+                f.close()
 
 
 if __name__ == "__main__":

@@ -37,6 +37,8 @@ class ReadRecord:
     qual: bytes           # ASCII Phred+33 after conversion
     rdid: int = 0         # global read id
     mate: int = 0         # 0 = unpaired, 1/2 = mate
+    orig: bytes = None    # raw input record (readOrigBuf, read.h:42) —
+                          # captured only when dumps need it
 
     _codes_fw: np.ndarray = None
     _codes_rc: np.ndarray = None
@@ -76,6 +78,14 @@ def _open(path: str):
     return open(path, "rb")
 
 
+def _fix_mate_name(name: bytes, mate: int) -> bytes:
+    """Append /1 or /2 unless already suffixed (Read::fixMateName,
+    read.h:141-161).  Applied to EVERY paired read regardless of input
+    format — the per-read RNG seed derives from the fixed name."""
+    sfx = b"/1" if mate == 1 else b"/2"
+    return name if name[-2:] == sfx and len(name) >= 2 else name + sfx
+
+
 def _apply_trim(seq: bytes, qual: bytes, trim5: int, trim3: int):
     if trim5 or trim3:
         end = len(seq) - trim3
@@ -111,8 +121,15 @@ def convert_quals(qual: bytes, solexa: bool, phred64: bool,
     return np.clip(arr, 33, 126).astype(np.uint8).tobytes()
 
 
-def parse_fastq(path: str, use_native: bool = True,
+def parse_fastq(path: str, use_native: bool = True, keep_orig: bool = False,
                 **kw) -> Iterator[tuple[bytes, bytes, bytes]]:
+    import os
+    if os.environ.get("BOWTIE_TPU_NO_NATIVE"):
+        use_native = False
+    if keep_orig:
+        # dumps need the raw record bytes (readOrigBuf) — take the
+        # pure-Python path, which retains them
+        use_native = False
     if use_native and not path.endswith((".gz", ".bz2")) and path != "-":
         try:
             from ..native.fastq_native import parse_fastq_bytes
@@ -147,63 +164,107 @@ def parse_fastq(path: str, use_native: bool = True,
             l1 = l1.rstrip()
             if not l1:
                 continue
-            seq = f.readline().rstrip()
-            f.readline()  # '+'
-            qual = f.readline().rstrip()
-            yield l1[1:], seq, qual
+            seq_raw = f.readline()
+            plus_raw = f.readline()
+            qual_raw = f.readline()
+            seq = seq_raw.rstrip()
+            qual = qual_raw.rstrip()
+            if keep_orig:
+                # readOrigBuf: the 4 lines verbatim, '\n'-terminated
+                # (EOF interpreted as a final newline, pat.cpp:825-829)
+                orig = (l1 + b"\n" + seq + b"\n" + plus_raw.rstrip() +
+                        b"\n" + qual + b"\n")
+                yield l1[1:], seq, qual, orig
+            else:
+                yield l1[1:], seq, qual
 
 
 def parse_fasta(path: str, default_qual: int = 40 + 33,
+                keep_orig: bool = False, first_line_only: bool = False,
                 ) -> Iterator[tuple[bytes, bytes, bytes]]:
-    """FASTA reads: quality = 'I' (Phred 40) like bowtie's FASTA mode."""
-    name, chunks = None, []
+    """FASTA reads: quality = 'I' (Phred 40) like bowtie's FASTA mode.
+    With keep_orig, also yields the raw record bytes ('>' through the
+    char before the next '>', verbatim — pat.cpp:555-562).
+
+    first_line_only replicates the READS-side parser exactly: bowtie's
+    FastaPatternSource::parse consumes sequence only up to the FIRST
+    newline (pat.cpp:606-618) — multi-line FASTA reads are silently
+    truncated to their first line.  The index builder and -F k,i use
+    the full multi-line sequence (ref_read.cpp streams all lines)."""
+    name, chunks, raw = None, [], []
     with _open(path) as f:
-        for line in f:
-            line = line.rstrip()
+        for rawline in f:
+            line = rawline.rstrip()
             if line.startswith(b">"):
                 if name is not None:
                     seq = b"".join(chunks)
-                    yield name, seq, bytes([default_qual]) * len(seq)
-                name, chunks = line[1:], []
-            elif line:
-                chunks.append(line)
+                    if keep_orig:
+                        yield (name, seq, bytes([default_qual]) * len(seq),
+                               b"".join(raw))
+                    else:
+                        yield name, seq, bytes([default_qual]) * len(seq)
+                name, chunks, raw = line[1:], [], [rawline]
+            else:
+                if name is not None:
+                    raw.append(rawline)
+                if line and not (first_line_only and chunks):
+                    chunks.append(line)
         if name is not None:
             seq = b"".join(chunks)
-            yield name, seq, bytes([default_qual]) * len(seq)
+            if keep_orig:
+                yield (name, seq, bytes([default_qual]) * len(seq),
+                       b"".join(raw))
+            else:
+                yield name, seq, bytes([default_qual]) * len(seq)
 
 
-def parse_raw(path: str, start_id: int = 0,
+def parse_raw(path: str, start_id: int = 0, keep_orig: bool = False,
               ) -> Iterator[tuple[bytes, bytes, bytes]]:
     """One sequence per line; read name = ordinal (RawPatternSource)."""
     with _open(path) as f:
         for i, line in enumerate(f):
             seq = line.strip()
             if seq:
-                yield str(start_id + i).encode(), seq, b"I" * len(seq)
+                if keep_orig:
+                    yield (str(start_id + i).encode(), seq,
+                           b"I" * len(seq), seq + b"\n")
+                else:
+                    yield str(start_id + i).encode(), seq, b"I" * len(seq)
 
 
-def parse_tabbed(path: str) -> Iterator[tuple]:
+def parse_tabbed(path: str, keep_orig: bool = False) -> Iterator[tuple]:
     """--12 format: name\\tseq\\tqual (unpaired) or
-    name\\tseq1\\tqual1\\tseq2\\tqual2 (paired)."""
+    name\\tseq1\\tqual1\\tseq2\\tqual2 (paired).  With keep_orig the
+    raw line (both mates) is appended — the reference's onePairFile
+    dump writes it whole (hit.h:388-396)."""
     with _open(path) as f:
         for line in f:
             parts = line.rstrip(b"\n").split(b"\t")
             if len(parts) >= 5:
-                yield parts[0], parts[1], parts[2], parts[3], parts[4]
+                out = (parts[0], parts[1], parts[2], parts[3], parts[4])
             elif len(parts) >= 3:
-                yield parts[0], parts[1], parts[2]
+                out = (parts[0], parts[1], parts[2])
+            else:
+                continue
+            yield out + (line.rstrip(b"\n") + b"\n",) if keep_orig else out
 
 
 def parse_fasta_continuous(path: str, length: int, freq: int,
+                           keep_orig: bool = False,
                            ) -> Iterator[tuple[bytes, bytes, bytes]]:
     """-F k,i: k-mer-ize a genome: every freq-th k-mer of each sequence
     (FastaContinuousPatternSource, pat.h:594).  Read names are
-    <seqname>_<offset>."""
+    <seqname>_<offset>.  The raw record is name\\tseq with NO newline
+    (pat.cpp:710-723)."""
     for name, seq, _ in parse_fasta(path):
         short = name.split()[0]
         for start in range(0, len(seq) - length + 1, freq):
             sub = seq[start:start + length]
-            yield b"%s_%d" % (short, start), sub, b"I" * length
+            nm = b"%s_%d" % (short, start)
+            if keep_orig:
+                yield nm, sub, b"I" * length, nm + b"\t" + sub
+            else:
+                yield nm, sub, b"I" * length
 
 
 class ReadSource:
@@ -217,7 +278,8 @@ class ReadSource:
                  integer_quals: bool = False,
                  upto: int | None = None, skip: int = 0,
                  cmdline_seqs: list[str] | None = None,
-                 cont_params: tuple[int, int] | None = None):
+                 cont_params: tuple[int, int] | None = None,
+                 keep_orig: bool = False):
         self.paths = paths
         self.fmt = fmt
         self.trim5, self.trim3 = trim5, trim3
@@ -226,23 +288,41 @@ class ReadSource:
         self.upto, self.skip = upto, skip
         self.cmdline_seqs = cmdline_seqs
         self.cont_params = cont_params
+        self.keep_orig = keep_orig
 
-    def _records_raw(self) -> Iterator[tuple[bytes, bytes, bytes]]:
+    def _records_raw(self) -> Iterator[tuple]:
+        ko = self.keep_orig
         if self.fmt == "cmdline":
             for i, s in enumerate(self.cmdline_seqs or []):
-                s = s.encode()
-                yield str(i).encode(), s, b"I" * len(s)
+                # -c accepts seq or seq:quals (VectorPatternSource
+                # tokenizes on ':', pat.cpp:366-380)
+                seq, _, q = s.partition(":")
+                seq = seq.encode()
+                q = q.encode() if q else b"I" * len(seq)
+                nm = str(i).encode()
+                if ko:
+                    # raw record: ordinal\tseq\tquals, no newline
+                    yield nm, seq, q, nm + b"\t" + seq + b"\t" + q
+                else:
+                    yield nm, seq, q
             return
         for path in self.paths:
             if self.fmt == "fastq":
-                yield from parse_fastq(path)
+                # integer quals are whitespace-delimited numbers whose
+                # byte length != seq length — the native parser's
+                # layout assumption doesn't hold
+                yield from parse_fastq(
+                    path, keep_orig=ko,
+                    use_native=not self.integer_quals)
             elif self.fmt == "fasta":
-                yield from parse_fasta(path)
+                yield from parse_fasta(path, keep_orig=ko,
+                                       first_line_only=True)
             elif self.fmt == "raw":
-                yield from parse_raw(path)
+                yield from parse_raw(path, keep_orig=ko)
             elif self.fmt == "fasta_cont":
                 k, i = self.cont_params
-                yield from parse_fasta_continuous(path, k, i)
+                yield from parse_fasta_continuous(path, k, i,
+                                                  keep_orig=ko)
             else:
                 raise ValueError(f"unknown format {self.fmt}")
 
@@ -251,14 +331,19 @@ class ReadSource:
         it = itertools.islice(it, self.skip,
                               None if self.upto is None
                               else self.skip + self.upto)
-        for rdid, (name, seq, qual) in enumerate(it):
-            seq, qual = _apply_trim(seq, qual, self.trim5, self.trim3)
+        for rdid, rec in enumerate(it):
+            name, seq, qual = rec[:3]
+            orig = rec[3] if len(rec) > 3 else None
+            # convert BEFORE trimming: integer quals are a space-
+            # separated string whose element count, not byte count,
+            # must line up with the sequence
             qual = convert_quals(qual, self.solexa, self.phred64,
                                  self.integer_quals)
+            seq, qual = _apply_trim(seq, qual, self.trim5, self.trim3)
             if len(qual) < len(seq):   # pad like bowtie tolerates
                 qual = qual + b"I" * (len(seq) - len(qual))
             yield ReadRecord(name=name, seq=seq, qual=qual[:len(seq)],
-                             rdid=rdid)
+                             rdid=rdid, orig=orig)
 
     def batches(self, batch_size: int) -> Iterator[list[ReadRecord]]:
         batch: list[ReadRecord] = []
@@ -277,10 +362,11 @@ class PairedReadSource:
     interleaved FASTQ."""
 
     def __init__(self, paths1, paths2, fmt="fastq", interleaved=False,
-                 tabbed=False, upto=None, skip=0, **kw):
+                 tabbed=False, upto=None, skip=0, keep_orig=False, **kw):
         self.paths1, self.paths2 = paths1, paths2
         self.fmt, self.interleaved, self.tabbed = fmt, interleaved, tabbed
         self.upto, self.skip = upto, skip
+        self.keep_orig = keep_orig
         self.kw = kw
 
     def pairs(self) -> Iterator[tuple[ReadRecord, ReadRecord]]:
@@ -291,42 +377,64 @@ class PairedReadSource:
 
     def _pairs_raw(self) -> Iterator[tuple[ReadRecord, ReadRecord]]:
         kw = self.kw
+        ko = self.keep_orig
         if self.tabbed:
             rdid = 0
             for path in self.paths1:
-                for parts in parse_tabbed(path):
+                for parts in parse_tabbed(path, keep_orig=ko):
+                    orig = parts[-1] if ko else None
+                    if ko:
+                        parts = parts[:-1]
                     if len(parts) == 5:
                         nm, s1, q1, s2, q2 = parts
-                        yield self._mk(nm, s1, q1, rdid, 1), \
+                        # onePairFile: the whole raw line rides on
+                        # mate 1 (hit.h:388-396 dumps bufa only)
+                        yield self._mk(nm, s1, q1, rdid, 1, orig), \
                               self._mk(nm, s2, q2, rdid, 2)
-                        rdid += 1
+                    else:
+                        # --12 files mix paired (5-col) and unpaired
+                        # (3-col) records (TabbedPatternSource::parse,
+                        # pat.cpp:1017-1100); solo reads keep their
+                        # name un-suffixed
+                        nm, s1, q1 = parts
+                        yield self._mk(nm, s1, q1, rdid, 0, orig), None
+                    rdid += 1
             return
         if self.interleaved:
             rdid = 0
             for path in self.paths1:
-                it = parse_fastq(path)
+                it = parse_fastq(
+                    path, keep_orig=ko,
+                    use_native=not kw.get("integer_quals", False))
                 for r1, r2 in zip(it, it):
-                    yield self._mk(r1[0], r1[1], r1[2], rdid, 1), \
-                          self._mk(r2[0], r2[1], r2[2], rdid, 2)
+                    yield self._mk(r1[0], r1[1], r1[2], rdid, 1,
+                                   r1[3] if ko else None), \
+                          self._mk(r2[0], r2[1], r2[2], rdid, 2,
+                                   r2[3] if ko else None)
                     rdid += 1
             return
-        src1 = ReadSource(self.paths1, self.fmt, **kw)
-        src2 = ReadSource(self.paths2, self.fmt, **kw)
+        src1 = ReadSource(self.paths1, self.fmt, keep_orig=ko, **kw)
+        src2 = ReadSource(self.paths2, self.fmt, keep_orig=ko, **kw)
         for r1, r2 in zip(src1.records(), src2.records()):
             r1.mate, r2.mate = 1, 2
+            r1.name = _fix_mate_name(r1.name, 1)
+            r2.name = _fix_mate_name(r2.name, 2)
             r2.rdid = r1.rdid
             yield r1, r2
 
-    def _mk(self, name, seq, qual, rdid, mate) -> ReadRecord:
-        seq, qual = _apply_trim(seq, qual, self.kw.get("trim5", 0),
-                                self.kw.get("trim3", 0))
+    def _mk(self, name, seq, qual, rdid, mate, orig=None) -> ReadRecord:
         qual = convert_quals(qual, self.kw.get("solexa", False),
                              self.kw.get("phred64", False),
                              self.kw.get("integer_quals", False))
+        seq, qual = _apply_trim(seq, qual, self.kw.get("trim5", 0),
+                                self.kw.get("trim3", 0))
         if len(qual) < len(seq):
             qual = qual + b"I" * (len(seq) - len(qual))
-        return ReadRecord(name=name, seq=seq, qual=qual[:len(seq)],
-                          rdid=rdid, mate=mate)
+        if mate:
+            name = _fix_mate_name(name, mate)
+        return ReadRecord(name=name, seq=seq,
+                          qual=qual[:len(seq)], rdid=rdid, mate=mate,
+                          orig=orig)
 
     def batches(self, batch_size: int):
         batch = []

@@ -12,6 +12,14 @@ from typing import IO
 from ..align.types import Hit
 
 
+def _hadoop_pad(v: int, padding: int) -> str:
+    """Leading-zero pad exactly like hit.cpp:135-146: `padding` zeros
+    minus one per digit of v — which prints one EXTRA zero when v == 0
+    (the digit loop never runs), e.g. partition 0 is 11 chars wide."""
+    s = str(v)
+    return "0" * (padding - (len(s) if v > 0 else 0)) + s
+
+
 class VerboseWriter:
     def __init__(self, out: IO[bytes], refnames: list[str],
                  off_base: int = 0, full_ref: bool = False,
@@ -92,8 +100,8 @@ class VerboseWriter:
                     fields.append(v)
 
             add(self._refname(h.tidx))
-            add(str(pdiv + spill).zfill(10))
-            add(str(off).zfill(9))
+            add(_hadoop_pad(pdiv + spill, 10))
+            add(_hadoop_pad(off, 9))
             add("+" if h.fw else "-")
             add(h.aligned_seq().decode())
             add(h.aligned_quals().decode())

@@ -61,6 +61,12 @@ def parse_fastq_bytes(buf: bytes, max_read_len: int = 1024,
         view = view[int(consumed.value):]
         if int(consumed.value) == 0:
             break
+    if view.strip():
+        # the native parser stopped before consuming the whole file
+        # (malformed record, qual layout it doesn't understand, ...):
+        # return None so the caller re-parses everything in pure
+        # Python — NEVER silently truncate the read stream
+        return None
     if not total:
         return ([], [], [], np.zeros((0, max_read_len), np.uint8), [])
     allcodes = np.concatenate(out["codes"], axis=0)

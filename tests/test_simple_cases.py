@@ -1,0 +1,402 @@
+"""Declarative end-to-end cases vs the reference binary.
+
+The analog of pillar 1 of the reference's test strategy
+(scripts/test/simple_tests.pl, 1,724 LoC of inline-genome cases): a
+table of targeted CLI/edge-case runs — input formats, quality scales,
+trimming x paired-end x dump-file interactions, reporting policies —
+each executed through BOTH `bowtie_tpu.cli.align` and the compiled
+bowtie 1.3.1 binary on an index built by OUR builder.  Every produced
+artifact (hits file AND every --al/--un/--max dump file, including
+which files exist at all) must be byte-identical.
+
+The randomized harness (test_random_vs_binary.py) covers the policy
+space broadly; this table pins the interactions it can't reach —
+e.g. trimming + PE + dumps (dump files must contain the ORIGINAL
+untrimmed records), --12 single-file dumps vs _1/_2 splitting,
+-F k,i continuous reads, integer/solexa/phred64 qualities.
+
+Skipped when the oracle binary isn't present (build it with
+scripts/make_golden.sh).
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, ".oracle", "bowtie-align-s")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(ORACLE),
+                                reason="oracle binary not built")
+
+# ---------------------------------------------------------------- genome
+
+_CHARS = np.array(list("ACGT"))
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def _revcomp(s: str) -> str:
+    return "".join(_COMP[c] for c in reversed(s))
+
+
+def _make_genome():
+    """Deterministic 2-fragment genome: an N run in frag1 and a 60-bp
+    block repeated 4x (so reads from it have 4 alignments — exercises
+    -m/-M/-k/-a) in frag2."""
+    rng = np.random.default_rng(77)
+    f1 = list(_CHARS[rng.integers(0, 4, 1500)])
+    f1[700:708] = ["N"] * 8
+    f1 = "".join(f1)
+    f2 = list(_CHARS[rng.integers(0, 4, 900)])
+    rep = "".join(_CHARS[rng.integers(0, 4, 60)])
+    for start in (100, 300, 500, 700):
+        f2[start:start + 60] = list(rep)
+    f2 = "".join(f2)
+    return [("frag1 description text", f1), ("frag2", f2)], rep
+
+
+GENOME, REPEAT60 = _make_genome()
+F1, F2 = GENOME[0][1], GENOME[1][1]
+
+
+def _plant(frag: str, pos: int, ln: int, mms=(), rc=False) -> str:
+    s = list(frag[pos:pos + ln])
+    for off, ch in mms:
+        s[off] = ch
+    s = "".join(s)
+    return _revcomp(s) if rc else s
+
+
+# ------------------------------------------------------------- read sets
+
+# (name, seq, qual) with varied quality strings; qual=None -> all 'I'
+def _q(seq, lo=35, hi=70, seed=5):
+    rng = np.random.default_rng(seed + len(seq))
+    return "".join(chr(33 + int(rng.integers(lo - 33, hi - 33)))
+                   for _ in seq)
+
+
+SE_READS = [
+    ("ex_fw",   _plant(F1, 50, 36), None),
+    ("ex_rc",   _plant(F1, 200, 36, rc=True), None),
+    ("mm1",     _plant(F1, 400, 36, mms=[(18, "A" if F1[418] != "A"
+                                          else "C")]), "varied"),
+    ("mm2",     _plant(F2, 20, 36, mms=[(5, "T" if F2[25] != "T" else "G"),
+                                        (30, "A" if F2[50] != "A"
+                                         else "C")]), "varied"),
+    ("garbage", "ACGT" * 9, None),
+    ("has_n",   _plant(F1, 900, 30)[:15] + "N" +
+                _plant(F1, 900, 30)[16:], None),
+    ("short8",  _plant(F1, 1200, 8), None),
+    ("long45",  _plant(F2, 820, 45), "varied"),
+    ("rep4x",   REPEAT60[10:46], None),           # 4 alignments in frag2
+    ("rep4x_rc", _revcomp(REPEAT60[5:41]), None),
+    ("spans_n", _plant(F1, 690, 30), None),       # crosses the N run
+    ("ex_fw2",  _plant(F2, 600, 28, rc=True), "varied"),
+]
+
+
+def _fq_text(reads, plus_name=False, qshift=0):
+    out = []
+    for i, (nm, seq, q) in enumerate(reads):
+        q = _q(seq) if q == "varied" else "I" * len(seq)
+        if qshift:
+            q = "".join(chr(ord(c) + qshift) for c in q)
+        plus = "+" + nm if plus_name and i % 2 == 0 else "+"
+        out.append(f"@{nm}\n{seq}\n{plus}\n{q}\n")
+    return "".join(out)
+
+
+def _fa_text(reads, width=30):
+    out = []
+    for nm, seq, _q_ in reads:
+        lines = "\n".join(seq[i:i + width] for i in range(0, len(seq),
+                                                          width))
+        out.append(f">{nm} extra descr\n{lines}\n")
+    return "".join(out)
+
+
+def _raw_text(reads):
+    return "".join(seq + "\n" for _nm, seq, _q_ in reads)
+
+
+def _int_qual_fq_text(reads):
+    out = []
+    for nm, seq, q in reads:
+        q = _q(seq) if q == "varied" else "I" * len(seq)
+        ints = " ".join(str(ord(c) - 33) for c in q)
+        out.append(f"@{nm}\n{seq}\n+\n{ints}\n")
+    return "".join(out)
+
+
+# paired sets: FR-oriented planted pairs + edge cases
+def _pe_reads():
+    pairs = []
+    for i, (frag, pos, ins) in enumerate(
+            [(F1, 40, 120), (F1, 500, 90), (F2, 30, 180), (F1, 1000, 200),
+             (F2, 400, 150), (F1, 760, 100)]):
+        ln = 30
+        m1 = frag[pos:pos + ln]
+        m2 = _revcomp(frag[pos + ins - ln:pos + ins])
+        pairs.append((f"pr{i}", m1, m2))
+    # one mate has 1mm
+    m1 = list(F1[300:330])
+    m1[7] = "A" if m1[7] != "A" else "C"
+    pairs.append(("pr_mm", "".join(m1), _revcomp(F1[390:420])))
+    # garbage pair
+    pairs.append(("pr_bad", "AC" * 15, "GT" * 15))
+    # insert size too large for -X 250 (still fine for default)
+    pairs.append(("pr_far", F1[100:130], _revcomp(F1[560:590])))
+    # repeat-block pair (multiple concordant placements)
+    pairs.append(("pr_rep", REPEAT60[0:30],
+                  _revcomp(F2[100 + 90:100 + 120])))
+    return pairs
+
+
+PE = _pe_reads()
+
+
+def _pe_fq(which):
+    reads = [(f"{nm}/{which}", m1 if which == 1 else m2, "varied")
+             for nm, m1, m2 in PE]
+    return _fq_text(reads)
+
+
+def _tabbed_text():
+    out = []
+    for nm, m1, m2 in PE:
+        out.append(f"{nm}\t{m1}\t{_q(m1)}\t{m2}\t{_q(m2)}\n")
+    return "".join(out)
+
+
+def _tabbed_mixed_text():
+    """Paired 5-col lines interleaved with unpaired 3-col lines."""
+    out = []
+    for i, (nm, m1, m2) in enumerate(PE):
+        out.append(f"{nm}\t{m1}\t{_q(m1)}\t{m2}\t{_q(m2)}\n")
+        if i < len(SE_READS):
+            snm, sseq, sq = SE_READS[i]
+            q = _q(sseq) if sq == "varied" else "I" * len(sseq)
+            out.append(f"solo_{snm}\t{sseq}\t{q}\n")
+    return "".join(out)
+
+
+def _interleaved_text():
+    out = []
+    for nm, m1, m2 in PE:
+        out.append(f"@{nm}/1\n{m1}\n+\n{_q(m1)}\n")
+        out.append(f"@{nm}/2\n{m2}\n+\n{_q(m2)}\n")
+    return "".join(out)
+
+
+# ------------------------------------------------------------ case table
+
+# Each case: id, input spec, argument list.  Tokens AL/UN/MAX expand to
+# dump paths inside the per-run output directory; READS/M1/M2/GENOME
+# expand to input files.  Everything under the output directory is
+# byte-compared (existence + contents) between oracle and ours.
+CASES = [
+    # --- input formats x basic modes
+    ("fq_v0_k2",       "fq",   ["-v", "0", "-k", "2"]),
+    ("fq_n1_all",      "fq",   ["-n", "1", "-a"]),
+    ("fa_v1",          "fa",   ["-f", "-v", "1"]),
+    ("raw_v0",         "raw",  ["-r", "-v", "0"]),
+    ("cmdline_v1",     "c",    ["-c", "-v", "1", "-a"]),
+    ("fcont_v0",       "F",    ["-f", "-F", "25,7", "-v", "0"]),
+    ("fq_plusname_n2", "fq+",  ["-n", "2"]),
+    # --- quality scales
+    ("phred64_n2",     "fq64", ["--phred64-quals", "-n", "2", "-e",
+                                "120"]),
+    ("solexa_n2",      "fq64", ["--solexa1.3-quals", "-n", "2"]),
+    ("intq_n2",        "fqint", ["--integer-quals", "-n", "2"]),
+    # --- trimming
+    # (trim depths keep the 8-bp read >= 2 chars — deeper trims make
+    # the reference abort the whole run: "Reads must be at least 2
+    # characters long in 1-mismatch mode")
+    ("trim_v1",        "fq",   ["-5", "3", "-3", "3", "-v", "1"]),
+    ("trim_n2_e",      "fq",   ["-5", "2", "-3", "2", "-n", "2", "-e",
+                                "90"]),
+    # --- reporting policies on the repeat block
+    ("rep_m2",         "fq",   ["-v", "0", "-m", "2"]),
+    ("rep_M1",         "fq",   ["-v", "0", "-M", "1", "--best"]),
+    ("rep_k3_strata",  "fq",   ["-v", "1", "-k", "3", "--best",
+                                "--strata"]),
+    ("rep_a_best",     "fq",   ["-v", "2", "-a", "--best"]),
+    # --- output shaping
+    ("suppress_cost",  "fq",   ["-v", "1", "--suppress", "6,7",
+                                "--cost"]),
+    ("partition",      "fq",   ["-v", "0", "--partition", "400"]),
+    ("refidx_B1",      "fq",   ["-v", "0", "--refidx", "-B", "1"]),
+    ("sam_mapq_rg",    "fq",   ["-v", "1", "-S", "--mapq", "30",
+                                "--sam-RG", "ID:x", "--sam-RG",
+                                "SM:y"]),
+    ("sam_fullref",    "fq",   ["-v", "0", "-S", "--fullref",
+                                "--sam-nohead"]),
+    # --- skip/limit
+    ("skip_upto",      "fq",   ["-v", "0", "-s", "3", "-u", "5"]),
+    # --- strand filters
+    ("nofw",           "fq",   ["-v", "1", "--nofw"]),
+    ("norc_n0",        "fq",   ["-n", "0", "--norc"]),
+    # --- dumps (SE): al/un/max + original-record fidelity
+    ("se_dumps",       "fq+",  ["-v", "0", "-m", "2", "--al", "AL",
+                                "--un", "UN", "--max", "MAX"]),
+    ("se_dump_un_only", "fq",  ["-v", "0", "-m", "2", "--un", "UN"]),
+    ("se_dumps_trim",  "fq",   ["-5", "2", "-3", "3", "-n", "2",
+                                "--al", "AL", "--un", "UN"]),
+    ("se_dumps_fa",    "fa",   ["-f", "-v", "1", "--al", "AL",
+                                "--un", "UN"]),
+    ("se_dumps_raw",   "raw",  ["-r", "-v", "0", "--un", "UN"]),
+    # --- paired-end
+    ("pe_n2",          "pe",   ["-n", "2"]),
+    ("pe_v1_I_X",      "pe",   ["-v", "1", "-I", "60", "-X", "160"]),
+    ("pe_ff",          "pe",   ["--ff", "-v", "0"]),
+    ("pe_rf",          "pe",   ["--rf", "-v", "0"]),
+    ("pe_k2_m3",       "pe",   ["-v", "1", "-k", "2", "-m", "3"]),
+    ("pe_sam",         "pe",   ["-n", "1", "-S"]),
+    ("pe_nofw",        "pe",   ["-n", "0", "--nofw"]),
+    # --- paired-end dumps: _1/_2 splitting, trimming interaction
+    ("pe_dumps",       "pe",   ["-n", "2", "--al", "AL", "--un", "UN",
+                                "--max", "MAX", "-m", "2"]),
+    ("pe_dumps_trim",  "pe",   ["-5", "2", "-v", "1", "--al", "AL",
+                                "--un", "UN"]),
+    ("pe_dumps_nodot", "pe",   ["-v", "1", "--al", "ALNODOT",
+                                "--un", "UNNODOT"]),
+    # --- --12 tabbed: one-pair-file dumps stay single files
+    ("tab_n2",         "tab",  ["-n", "2"]),
+    ("tab_dumps",      "tab",  ["-v", "1", "--al", "AL", "--un", "UN"]),
+    # --- --12 mixing paired (5-col) and unpaired (3-col) records
+    ("tabmix_n2",      "tabmix", ["-n", "2"]),
+    ("tabmix_v1_best", "tabmix", ["-v", "1", "--best", "-k", "2"]),
+    ("tabmix_dumps",   "tabmix", ["-v", "0", "-m", "3", "--al", "AL",
+                                  "--un", "UN", "--max", "MAX"]),
+    # --- interleaved: splits like two-file input
+    ("il_v1",          "il",   ["-v", "1"]),
+    ("il_dumps",       "il",   ["-v", "1", "--al", "AL", "--un", "UN"]),
+    # --- misc interactions
+    ("tryhard_n3",     "fq",   ["-y", "-n", "3", "-l", "20"]),
+    ("maxbts_n2",      "fq",   ["--maxbts", "1", "-n", "2"]),
+    ("upto_dumps",     "fq",   ["-v", "0", "-u", "6", "--un", "UN",
+                                "--al", "AL"]),
+    ("seed_M",         "fq",   ["-v", "1", "-M", "1", "--best",
+                                "--seed", "77"]),
+]
+
+
+# ------------------------------------------------------------- fixtures
+
+@pytest.fixture(autouse=True)
+def _host_engines(monkeypatch):
+    """This table gates the CLI/reporting/dump surface — run it on the
+    host engines so it stays in the quick set.  Device-vs-host engine
+    equivalence is gated by the test_*_device modules and the
+    randomized harness."""
+    monkeypatch.setenv("BOWTIE_TPU_HOST_ENGINE", "1")
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("simple_cases")
+    fa = d / "genome.fa"
+    with open(fa, "w") as f:
+        for nm, seq in GENOME:
+            f.write(f">{nm}\n")
+            for i in range(0, len(seq), 60):
+                f.write(seq[i:i + 60] + "\n")
+    base = str(d / "idx")
+    from bowtie_tpu.build.builder import build_from_fasta
+    build_from_fasta([str(fa)], base)
+    inputs = {
+        "fq":    ("READS", _fq_text(SE_READS)),
+        "fq+":   ("READS", _fq_text(SE_READS, plus_name=True)),
+        "fq64":  ("READS", _fq_text(SE_READS, qshift=31)),
+        "fqint": ("READS", _int_qual_fq_text(SE_READS)),
+        "fa":    ("READS", _fa_text(SE_READS)),
+        "raw":   ("READS", _raw_text(SE_READS)),
+        "tab":   ("TAB", _tabbed_text()),
+        "tabmix": ("TAB", _tabbed_mixed_text()),
+        "il":    ("IL", _interleaved_text()),
+    }
+    files = {}
+    for key, (kind, text) in inputs.items():
+        p = d / f"in_{key}.txt"
+        with open(p, "w") as f:
+            f.write(text)
+        files[key] = (kind, str(p))
+    for which in (1, 2):
+        p = d / f"pe_{which}.fq"
+        with open(p, "w") as f:
+            f.write(_pe_fq(which))
+        files[f"pe{which}"] = ("PE", str(p))
+    return {"base": base, "genome": str(fa), "files": files}
+
+
+def _expand(case_args, infmt, env, outdir):
+    """Expand dump tokens and build (oracle_argv_tail, ours_argv)."""
+    args = []
+    for a in case_args:
+        if a in ("AL", "UN", "MAX"):
+            args.append(os.path.join(outdir, a.lower() + ".fq"))
+        elif a in ("ALNODOT", "UNNODOT"):
+            args.append(os.path.join(outdir, a.lower()))
+        else:
+            args.append(a)
+    base = env["base"]
+    out = os.path.join(outdir, "out")
+    if infmt == "pe":
+        tail = ["-1", env["files"]["pe1"][1], "-2", env["files"]["pe2"][1],
+                base, out]
+    elif infmt in ("tab", "tabmix"):
+        tail = ["--12", env["files"][infmt][1], base, out]
+    elif infmt == "il":
+        tail = ["--interleaved", env["files"]["il"][1], base, out]
+    elif infmt == "c":
+        seqs = ",".join(seq for _nm, seq, _q_ in SE_READS[:8])
+        tail = [base, seqs, out]
+    elif infmt == "F":
+        tail = [base, env["genome"], out]
+    else:
+        tail = [base, env["files"][infmt][1], out]
+    return args + tail, out
+
+
+def _tree(d):
+    out = {}
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            p = os.path.join(root, n)
+            out[os.path.relpath(p, d)] = open(p, "rb").read()
+    return out
+
+
+@pytest.mark.parametrize("cid,infmt,case_args",
+                         CASES, ids=[c[0] for c in CASES])
+def test_simple_case(cid, infmt, case_args, env, tmp_path):
+    odir = str(tmp_path / "oracle")
+    mdir = str(tmp_path / "mine")
+    os.makedirs(odir)
+    os.makedirs(mdir)
+
+    oargs, _ = _expand(case_args, infmt, env, odir)
+    r = subprocess.run([ORACLE, "--wrapper", "basic-0", *oargs],
+                       capture_output=True)
+    assert r.returncode == 0, (
+        f"oracle failed: {r.stderr.decode()[:500]}")
+
+    margs, _ = _expand(case_args, infmt, env, mdir)
+    from bowtie_tpu.cli.align import main
+    rc = main(margs)
+    assert rc in (0, None)
+
+    want, got = _tree(odir), _tree(mdir)
+    assert sorted(want) == sorted(got), (
+        f"artifact sets differ: oracle={sorted(want)} ours={sorted(got)}")
+    for name in want:
+        if name == "out" and "-S" in case_args:
+            w = b"".join(ln for ln in want[name].splitlines(True)
+                         if not ln.startswith(b"@PG"))
+            g = b"".join(ln for ln in got[name].splitlines(True)
+                         if not ln.startswith(b"@PG"))
+        else:
+            w, g = want[name], got[name]
+        assert w == g, f"{name} differs for case {cid}"
