@@ -131,6 +131,17 @@ def _int_qual_fq_text(reads):
 
 
 # paired sets: FR-oriented planted pairs + edge cases
+LONG_READS = [
+    ("lg_ex",  _plant(F1, 100, 250), None),
+    ("lg_mm2", _plant(F1, 800, 300,
+                      mms=[(50, "A" if F1[850] != "A" else "C"),
+                           (200, "G" if F1[1000] != "G" else "T")]),
+     "varied"),
+    ("lg_rc",  _plant(F2, 300, 280, rc=True), None),
+    ("lg_bad", "ACGT" * 70, None),
+]
+
+
 def _pe_reads():
     pairs = []
     for i, (frag, pos, ins) in enumerate(
@@ -280,6 +291,11 @@ CASES = [
                                 "--al", "AL"]),
     ("seed_M",         "fq",   ["-v", "1", "-M", "1", "--best",
                                 "--seed", "77"]),
+    # --- long reads (long_read.pl analog; reference caps at 1023 bp)
+    ("long_v2",        "fqlong", ["-v", "2"]),
+    ("long_n2",        "fqlong", ["-n", "2", "-e", "300"]),
+    # --- CRLF line endings
+    ("crlf_v1",        "fqcrlf", ["-v", "1"]),
 ]
 
 
@@ -312,6 +328,8 @@ def env(tmp_path_factory):
         "fq64":  ("READS", _fq_text(SE_READS, qshift=31)),
         "fqint": ("READS", _int_qual_fq_text(SE_READS)),
         "fa":    ("READS", _fa_text(SE_READS)),
+        "fqlong": ("READS", _fq_text(LONG_READS)),
+        "fqcrlf": ("READS", _fq_text(SE_READS).replace("\n", "\r\n")),
         "raw":   ("READS", _raw_text(SE_READS)),
         "tab":   ("TAB", _tabbed_text()),
         "tabmix": ("TAB", _tabbed_mixed_text()),
@@ -400,3 +418,26 @@ def test_simple_case(cid, infmt, case_args, env, tmp_path):
         else:
             w, g = want[name], got[name]
         assert w == g, f"{name} differs for case {cid}"
+
+
+# Invalid invocations must fail on both sides (args.pl analog).
+ERROR_CASES = [
+    ("v4",        ["-v", "4"]),
+    ("n5",        ["-n", "5"]),
+    ("strata_nobest", ["--strata", "-a"]),
+    ("strata_k1", ["--best", "--strata"]),
+]
+
+
+@pytest.mark.parametrize("cid,case_args", ERROR_CASES,
+                         ids=[c[0] for c in ERROR_CASES])
+def test_error_case(cid, case_args, env, tmp_path):
+    r = subprocess.run(
+        [ORACLE, "--wrapper", "basic-0", *case_args, env["base"],
+         env["files"]["fq"][1], str(tmp_path / "o.out")],
+        capture_output=True)
+    assert r.returncode != 0
+    from bowtie_tpu.cli.align import main
+    rc = main([*case_args, env["base"], env["files"]["fq"][1],
+               str(tmp_path / "m.out")])
+    assert rc not in (0, None)
