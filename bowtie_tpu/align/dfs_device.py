@@ -320,10 +320,16 @@ def _init_state(B: int, L: int, seeds, count0):
         pairs=z(B, L * 8),
         elims=z(B, L),
         # frame stack: one combined row per (lane, level) — regs,
-        # pairs rows, elims row.  A single array means ONE scatter per
-        # push and ONE gather per pop (TPU scatters have ~1 ms fixed
-        # cost each at this batch size, so fewer beats smaller).
-        stk=z(B * S_MAX, NREG + L * 8 + L),
+        # pairs rows, nibble-packed elims.  A single array means ONE
+        # scatter per push and ONE gather per pop (TPU scatters have
+        # ~1 ms fixed cost each at this batch size, so fewer beats
+        # smaller).  elims values are 4-bit, so 8 positions pack into
+        # each int32 word: for L=36 the row is 28+288+5 = 321 cols ->
+        # 384 physical lanes after (8,128) tiling instead of the 512
+        # an unpacked row (361 cols) would occupy — the push scatter
+        # full-copies this array every machine step, so -25% physical
+        # width is -25% of the dominant per-step HBM traffic.
+        stk=z(B * S_MAX, NREG + L * 8 + _elw(L)),
         sd=z(B),
         mms=z(B, S_MAX), refcs=z(B, S_MAX), mmd=z(B, S_MAX),
         # report registers (r_row/r_jumps/r_walk: walk-left resolve
@@ -358,15 +364,38 @@ def _fw_set(st, name, mask, val):
     return st
 
 
+def _elw(L: int) -> int:
+    """Packed-elims word count: 8 4-bit values per int32."""
+    return -(-L // 8)
+
+
+def _pack_elims(el):
+    """[B, L] 4-bit values -> [B, ceil(L/8)] int32 words."""
+    B, L = el.shape
+    W = _elw(L)
+    if W * 8 != L:
+        el = jnp.pad(el, ((0, 0), (0, W * 8 - L)))
+    sh = 4 * jnp.arange(8, dtype=jnp.int32)
+    return (el.reshape(B, W, 8) << sh).sum(axis=-1)
+
+
+def _unpack_elims(words, L):
+    """[B, W] int32 words -> [B, L] 4-bit values."""
+    B, W = words.shape
+    sh = 4 * jnp.arange(8, dtype=jnp.int32)
+    el = (words[:, :, None] >> sh) & 0xF
+    return el.reshape(B, W * 8)[:, :L]
+
+
 def _push_frame(st, mask):
-    """Save the current frame (registers + pairs/elims rows) to the
-    stack at slot sd — ONE row scatter."""
+    """Save the current frame (registers + pairs rows + packed elims)
+    to the stack at slot sd — ONE row scatter."""
     B = st["sd"].shape[0]
-    L = st["elims"].shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
     tgt = jnp.where(mask, row, st["stk"].shape[0])
     regs = jnp.stack([st["c_" + r] for r in REGS], axis=-1)   # [B, NREG]
-    rec = jnp.concatenate([regs, st["pairs"], st["elims"]], axis=-1)
+    rec = jnp.concatenate([regs, st["pairs"],
+                           _pack_elims(st["elims"])], axis=-1)
     st["stk"] = st["stk"].at[tgt].set(rec, mode="drop",
                                       unique_indices=True)
     return st
@@ -379,12 +408,12 @@ def _pop_frame(st, mask):
     L = st["elims"].shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
     src = jnp.where(mask, row, 0)
-    rec = st["stk"][src]                                      # [B, 388]
+    rec = st["stk"][src]                                      # [B, 321]
     for k, r in enumerate(REGS):
         st = _w(st, "c_" + r, mask, rec[:, k])
     pr = rec[:, NREG:NREG + L * 8]
     st["pairs"] = jnp.where(mask[:, None], pr, st["pairs"])
-    er = rec[:, NREG + L * 8:]
+    er = _unpack_elims(rec[:, NREG + L * 8:], L)
     st["elims"] = jnp.where(mask[:, None], er, st["elims"])
     return st
 

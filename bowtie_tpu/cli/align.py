@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-Q", "--quals", default=None,
                    help="QV files (colorspace-era; ignored, like the "
                         "reference since colorspace removal in 1.3.0)")
+    p.add_argument("--Q1", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--Q2", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--usage", action="help", help=argparse.SUPPRESS)
     # long aliases (getopt table, ebwt_search.cpp:332-428)
     p.add_argument("--khits", dest="khits", type=int)
     p.add_argument("--mhits", dest="mhits", type=int)
