@@ -22,22 +22,40 @@ from ..utils.alphabet import seq_to_codes
 OFF_MASK32 = 0xFFFFFFFF
 
 
+def kept_pattern_indices(seqs: list[np.ndarray]) -> list[int]:
+    """Indices of sequences that become patterns: the reference drops
+    empty sequences entirely and demotes all-ambiguous ones to bare
+    gap records with no name/plen entry (`rec.first && rec.len == 0 ->
+    rec.first = false`, ebwt.h:3900; verified against bowtie-build
+    1.3.1 output)."""
+    return [i for i, s in enumerate(seqs)
+            if len(s) and not bool((np.asarray(s) > 3).all())]
+
+
 def fasta_to_records(seqs: list[np.ndarray]):
     """Split each sequence into RefRecords (off=gap, len=run, first)
     exactly like fastaRefReadSizes (ref_read.cpp:206): ambiguous chars
-    become gaps between unambiguous stretches.  Vectorized run-length
-    scan (a per-character python loop would take hours at Gbp scale)."""
+    become gaps between unambiguous stretches (trailing gaps emit a
+    zero-length record).  Vectorized run-length scan (a per-character
+    python loop would take hours at Gbp scale).
+
+    Fragment refidx counts only kept patterns (see
+    kept_pattern_indices): all-ambiguous sequences contribute a
+    first=False gap record but no pattern."""
     records = []   # (off, len, first)
     frags = []     # (refidx, ref_off, codes) per unambiguous stretch
-    for ridx, codes in enumerate(seqs):
+    pat = 0        # pattern index among kept sequences
+    for codes in seqs:
         n = len(codes)
         if n == 0:
             continue
         amb = codes > 3
         if amb.all():
-            # all-ambiguous: single gap record, zero-length run
-            records.append((n, 0, True))
+            # all-ambiguous: bare gap record, first demoted, no pattern
+            records.append((n, 0, False))
             continue
+        ridx = pat
+        pat += 1
         # run boundaries: positions where ambiguity flips
         flips = np.flatnonzero(np.diff(amb.astype(np.int8))) + 1
         bounds = np.concatenate([[0], flips, [n]])
@@ -51,7 +69,9 @@ def fasta_to_records(seqs: list[np.ndarray]):
                 gap = int(bounds[k + 1]) - b0
                 k += 1
                 if k >= nb:
-                    break          # trailing gap: drop
+                    # trailing gap: zero-length record (first demoted)
+                    records.append((gap, 0, False))
+                    break
                 b0 = int(bounds[k])
             runlen = int(bounds[k + 1]) - b0
             records.append((gap, runlen, first))
@@ -60,6 +80,67 @@ def fasta_to_records(seqs: list[np.ndarray]):
             first = False
             k += 1
     return records, frags
+
+
+def reverse_ref_records(src):
+    """reverseRefRecords (ref_read.cpp:154-179): the record list of the
+    entire-reversed text — gaps and runs swap order, (off,0)+(0,len)
+    neighbors merge back into (off,len) records."""
+    cur = []
+    n = len(src)
+    for i in range(n - 1, -1, -1):
+        first = (i == n - 1) or bool(src[i + 1][2])
+        off, ln = src[i][0], src[i][1]
+        if ln:
+            cur.append((0, ln, first))
+            first = False
+        if off:
+            cur.append((off, 0, first))
+    dst = []
+    i = 0
+    while i < len(cur):
+        if i < len(cur) - 1 and cur[i][0] != 0 and not cur[i + 1][2]:
+            dst.append((cur[i][0], cur[i + 1][1], cur[i][2]))
+            i += 2
+        else:
+            dst.append(cur[i])
+            i += 1
+    return dst
+
+
+def szs_rstarts(records, plen, npat: int, entire_reverse: bool,
+                off_size: int = 4):
+    """rstarts rows from a record list (szsToDisk, ebwt.h:582-611):
+    one (joined off, seq id, fw off) row per len>0 record; for the
+    entire-reversed mirror the sequence ids invert and offsets flip to
+    forward coordinates.  A demoted all-ambiguous gap folded into the
+    next record's off makes fwoff go NEGATIVE in the reference too —
+    its release build just writes the unsigned wraparound
+    (assert_leq at ebwt.h:602 is compiled out), so we wrap
+    identically."""
+    mask = (1 << (8 * off_size)) - 1
+    rst = []
+    seq = 0
+    off = 0
+    totlen = 0
+    for r_off, r_len, first in records:
+        if r_len == 0:
+            continue
+        if first:
+            off = 0
+        off += r_off
+        if first:
+            seq += 1
+        seqm1 = seq - 1
+        fwoff = off
+        if entire_reverse:
+            seqm1 = npat - seqm1 - 1
+            fwoff = (int(plen[seqm1]) - (off + r_len)) & mask
+        rst.append((totlen, seqm1, fwoff))
+        totlen += r_len
+        off += r_len
+    dt = np.uint32 if off_size == 4 else np.uint64
+    return np.array(rst, dtype=dt).reshape(-1, 3)
 
 
 def write_ref_files(basename: str, records, frags, large: bool = False,
@@ -163,7 +244,7 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
               refnames: list[str], out1: str, out2: str,
               off_rate: int = 5, ftab_chars: int = 10,
               sa_fn=suffix_array, off_size: int = 4,
-              byteorder: str = "<"):
+              byteorder: str = "<", neg_flags: int = -1):
     """Build and write one index (.1 + .2) from joined text `s`."""
     from ..index.ebwt_io import side_geometry
     length = len(s)
@@ -208,7 +289,7 @@ def build_one(s: np.ndarray, rstarts: np.ndarray, plen: np.ndarray,
     with open(out1, "wb") as f:
         f.write(np.array([1], dtype=byteorder + "u4").tobytes())
         f.write(np.array([length], dtype=U).tobytes())
-        f.write(np.array([line_rate, 1, off_rate, ftab_chars, -1],
+        f.write(np.array([line_rate, 1, off_rate, ftab_chars, neg_flags],
                          dtype=byteorder + "i4").tobytes())
         f.write(np.array([len(plen)], dtype=U).tobytes())
         f.write(np.asarray(plen).astype(U).tobytes())
@@ -233,7 +314,7 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
                 just_ref: bool = False, byteorder: str = "<",
                 blockwise: bool = False, bmax: int | None = None,
                 bmax_divn: int = 4, dcv: int = 1024,
-                auto_mem: bool = True):
+                auto_mem: bool = True, new_reverse: bool = False):
     """Full bowtie-build: fw + mirror indexes + packed reference.
 
     seqs: list of uint8 code arrays (4 = ambiguous).
@@ -257,7 +338,11 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
     if just_ref:
         return
 
-    plen = np.array([len(x) for x in seqs], dtype=np.uint32)
+    # empty / all-ambiguous sequences are not patterns (no plen entry,
+    # no name) — they survive only as gap records in `.3`
+    kept = kept_pattern_indices(seqs)
+    names = [names[i] for i in kept]
+    plen = np.array([len(seqs[i]) for i in kept], dtype=np.uint32)
     # rstarts: (joined off, refidx, offset within ref) per fragment
     rstarts = []
     joined_off = 0
@@ -268,29 +353,41 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
     joined = np.concatenate([f[2] for f in frags]) if frags else \
         np.zeros(0, np.uint8)
 
-    def one(text, o1, o2, force_blockwise):
+    def one(text, o1, o2, force_blockwise, rst=rstarts, neg_flags=-1):
         if force_blockwise and len(text) >= 4 * dcv:
             from .blockwise import blockwise_sa_chunks
             bm = bmax if bmax is not None else \
                 max(1 << 20, len(text) // max(bmax_divn, 1))
             build_one_streaming(
                 blockwise_sa_chunks(text, bmax=bm, dcv=dcv),
-                text, rstarts, plen, names, o1, o2,
-                off_rate, ftab_chars, off_size=osz)
+                text, rst, plen, names, o1, o2,
+                off_rate, ftab_chars, off_size=osz,
+                neg_flags=neg_flags)
             return
         try:
-            build_one(text, rstarts, plen, names, o1, o2,
-                      off_rate, ftab_chars, sa_fn, off_size=osz)
+            build_one(text, rst, plen, names, o1, o2,
+                      off_rate, ftab_chars, sa_fn, off_size=osz,
+                      neg_flags=neg_flags)
         except MemoryError:
             # autoMem ladder (ebwt.h:700-799 analog): retry with the
             # bounded-memory blockwise path
             if not auto_mem:
                 raise
-            one(text, o1, o2, True)
+            one(text, o1, o2, True, rst=rst, neg_flags=neg_flags)
 
     one(joined, out_base + ".1" + ext, out_base + ".2" + ext,
         blockwise)
-    if both:
+    if both and new_reverse:
+        # --new-reverse: mirror over the ENTIRE reversed joined text
+        # (REF_READ_REVERSE, ebwt.h:653-663) — reversed record list,
+        # fw-coordinate rstarts with inverted sequence ids, and the
+        # EBWT_ENTIRE_REV flag in the header
+        rrec = reverse_ref_records(records)
+        rst_rev = szs_rstarts(rrec, plen, len(plen), True, off_size=osz)
+        one(joined[::-1].copy(), out_base + ".rev.1" + ext,
+            out_base + ".rev.2" + ext, blockwise,
+            rst=rst_rev, neg_flags=-5)
+    elif both:
         # mirror: each fragment reversed in place (REF_READ_REVERSE_EACH)
         rev = np.concatenate([f[2][::-1] for f in frags]) if frags else \
             np.zeros(0, np.uint8)
@@ -301,9 +398,18 @@ def build_index(seqs, names, out_base: str, off_rate: int = 5,
 def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):
     from ..io.readers import parse_fasta
     seqs, names = [], []
+    pending = ""
     for p in fasta_paths:
         for name, seq, _q in parse_fasta(p):
-            names.append(name.decode())
+            if len(seq) == 0:
+                # a zero-length record's name concatenates onto the
+                # next sequence's name (fastaRefReadAppend keeps
+                # appending into the same name buffer when a record
+                # has no bases; verified vs bowtie-build 1.3.1)
+                pending += name.decode()
+                continue
+            names.append(pending + name.decode())
+            pending = ""
             seqs.append(seq_to_codes(seq))
     build_index(seqs, names, out_base, **kw)
     return names
@@ -312,7 +418,7 @@ def build_from_fasta(fasta_paths: list[str], out_base: str, **kw):
 def build_one_streaming(sa_chunks, s: np.ndarray, rstarts, plen,
                         refnames, out1: str, out2: str,
                         off_rate: int = 5, ftab_chars: int = 10,
-                        off_size: int = 4):
+                        off_size: int = 4, neg_flags: int = -1):
     """Streaming buildToDisk (ebwt.h:3985-4388 never holds the BWT or
     SA in memory either): consume ordered SA chunks from
     `blockwise.blockwise_sa_chunks`, emitting side pairs / SA sample /
@@ -328,7 +434,7 @@ def build_one_streaming(sa_chunks, s: np.ndarray, rstarts, plen,
     f1 = open(out1, "wb")
     f1.write(np.array([1], dtype="<u4").tobytes())
     f1.write(np.array([length], dtype=U).tobytes())
-    f1.write(np.array([line_rate, 1, off_rate, ftab_chars, -1],
+    f1.write(np.array([line_rate, 1, off_rate, ftab_chars, neg_flags],
                       dtype="<i4").tobytes())
     f1.write(np.array([len(plen)], dtype=U).tobytes())
     f1.write(np.asarray(plen).astype(U).tobytes())

@@ -48,7 +48,7 @@ def restore_via_lf(idx: EbwtIndex) -> np.ndarray:
 
 def inspect(basename: str, names_only: bool = False,
             summary: bool = False, across: int = 60,
-            use_ebwt: bool = False, out=None):
+            use_ebwt: bool = False, extra: bool = False, out=None):
     import sys
     out = out or sys.stdout
     idx = read_ebwt(basename, load_offs=False)
@@ -57,11 +57,32 @@ def inspect(basename: str, names_only: bool = False,
             out.write(n + "\n")
         return
     if summary:
-        out.write(f"Flags\t{1}\n")
+        # print_index_summary (bowtie_inspect.cpp:352-404); the Flags
+        # lines appear only with --extra
+        if extra:
+            rev = read_ebwt(basename + ".rev", load_offs=False)
+            out.write(f"Flags\t{idx.flags}\n")
+            out.write(f"Reverse flags\t{rev.flags}\n")
+            er = rev.entire_reverse
+            out.write(f"Concat then reverse\t{1 if er else 0}\n")
+            out.write(f"Reverse then concat\t{0 if er else 1}\n")
+            recs, _ = read_bitpair_reference(basename)
+            # numRefs counts first-records; a ref is non-gap iff its
+            # first record has len > 0 (reference.h:148-176)
+            num_refs = sum(1 for r in recs if r[2])
+            non_gap = sum(1 for r in recs if r[2] and r[1] > 0)
+            out.write(f"nPat\t{idx.npat}\n")
+            out.write(f"refnames.size()\t{len(idx.refnames)}\n")
+            out.write(f"refs.numRefs()\t{num_refs}\n")
+            out.write(f"refs.numNonGapRefs()\t{non_gap}\n")
         out.write(f"SA-Sample\t1 in {1 << idx.off_rate}\n")
         out.write(f"FTab-Chars\t{idx.ftab_chars}\n")
         for i, n in enumerate(idx.refnames):
             out.write(f"Sequence-{i + 1}\t{n}\t{idx.plen[i]}\n")
+        if extra:
+            out.write("RefRecords:\n")
+            for off, ln, first in recs:
+                out.write(f"{1 if first else 0}\t({off}, {ln})\n")
         return
     if use_ebwt:
         joined = restore_via_lf(idx)
@@ -70,7 +91,7 @@ def inspect(basename: str, names_only: bool = False,
         seqs = _joined_to_refs(idx, joined)
     else:
         recs, packed = read_bitpair_reference(basename)
-        seqs = unpack_reference(recs, packed)
+        seqs = unpack_reference(recs, packed, plen=idx.plen)
     for i, codes in enumerate(seqs):
         name = idx.refnames[i] if i < len(idx.refnames) else str(i)
         out.write(f">{name}\n")

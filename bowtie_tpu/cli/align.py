@@ -322,7 +322,7 @@ def main(argv=None) -> int:
         g_fw = golden_cached(args.ebwt_base, idx)
         g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
         recs, packed = read_bitpair_reference(args.ebwt_base)
-        refs = unpack_reference(recs, packed)
+        refs = unpack_reference(recs, packed, plen=idx.plen)
         m1fw, m2fw = True, False          # --fr default
         if args.ff:
             m1fw, m2fw = True, True

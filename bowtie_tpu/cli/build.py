@@ -69,11 +69,32 @@ def main(argv=None) -> int:
     p.add_argument("--wrapper", default=None, help=argparse.SUPPRESS)
     p.add_argument("--version", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-n", "--noblocks", default=None,
+                   help="one SA block (reference sets bmax=0xfffffffe;"
+                        " the in-memory build here)")
+    p.add_argument("-l", "--linerate", type=int, default=None,
+                   help="side geometry (only the default is supported)")
+    p.add_argument("-i", "--linesperside", type=int, default=None,
+                   help="side geometry (only the default is supported)")
+    p.add_argument("--new-reverse", action="store_true",
+                   help="mirror index = entire joined text reversed "
+                        "(REF_READ_REVERSE) instead of each fragment "
+                        "reversed in place")
+    p.add_argument("--usage", action="help", help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
     if args.version:
         print("bowtie-tpu-build (compatible with bowtie-build 1.3.1)")
         return 0
+    default_lr = 7 if args.large_index else 6
+    if ((args.linerate is not None and args.linerate != default_lr) or
+            (args.linesperside is not None and args.linesperside != 1)):
+        print("Error: non-default -l/--linerate / -i/--linesperside "
+              "side geometries are not supported by bowtie-tpu-build",
+              file=sys.stderr)
+        return 1
+    if args.noblocks is not None:
+        args.entiresa = True
 
     from ..build import builder
     from ..build.sa import suffix_array, suffix_array_jax
@@ -93,7 +114,7 @@ def main(argv=None) -> int:
               just_ref=args.justref, byteorder=byteorder,
               blockwise=blockwise, bmax=args.bmax,
               bmax_divn=args.bmaxdivn, dcv=args.dcv,
-              auto_mem=not args.noauto)
+              auto_mem=not args.noauto, new_reverse=args.new_reverse)
     if args.cmdline:
         from ..utils.alphabet import seq_to_codes
         seqs = [seq_to_codes(s) for s in args.reference_in.split(",")]

@@ -76,6 +76,7 @@ class EbwtIndex:
     rstarts: np.ndarray       # [nFrag, 3] (joined off, refidx, off in ref)
     refnames: list[str] = field(default_factory=list)
     # search structures
+    flags: int = 1            # negated stored value (1 | 4 entire-rev)
     zoff: int = 0             # row of '$' in the BWT
     fchr: np.ndarray = None   # [5] cumulative counts; fchr[c] = rows < char c
     ftab: np.ndarray = None   # raw ftab (may hold eftab escapes)
@@ -262,6 +263,7 @@ def read_ebwt(basename: str, load_offs: bool = True) -> EbwtIndex:
         length=length, line_rate=int(line_rate),
         lines_per_side=int(lines_per_side), off_rate=int(off_rate),
         ftab_chars=int(ftab_chars), entire_reverse=entire_reverse,
+        flags=flags,
         npat=npat, plen=plen, nfrag=nfrag, rstarts=rstarts,
         refnames=refnames, zoff=zoff, fchr=fchr, ftab=ftab, eftab=eftab,
         offs=offs, bwt=bwt, off_size=osz,
@@ -320,28 +322,41 @@ def read_bitpair_reference(basename: str):
     return records, packed
 
 
-def unpack_reference(records, packed) -> list[np.ndarray]:
+def unpack_reference(records, packed, plen=None) -> list[np.ndarray]:
     """Expand (records, packed) into per-reference code arrays with Ns (=4).
 
     Mirrors BitPairReference::getBase (reference.h:386-416): each
     record contributes `off` leading ambiguous chars then `len`
     unambiguous 2-bit chars taken contiguously from the packed buffer.
+    Zero-length records (trailing gaps, demoted all-ambiguous
+    sequences) contribute nothing to any reference's length
+    (reference.h:194-197: cumlen skips them).  With `plen` (the .1
+    header lengths) each reference is N-padded out to its full plen —
+    the getStretch view, which reads N past the stored stretches.
     """
     all_codes = _BYTE_TO_CODES[packed].reshape(-1)
     refs: list[np.ndarray] = []
     cur: list[np.ndarray] = []
+    started = False
     buf_off = 0
     for off, ln, first in records:
         if first:
-            if cur:
+            if started:
                 refs.append(np.concatenate(cur) if cur else
                             np.zeros(0, dtype=np.uint8))
             cur = []
-        if off:
-            cur.append(np.full(off, 4, dtype=np.uint8))
+            started = True
         if ln:
+            if off:
+                cur.append(np.full(off, 4, dtype=np.uint8))
             cur.append(all_codes[buf_off:buf_off + ln])
             buf_off += ln
-    if cur:
-        refs.append(np.concatenate(cur))
+    if started:
+        refs.append(np.concatenate(cur) if cur else
+                    np.zeros(0, dtype=np.uint8))
+    if plen is not None:
+        refs = [np.concatenate([r, np.full(int(pl) - len(r), 4,
+                                           dtype=np.uint8)])
+                if len(r) < int(pl) else r
+                for r, pl in zip(refs, plen)]
     return refs

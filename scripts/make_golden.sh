@@ -42,6 +42,16 @@ if [ ! -x .oracle/bowtie-build-l ]; then
     $R/shmem.cpp $R/edit.cpp $R/ebwt.cpp $R/bt2_locks.cpp $R/tinythread.cpp \
     $R/bowtie_build_main.cpp -lpthread -lz
 fi
+if [ ! -x .oracle/bowtie-inspect-s ]; then
+  g++ -O3 -m64 -fno-strict-aliasing -DBOWTIE_VERSION='"1.3.1"' \
+    -DBUILD_HOST='"x"' -DBUILD_TIME='"x"' -DCOMPILER_VERSION='"g++"' \
+    -DCOMPILER_OPTIONS='"x"' -D_LARGEFILE_SOURCE -D_FILE_OFFSET_BITS=64 \
+    -D_GNU_SOURCE -DBOWTIE_PTHREADS -DNDEBUG -Wall \
+    -I$R -o .oracle/bowtie-inspect-s \
+    $R/bowtie_inspect.cpp $R/ccnt_lut.cpp $R/ref_read.cpp $R/alphabet.cpp \
+    $R/shmem.cpp $R/edit.cpp $R/ebwt.cpp $R/bt2_locks.cpp $R/tinythread.cpp \
+    -lpthread -lz
+fi
 
 IDX=$R/indexes/e_coli
 RD=$R/reads/e_coli_1000.fq

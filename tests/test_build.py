@@ -172,3 +172,88 @@ def test_build_flag_parity(tmp_path, flags, exts):
         skipped = set(EXTS) - set(exts)
         for ext in skipped:
             assert not os.path.exists(my_base + ext), ext
+
+
+EDGE_GENOMES = {
+    # trailing Ns become a zero-length trailing RefRecord in `.3`
+    "trailing_n": ">a\nACGTACGTACGTACGTACGTNNNNN\n"
+                  ">b\nNNNNACGTACGTACGTACGTACGTGGGG\n",
+    # an all-N sequence is demoted to a bare gap record: no name, no
+    # plen entry, first=0 (ebwt.h:3900 normalization)
+    "all_n_seq": ">x\nACGTACGTACGTACGTACGT\n>allN\nNNNNNNNN\n"
+                 ">y\nTTTTGGGGCCCCAAAATTTT\n",
+    # a zero-length record's name concatenates onto the next
+    # sequence's name (fastaRefReadAppend quirk)
+    "empty_seq": ">e\n\n>x\nACGTACGTACGTACGTACGT\n",
+    "leading_all_n": ">nstart\nNNNN\n>x\nACGTACGTACGTACGTACGT\n",
+}
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE_BUILD),
+                    reason="oracle builder not built")
+@pytest.mark.parametrize("name", sorted(EDGE_GENOMES))
+def test_build_edge_genomes(tmp_path, name):
+    """Degenerate reference inputs must build byte-identically."""
+    import subprocess
+    from bowtie_tpu.cli.build import main as build_main
+    fa = tmp_path / "g.fa"
+    fa.write_text(EDGE_GENOMES[name])
+    ref_base = str(tmp_path / "ref")
+    my_base = str(tmp_path / "mine")
+    subprocess.run([ORACLE_BUILD, str(fa), ref_base],
+                   check=True, capture_output=True)
+    assert build_main(["-q", str(fa), my_base]) == 0
+    for ext in EXTS:
+        assert (open(my_base + ext, "rb").read() ==
+                open(ref_base + ext, "rb").read()), ext
+
+
+@pytest.mark.skipif(not os.path.exists(ORACLE_BUILD),
+                    reason="oracle builder not built")
+@pytest.mark.parametrize("genome", ["plain", "all_n_seq"])
+def test_build_new_reverse(tmp_path, genome):
+    """--new-reverse (REF_READ_REVERSE): the mirror index over the
+    entire reversed text — reversed records, inverted rstarts, the
+    EBWT_ENTIRE_REV flag, and even the reference's release-mode
+    unsigned-wraparound fwoff quirk on demoted all-N gaps — must be
+    byte-identical; and ALIGNING against that index must match too."""
+    import subprocess
+    from bowtie_tpu.cli.build import main as build_main
+    texts = {
+        "plain": ">a\n" + "ACGTTTGACAGGCCTTAAGC" * 10 + "\n"
+                 ">b\n" + "TTGACCGGTTAACCGGTACG" * 8 + "\n",
+        "all_n_seq": ">x\nACGTACGTACGTACGTACGT\n>allN\nNNNNNNNN\n"
+                     ">y\nTTTTGGGGCCCCAAAATTTT\n",
+    }
+    fa = tmp_path / "g.fa"
+    fa.write_text(texts[genome])
+    ref_base = str(tmp_path / "ref")
+    my_base = str(tmp_path / "mine")
+    subprocess.run([ORACLE_BUILD, "--new-reverse", str(fa), ref_base],
+                   check=True, capture_output=True)
+    assert build_main(["--new-reverse", "-q", str(fa), my_base]) == 0
+    for ext in EXTS:
+        assert (open(my_base + ext, "rb").read() ==
+                open(ref_base + ext, "rb").read()), ext
+    # align a planted read against the new-reverse index with the host
+    # engine: offsets must come out in fw coordinates
+    seq = texts[genome].splitlines()[1][40:70] or "ACGTACGTACGTACGTACGT"
+    reads = tmp_path / "r.fq"
+    reads.write_text(f"@q\n{seq}\n+\n{'I' * len(seq)}\n")
+    oracle_align = os.path.join(os.path.dirname(HERE), ".oracle",
+                                "bowtie-align-s")
+    if os.path.exists(oracle_align):
+        r = subprocess.run([oracle_align, "--wrapper", "basic-0",
+                            "-n", "1", my_base, str(reads),
+                            str(tmp_path / "o.out")],
+                           capture_output=True)
+        assert r.returncode == 0
+        from bowtie_tpu.cli.align import main as align_main
+        os.environ["BOWTIE_TPU_HOST_ENGINE"] = "1"
+        try:
+            assert align_main(["-n", "1", my_base, str(reads),
+                               str(tmp_path / "m.out")]) in (0, None)
+        finally:
+            os.environ.pop("BOWTIE_TPU_HOST_ENGINE", None)
+        assert (open(tmp_path / "m.out", "rb").read() ==
+                open(tmp_path / "o.out", "rb").read())
