@@ -20,6 +20,25 @@ from ..utils.rng import BtRandom
 INF32 = 0xFFFFFFFF
 
 
+def _trim_adjusted_insert(minins, maxins, rd1, rd2, fw1, fw2):
+    """-I/-X apply to the RAW reads: shrink the limits by the trimming
+    applied to each mate's outer end (resolveOutstandingInRef,
+    aligner.h:983-999)."""
+    if fw1:
+        minins = max(0, minins - rd1.trimmed5)
+        maxins = max(0, maxins - rd1.trimmed5)
+    else:
+        minins = max(0, minins - rd1.trimmed3)
+        maxins = max(0, maxins - rd1.trimmed3)
+    if fw2:
+        minins = max(0, minins - rd2.trimmed3)
+        maxins = max(0, maxins - rd2.trimmed3)
+    else:
+        minins = max(0, minins - rd2.trimmed5)
+        maxins = max(0, maxins - rd2.trimmed5)
+    return minins, maxins
+
+
 class RefAlignerPy:
     """RefAligner::find family: scan a window for the outstanding mate,
     zig-zag outward from the middle, first `num_to_find` hits win.
@@ -349,7 +368,9 @@ class PairedBestAligner:
         ofw = fwR if anchor_is_left else fwL
         qlen = len(orr.seq)
         alen = len(ar.seq)
-        minins, maxins = self.minins, self.maxins
+        minins, maxins = _trim_adjusted_insert(
+            self.minins, self.maxins, self.rd1, self.rd2,
+            self.fw1, self.fw2)
         if maxins <= max(qlen, alen):
             return False
         reflen = len(self.refs[tidx])
@@ -710,7 +731,9 @@ class PairedBestAlignerV2:
         qual = orr.qual if fw else orr.qual[::-1]
         qlen = len(orr.seq)
         alen = len(ar.seq)
-        minins, maxins = self.minins, self.maxins
+        minins, maxins = _trim_adjusted_insert(
+            self.minins, self.maxins, self.rd1, self.rd2,
+            self.fw1, self.fw2)
         if maxins <= max(qlen, alen):
             return False
         tidx, toff = off

@@ -39,6 +39,8 @@ class ReadRecord:
     mate: int = 0         # 0 = unpaired, 1/2 = mate
     orig: bytes = None    # raw input record (readOrigBuf, read.h:42) —
                           # captured only when dumps need it
+    trimmed5: int = 0     # chars actually removed by -5 (read.h:42)
+    trimmed3: int = 0     # chars actually removed by -3
 
     _codes_fw: np.ndarray = None
     _codes_rc: np.ndarray = None
@@ -87,10 +89,14 @@ def _fix_mate_name(name: bytes, mate: int) -> bytes:
 
 
 def _apply_trim(seq: bytes, qual: bytes, trim5: int, trim3: int):
-    if trim5 or trim3:
-        end = len(seq) - trim3
-        seq, qual = seq[trim5:end], qual[trim5:end]
-    return seq, qual
+    """Returns (seq, qual, t5, t3) where t5/t3 are the amounts
+    actually removed (Read.trimmed5/trimmed3, pat.cpp:620-622)."""
+    if not (trim5 or trim3):
+        return seq, qual, 0, 0
+    t5 = min(trim5, len(seq))
+    t3 = min(trim3, len(seq) - t5)
+    end = len(seq) - t3
+    return seq[t5:end], qual[t5:end], t5, t3
 
 
 def _solexa_to_phred_table() -> np.ndarray:
@@ -339,11 +345,13 @@ class ReadSource:
             # must line up with the sequence
             qual = convert_quals(qual, self.solexa, self.phred64,
                                  self.integer_quals)
-            seq, qual = _apply_trim(seq, qual, self.trim5, self.trim3)
+            seq, qual, t5, t3 = _apply_trim(seq, qual, self.trim5,
+                                            self.trim3)
             if len(qual) < len(seq):   # pad like bowtie tolerates
                 qual = qual + b"I" * (len(seq) - len(qual))
             yield ReadRecord(name=name, seq=seq, qual=qual[:len(seq)],
-                             rdid=rdid, orig=orig)
+                             rdid=rdid, orig=orig,
+                             trimmed5=t5, trimmed3=t3)
 
     def batches(self, batch_size: int) -> Iterator[list[ReadRecord]]:
         batch: list[ReadRecord] = []
@@ -426,15 +434,16 @@ class PairedReadSource:
         qual = convert_quals(qual, self.kw.get("solexa", False),
                              self.kw.get("phred64", False),
                              self.kw.get("integer_quals", False))
-        seq, qual = _apply_trim(seq, qual, self.kw.get("trim5", 0),
-                                self.kw.get("trim3", 0))
+        seq, qual, t5, t3 = _apply_trim(seq, qual,
+                                        self.kw.get("trim5", 0),
+                                        self.kw.get("trim3", 0))
         if len(qual) < len(seq):
             qual = qual + b"I" * (len(seq) - len(qual))
         if mate:
             name = _fix_mate_name(name, mate)
         return ReadRecord(name=name, seq=seq,
                           qual=qual[:len(seq)], rdid=rdid, mate=mate,
-                          orig=orig)
+                          orig=orig, trimmed5=t5, trimmed3=t3)
 
     def batches(self, batch_size: int):
         batch = []

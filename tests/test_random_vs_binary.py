@@ -112,7 +112,31 @@ def _random_policy(rng):
             args += ["-M", "1"]
     if rng.random() < 0.3:
         args += ["-S", "--sam-nohead"]
+    if rng.random() < 0.25:
+        args += ["-5", str(int(rng.integers(1, 4)))]
+    if rng.random() < 0.25:
+        args += ["-3", str(int(rng.integers(1, 4)))]
     return args
+
+
+def _dump_flags(rng):
+    """Randomly chosen --al/--un/--max dumps — every produced file is
+    byte-compared (reconcile_alignments.pl analog)."""
+    return [f for f in ("--al", "--un", "--max") if rng.random() < 0.35]
+
+
+def _dump_args(flags, outdir):
+    return [x for f in flags
+            for x in (f, os.path.join(outdir, f[2:] + ".fq"))]
+
+
+def _tree(d):
+    out = {}
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            p = os.path.join(root, n)
+            out[os.path.relpath(p, d)] = open(p, "rb").read()
+    return out
 
 
 @pytest.mark.parametrize("seed", range(12))
@@ -125,15 +149,25 @@ def test_random_case_matches_binary(seed, tmp_path):
     from bowtie_tpu.build.builder import build_from_fasta
     build_from_fasta([fasta], base)
     args = _random_policy(rng)
-    ref_out = os.path.join(tmp, "ref.out")
-    subprocess.run([ORACLE, "--wrapper", "basic-0", *args, base, reads,
-                    ref_out], check=True, capture_output=True)
-    my_out = os.path.join(tmp, "my.out")
+    dumps = _dump_flags(rng)
+    odir = os.path.join(tmp, "o")
+    mdir = os.path.join(tmp, "m")
+    os.makedirs(odir)
+    os.makedirs(mdir)
+    subprocess.run([ORACLE, "--wrapper", "basic-0", *args,
+                    *_dump_args(dumps, odir), base, reads,
+                    os.path.join(odir, "out")],
+                   check=True, capture_output=True)
     from bowtie_tpu.cli.align import main
-    rc = main([*args, base, reads, my_out])
+    rc = main([*args, *_dump_args(dumps, mdir), base, reads,
+               os.path.join(mdir, "out")])
     assert rc in (0, None)
-    assert open(my_out, "rb").read() == open(ref_out, "rb").read(), \
-        f"output differs for args={args}"
+    want, got = _tree(odir), _tree(mdir)
+    assert sorted(want) == sorted(got), \
+        f"artifact sets differ for args={args}"
+    for name in want:
+        assert want[name] == got[name], \
+            f"{name} differs for args={args}"
 
 
 def _random_pairs(rng, fasta, tmp, npairs=40):
@@ -193,13 +227,27 @@ def test_random_paired_matches_binary(seed, tmp_path):
         args += ["-k", str(int(rng.integers(1, 3)))]
     if rng.random() < 0.3:
         args += ["--best"]
-    ref_out = os.path.join(tmp, "ref.out")
+    if rng.random() < 0.2:
+        args += ["--rf"] if rng.random() < 0.5 else ["--ff"]
+    if rng.random() < 0.2:
+        args += ["-5", str(int(rng.integers(1, 3)))]
+    dumps = _dump_flags(rng)
+    odir = os.path.join(tmp, "o")
+    mdir = os.path.join(tmp, "m")
+    os.makedirs(odir)
+    os.makedirs(mdir)
     subprocess.run([ORACLE, "--wrapper", "basic-0", *args,
-                    "-1", m1, "-2", m2, base, ref_out],
+                    *_dump_args(dumps, odir),
+                    "-1", m1, "-2", m2, base,
+                    os.path.join(odir, "out")],
                    check=True, capture_output=True)
-    my_out = os.path.join(tmp, "my.out")
     from bowtie_tpu.cli.align import main
-    rc = main([*args, "-1", m1, "-2", m2, base, my_out])
+    rc = main([*args, *_dump_args(dumps, mdir),
+               "-1", m1, "-2", m2, base, os.path.join(mdir, "out")])
     assert rc in (0, None)
-    assert open(my_out, "rb").read() == open(ref_out, "rb").read(), \
-        f"paired output differs for args={args}"
+    want, got = _tree(odir), _tree(mdir)
+    assert sorted(want) == sorted(got), \
+        f"paired artifact sets differ for args={args}"
+    for name in want:
+        assert want[name] == got[name], \
+            f"paired {name} differs for args={args}"

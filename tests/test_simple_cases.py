@@ -271,6 +271,12 @@ CASES = [
                                 "--max", "MAX", "-m", "2"]),
     ("pe_dumps_trim",  "pe",   ["-5", "2", "-v", "1", "--al", "AL",
                                 "--un", "UN"]),
+    # trimming shrinks the effective -I/-X window (the raw-read insert
+    # constraint, aligner.h:983-999): pairs right at the -X edge must
+    # be rejected identically
+    ("pe_trim_insert", "pe",   ["-5", "1", "-3", "1", "-v", "2",
+                                "--best", "-I", "85", "-X", "121"]),
+    ("pe_trim_insert_v1", "pe", ["-5", "2", "-n", "1", "-X", "122"]),
     ("pe_dumps_nodot", "pe",   ["-v", "1", "--al", "ALNODOT",
                                 "--un", "UNNODOT"]),
     # --- --12 tabbed: one-pair-file dumps stay single files
