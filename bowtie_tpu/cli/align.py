@@ -563,14 +563,16 @@ def _run(args, argv, idx, policy, aligner, paired, fmt, cont):
     refnames = ([str(i) for i in range(idx.npat)] if args.refidx
                 else idx.refnames)
     if args.sam:
-        writer = SamWriter(out, refnames, idx.plen.tolist(),
+        # --refidx SAM keeps real names in @SQ but indices in records
+        writer = SamWriter(out, idx.refnames, idx.plen.tolist(),
                            mapq=args.mapq, full_ref=args.fullref,
                            no_qname_trunc=args.no_qname_trunc,
                            sam_nohead=args.sam_nohead,
                            sam_nosq=args.sam_nosq,
                            cmdline=" ".join(argv or sys.argv[1:]),
                            rgline=("\t".join(args.sam_RG)
-                                   if args.sam_RG else None))
+                                   if args.sam_RG else None),
+                           refidx=args.refidx)
     else:
         suppress = (set(int(x) for x in args.suppress.split(","))
                     if args.suppress else set())

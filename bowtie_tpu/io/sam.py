@@ -43,7 +43,7 @@ class SamWriter:
                  mapq: int = 255, full_ref: bool = False,
                  no_qname_trunc: bool = False, sam_nohead: bool = False,
                  sam_nosq: bool = False, cmdline: str = "",
-                 rgline: str | None = None):
+                 rgline: str | None = None, refidx: bool = False):
         self.out = out
         self.refnames = refnames
         self.mapq = mapq
@@ -51,6 +51,13 @@ class SamWriter:
         self.no_qname_trunc = no_qname_trunc
         if not sam_nohead:
             self._headers(reflens, sam_nosq, cmdline, rgline)
+        if refidx:
+            # --refidx: records print reference INDICES while the @SQ
+            # headers above keep the real names — the reference skips
+            # name loading for the search (ebwt_search.cpp:1348
+            # loadIntoMemory(-1, !noRefNames, ...)) but reads them
+            # separately for header emission
+            self.refnames = []
 
     def _headers(self, reflens, nosq, cmdline, rgline):
         w = self.out.write

@@ -94,6 +94,7 @@ SE_READS = [
     ("rep4x_rc", _revcomp(REPEAT60[5:41]), None),
     ("spans_n", _plant(F1, 690, 30), None),       # crosses the N run
     ("ex_fw2",  _plant(F2, 600, 28, rc=True), "varied"),
+    ("all_n",   "N" * 25, None),
 ]
 
 
@@ -302,6 +303,19 @@ CASES = [
     ("long_n2",        "fqlong", ["-n", "2", "-e", "300"]),
     # --- CRLF line endings
     ("crlf_v1",        "fqcrlf", ["-v", "1"]),
+    # --- multi-file inputs (comma-separated lists)
+    ("multifile_se",   "fq2",   ["-v", "1"]),
+    ("multifile_pe",   "pe2",   ["-n", "1"]),
+    # --- SAM shaping
+    ("sam_unal_pe",    "pe",    ["-v", "0", "-S", "--sam-nohead"]),
+    ("sam_refidx",     "fq",    ["-v", "1", "-S", "--refidx"]),
+    # --- policy knobs
+    ("e_tight",        "fq",    ["-n", "2", "-e", "40"]),
+    ("l_short_seed",   "fq",    ["-n", "2", "-l", "15"]),
+    ("nomaqround",     "fq",    ["-n", "2", "--nomaqround"]),
+    ("norc_all",       "fq",    ["-v", "1", "--norc", "-a"]),
+    ("skip_pe",        "pe",    ["-v", "0", "-s", "2", "-u", "4"]),
+    ("best_k2_v3",     "fq",    ["-v", "3", "-k", "2", "--best"]),
 ]
 
 
@@ -352,6 +366,20 @@ def env(tmp_path_factory):
         with open(p, "w") as f:
             f.write(_pe_fq(which))
         files[f"pe{which}"] = ("PE", str(p))
+    # split fixtures for comma-separated multi-file inputs
+    se_txt = _fq_text(SE_READS)
+    recs = se_txt.splitlines(keepends=True)
+    half = (len(recs) // 8 // 2) * 4
+    (d / "in_fq_a.txt").write_text("".join(recs[:half]))
+    (d / "in_fq_b.txt").write_text("".join(recs[half:]))
+    files["fq2"] = ("READS", f"{d}/in_fq_a.txt,{d}/in_fq_b.txt")
+    for which in (1, 2):
+        txt = _pe_fq(which).splitlines(keepends=True)
+        h = (len(txt) // 8 // 2) * 4
+        (d / f"pe{which}_a.fq").write_text("".join(txt[:h]))
+        (d / f"pe{which}_b.fq").write_text("".join(txt[h:]))
+        files[f"pe{which}x2"] = (
+            "PE", f"{d}/pe{which}_a.fq,{d}/pe{which}_b.fq")
     return {"base": base, "genome": str(fa), "files": files}
 
 
@@ -370,6 +398,9 @@ def _expand(case_args, infmt, env, outdir):
     if infmt == "pe":
         tail = ["-1", env["files"]["pe1"][1], "-2", env["files"]["pe2"][1],
                 base, out]
+    elif infmt == "pe2":
+        tail = ["-1", env["files"]["pe1x2"][1],
+                "-2", env["files"]["pe2x2"][1], base, out]
     elif infmt in ("tab", "tabmix"):
         tail = ["--12", env["files"][infmt][1], base, out]
     elif infmt == "il":
