@@ -108,7 +108,7 @@ def bench_aligner(make, reads, total, batch):
 
 
 def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
-             ITERS=4, v1_n=16384):
+             ITERS=4, v1_n=16384, n2_n=8192):
     """hg-scale benchmark: exact search + walk-left resolve against a
     ~3 Gbp synthetic genome index in the compact device layout
     (occ checkpoints every 128 rows + packed 2-bit BWT + 2^offRate SA
@@ -178,7 +178,15 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     nn = len(al.align_batch(recs[:v1_n]))
     v1_rate = nn / (time.time() - t0)
 
-    return (B * ITERS) / dt, v1_rate, idx.length, hbm
+    # -n 2 (the default mode) at hg scale on the compact layout
+    from bowtie_tpu.align.n_device import DeviceNAligner
+    al2 = DeviceNAligner(idx, idx_bw, KPolicy(1, INF), compact=True)
+    al2.align_batch(recs[n2_n:2 * n2_n])     # warm-up / compile
+    t0 = time.time()
+    nn = len(al2.align_batch(recs[:n2_n]))
+    n2_rate = nn / (time.time() - t0)
+
+    return (B * ITERS) / dt, v1_rate, n2_rate, idx.length, hbm
 
 
 def main():
@@ -274,7 +282,7 @@ def main():
     # hg-scale exact (compact layout) when the synthetic index exists
     hg = bench_hg()
     if hg is not None:
-        r, v1r, glen, hbm = hg
+        r, v1r, n2r, glen, hbm = hg
         modes["hg_exact"] = _emit(
             f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp synthetic"
             f" genome, compact layout, {hbm/1e9:.2f} GB HBM)", r,
@@ -282,6 +290,9 @@ def main():
         modes["hg_v1"] = _emit(
             f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f} "
             "Gbp synthetic genome, compact layout)", v1r)
+        modes["hg_n2"] = _emit(
+            f"hg-scale -n 2 end-to-end reads/s/chip ({glen/1e9:.2f} "
+            "Gbp synthetic genome, compact layout)", n2r)
 
     # summary line: flagship value + all modes
     print(json.dumps({
