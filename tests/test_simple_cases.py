@@ -306,6 +306,9 @@ CASES = [
     # --- multi-file inputs (comma-separated lists)
     ("multifile_se",   "fq2",   ["-v", "1"]),
     ("multifile_pe",   "pe2",   ["-n", "1"]),
+    # --- gzipped inputs
+    ("gz_se",          "fqgz",  ["-n", "2"]),
+    ("gz_pe",          "pegz",  ["-v", "1"]),
     # --- SAM shaping
     ("sam_unal_pe",    "pe",    ["-v", "0", "-S", "--sam-nohead"]),
     ("sam_refidx",     "fq",    ["-v", "1", "-S", "--refidx"]),
@@ -366,6 +369,15 @@ def env(tmp_path_factory):
         with open(p, "w") as f:
             f.write(_pe_fq(which))
         files[f"pe{which}"] = ("PE", str(p))
+    # gzipped variants
+    import gzip
+    with gzip.open(d / "in_fq.txt.gz", "wt") as f:
+        f.write(_fq_text(SE_READS))
+    files["fqgz"] = ("READS", str(d / "in_fq.txt.gz"))
+    for which in (1, 2):
+        with gzip.open(d / f"pe_{which}.fq.gz", "wt") as f:
+            f.write(_pe_fq(which))
+        files[f"pe{which}gz"] = ("PE", str(d / f"pe_{which}.fq.gz"))
     # split fixtures for comma-separated multi-file inputs
     se_txt = _fq_text(SE_READS)
     recs = se_txt.splitlines(keepends=True)
@@ -401,6 +413,9 @@ def _expand(case_args, infmt, env, outdir):
     elif infmt == "pe2":
         tail = ["-1", env["files"]["pe1x2"][1],
                 "-2", env["files"]["pe2x2"][1], base, out]
+    elif infmt == "pegz":
+        tail = ["-1", env["files"]["pe1gz"][1],
+                "-2", env["files"]["pe2gz"][1], base, out]
     elif infmt in ("tab", "tabmix"):
         tail = ["--12", env["files"][infmt][1], base, out]
     elif infmt == "il":
