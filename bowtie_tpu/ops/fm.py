@@ -9,8 +9,15 @@ These are the TPU re-expression of bowtie's hot loop:
 - bwt_char         <-> rowL (ebwt.h:1696)
 
 All functions operate on int32 row indices and are shaped for vmap over
-a read batch.  (A Pallas VMEM-resident variant of the machine step is
-planned — see docs/device_best_design.md and the README roadmap.)
+a read batch.
+
+A Pallas VMEM-resident variant of the rank step was investigated and
+is NOT viable on the current jax/mosaic version: TPU Pallas lowers
+only same-shape 2D take_along_axis, so the per-lane dynamic row gather
+at the heart of rank() cannot be expressed in-kernel.  The XLA row-
+gather formulation below (gather1d keeps the minor dim intact so XLA
+vectorizes it, ~1.5B rows/s vs ~0.3M elem/s for a 1D element gather)
+is the fastest available path.
 """
 from __future__ import annotations
 
