@@ -766,17 +766,26 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
               file=sys.stderr)
 
     if not args.quiet:
+        # HitSink::finish (hit.h:270-346): without -M, maxed reads
+        # count toward "at least one alignment"; with -M the sampled
+        # read was tallied as aligned already and the maxed line reads
+        # "sampled" instead of "suppressed"
+        sample = args.sample_mhits is not None
+        aligned_disp = stats.aligned + (0 if sample else stats.maxed)
+        tot = max(1, stats.processed)
         print(f"# reads processed: {stats.processed}", file=sys.stderr)
-        print(f"# reads with at least one alignment: {stats.aligned} "
-              f"({100.0*stats.aligned/max(1,stats.processed):.2f}%)",
+        print(f"# reads with at least one alignment: {aligned_disp} "
+              f"({100.0*aligned_disp/tot:.2f}%)",
               file=sys.stderr)
         print(f"# reads that failed to align: {stats.failed} "
-              f"({100.0*stats.failed/max(1,stats.processed):.2f}%)",
+              f"({100.0*stats.failed/tot:.2f}%)",
               file=sys.stderr)
         if stats.maxed:
-            print(f"# reads with alignments suppressed due to -m: "
+            word = ("sampled due to -M" if sample
+                    else "suppressed due to -m")
+            print(f"# reads with alignments {word}: "
                   f"{stats.maxed} "
-                  f"({100.0*stats.maxed/max(1,stats.processed):.2f}%)",
+                  f"({100.0*stats.maxed/tot:.2f}%)",
                   file=sys.stderr)
         # four-case summary wording (HitSink::finish, hit.h:321-337)
         if stats.reported == 0 and stats.reported_pairs == 0:

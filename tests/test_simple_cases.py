@@ -441,7 +441,7 @@ def _tree(d):
 
 @pytest.mark.parametrize("cid,infmt,case_args",
                          CASES, ids=[c[0] for c in CASES])
-def test_simple_case(cid, infmt, case_args, env, tmp_path):
+def test_simple_case(cid, infmt, case_args, env, tmp_path, capfd):
     odir = str(tmp_path / "oracle")
     mdir = str(tmp_path / "mine")
     os.makedirs(odir)
@@ -454,9 +454,23 @@ def test_simple_case(cid, infmt, case_args, env, tmp_path):
         f"oracle failed: {r.stderr.decode()[:500]}")
 
     margs, _ = _expand(case_args, infmt, env, mdir)
+    capfd.readouterr()
     from bowtie_tpu.cli.align import main
     rc = main(margs)
+    my_err = capfd.readouterr().err
     assert rc in (0, None)
+
+    # the end-of-run summary counters on stderr must match too
+    # (HitSink::finish, hit.h:270-346); drop the oracle's positional-
+    # arg deprecation warning
+    ref_err = "\n".join(
+        ln for ln in r.stderr.decode().splitlines()
+        if not ln.startswith("Setting the index via positional")
+        and not ln.startswith("Warning:"))
+    my_err = "\n".join(ln for ln in my_err.splitlines()
+                       if not ln.startswith("Warning:"))
+    assert my_err.strip() == ref_err.strip(), \
+        f"stderr summary differs for case {cid}"
 
     want, got = _tree(odir), _tree(mdir)
     assert sorted(want) == sorted(got), (
