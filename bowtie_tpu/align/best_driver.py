@@ -525,6 +525,9 @@ class UnpairedBestAligner:
         sink.reset(read)
         if len(read.seq) < 4:
             return sink.finish()
+        # NOTE: unlike the PE factories, the SE graph is rebuilt per
+        # read — the seeded graph's set_query does not reset every
+        # draw-relevant field (verified to break -n --best parity)
         driver = self.driver_factory(read)
         rand = BtRandom(int(read.seed(self.global_seed)))
         qlen = len(read.seq)

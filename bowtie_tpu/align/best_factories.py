@@ -132,10 +132,16 @@ def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
                                seed_mms: int, seed_len: int,
                                qual_cutoff: int, nofw, norc, strand_fix,
                                maq, qual_order, global_seed,
-                               maxbts=125):
+                               maxbts=125, bt_cell=None):
     """UnpairedSeedAlignerFactory::create (aligner_seed_mm.h:80-532):
     per seedMms, exact/seed/half driver DAGs with seeded partial
-    generation chained into full extension drivers."""
+    generation chained into full extension drivers.
+
+    bt_cell: an externally owned backtrack-ceiling cell — the PE
+    factories share ONE across all four (mate, strand) groups and
+    reset it per pair (one `new int[1]` at aligner_seed_mm.h:665,
+    `*btCnt_ = maxBts_` at PairedBWAlignerV1::setQuery,
+    aligner.h:758)."""
     from .best_driver import SeededDriver
     SEED, HI, BEG, L = (PIN_TO_SEED_EDGE, PIN_TO_HI_HALF_EDGE,
                         PIN_TO_BEGINNING, PIN_TO_LEN)
@@ -161,7 +167,12 @@ def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
                             global_seed=global_seed)
 
     def make(read):
-        bt = [maxbts] if seed_mms >= 2 else None
+        if seed_mms < 2:
+            bt = None          # no backtrack limit for -n 0/1
+        elif bt_cell is not None:
+            bt = bt_cell
+        else:
+            bt = [maxbts]
         drs = []
         n = seed_mms
         for fw in (True, False):
@@ -232,6 +243,10 @@ def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
     from .best_paired import (PairedBestAligner, PairedBestSink,
                               RefAlignerPy)
     qual_order = not better
+    # ONE backtrack-ceiling cell for the whole pair, shared by every
+    # (mate, strand) group and reset per pair (aligner_seed_mm.h:665,
+    # aligner.h:758)
+    shared_bt = [maxbts] if (mode == "n" and seed_mms >= 2) else None
 
     def strand_factory(fw):
         if mode == "n":
@@ -239,7 +254,7 @@ def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
                 g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
                 nofw=not fw, norc=fw, strand_fix=True, maq=maq,
                 qual_order=qual_order, global_seed=global_seed,
-                maxbts=maxbts)
+                maxbts=maxbts, bt_cell=shared_bt)
         if v == 0:
             return exact_best_driver_factory(
                 g_fw, not fw, fw, True, maq, qual_order, global_seed)
@@ -252,25 +267,35 @@ def make_paired_best_aligner(g_fw, g_bw, refs, policy, mode="n", v=0,
             global_seed, maxbts)
 
     do = _pe_do_matrix(nofw, norc, fw1, fw2)
+    built = {}   # (mate1, fw) -> CostAwareDriver, reused across pairs
 
     def driver_factory(rd1, rd2):
+        """The reference constructs one aligner object graph per
+        thread and re-points it at each read via setQuery
+        (aligner.h:45-84); building the graphs per pair costs ~25% of
+        host PE time, so they are cached and reset here too."""
+        if shared_bt is not None:
+            shared_bt[0] = maxbts      # *btCnt_ = maxBts_ per pair
         out = []
         for mate_read, mate1 in ((rd1, True), (rd2, False)):
             for fw in (True, False):
-                if do[(mate1, fw)]:
-                    ca = strand_factory(fw)(mate_read)
-                else:
-                    # banned by --nofw/--norc: the reference leaves the
-                    # per-(mate,strand) source vector empty
-                    # (aligner_seed_mm.h:676-691), yielding a CostAware
-                    # driver that is done on first advance with no
-                    # RNG draws
-                    from .best_driver import CostAwareDriver
-                    ca = CostAwareDriver([], strand_fix=True,
-                                         global_seed=global_seed)
+                ca = built.get((mate1, fw))
+                if ca is None:
+                    if do[(mate1, fw)]:
+                        ca = strand_factory(fw)(mate_read)
+                    else:
+                        # banned by --nofw/--norc: the reference
+                        # leaves the per-(mate,strand) source vector
+                        # empty (aligner_seed_mm.h:676-691) — a
+                        # CostAware driver that is done on first
+                        # advance with no RNG draws
+                        from .best_driver import CostAwareDriver
+                        ca = CostAwareDriver([], strand_fix=True,
+                                             global_seed=global_seed)
+                    for d in ca.rss:
+                        d.mate1_flag = mate1
+                    built[(mate1, fw)] = ca
                 ca.seed_read = rd1
-                for d in ca.rss:
-                    d.mate1_flag = mate1
                 ca.set_query(mate_read)
                 out.append(ca)
         return out
@@ -341,6 +366,8 @@ def make_paired_best_aligner_v2(g_fw, g_bw, refs, policy, mode="n",
     from .best_paired import (PairedBestAlignerV2, PairedBestSinkV2,
                               RefAlignerPy)
     qual_order = not better
+    # one shared, per-pair-reset backtrack cell (aligner_seed_mm.h:665)
+    shared_bt = [maxbts] if (mode == "n" and seed_mms >= 2) else None
 
     def strand_factory(fw):
         if mode == "n":
@@ -348,7 +375,7 @@ def make_paired_best_aligner_v2(g_fw, g_bw, refs, policy, mode="n",
                 g_fw, g_bw, seed_mms, seed_len, qual_cutoff,
                 nofw=not fw, norc=fw, strand_fix=True, maq=maq,
                 qual_order=qual_order, global_seed=global_seed,
-                maxbts=maxbts)
+                maxbts=maxbts, bt_cell=shared_bt)
         if v == 0:
             return exact_best_driver_factory(
                 g_fw, not fw, fw, True, maq, qual_order, global_seed)
@@ -367,20 +394,26 @@ def make_paired_best_aligner_v2(g_fw, g_bw, refs, policy, mode="n",
                   (False, False)])
 
     do = _pe_do_matrix(nofw, norc, fw1, fw2)
+    cache = []   # the merged driver, reused across pairs (setQuery
+                 # re-points it, aligner.h:45-84)
 
     def driver_factory(rd1, rd2):
-        drs = []
-        for mate1, fw in order:
-            if not do[(mate1, fw)]:
-                continue
-            ca = strand_factory(fw)(rd1 if mate1 else rd2)
-            for d in ca.rss:
-                d.mate1_flag = mate1
-                if hasattr(d, "rs"):        # plain BestDriver: the
-                    d.rs.mate1 = mate1      # range's mate1 field
-            drs.extend(ca.rss)
-        merged = CostAwareDriver(drs, strand_fix=True,
-                                 global_seed=global_seed)
+        if not cache:
+            drs = []
+            for mate1, fw in order:
+                if not do[(mate1, fw)]:
+                    continue
+                ca = strand_factory(fw)(rd1 if mate1 else rd2)
+                for d in ca.rss:
+                    d.mate1_flag = mate1
+                    if hasattr(d, "rs"):    # plain BestDriver: the
+                        d.rs.mate1 = mate1  # range's mate1 field
+                drs.extend(ca.rss)
+            cache.append(CostAwareDriver(drs, strand_fix=True,
+                                         global_seed=global_seed))
+        merged = cache[0]
+        if shared_bt is not None:
+            shared_bt[0] = maxbts      # *btCnt_ = maxBts_ per pair
         merged.set_query_paired(rd1, rd2)
         return merged
 

@@ -278,6 +278,11 @@ CASES = [
     ("pe_trim_insert", "pe",   ["-5", "1", "-3", "1", "-v", "2",
                                 "--best", "-I", "85", "-X", "121"]),
     ("pe_trim_insert_v1", "pe", ["-5", "2", "-n", "1", "-X", "122"]),
+    # the backtrack ceiling is ONE budget for the whole pair, shared
+    # by all four (mate,strand) driver groups (aligner_seed_mm.h:665)
+    ("pe_maxbts",      "pe",   ["-n", "2", "--maxbts", "2"]),
+    ("pe_maxbts_best", "pe",   ["-n", "2", "--best", "--maxbts", "2"]),
+    ("se_maxbts",      "fq",   ["-n", "3", "--maxbts", "1"]),
     ("pe_dumps_nodot", "pe",   ["-v", "1", "--al", "ALNODOT",
                                 "--un", "UNNODOT"]),
     # --- --12 tabbed: one-pair-file dumps stay single files
@@ -461,15 +466,14 @@ def test_simple_case(cid, infmt, case_args, env, tmp_path, capfd):
     assert rc in (0, None)
 
     # the end-of-run summary counters on stderr must match too
-    # (HitSink::finish, hit.h:270-346); drop the oracle's positional-
-    # arg deprecation warning
-    ref_err = "\n".join(
-        ln for ln in r.stderr.decode().splitlines()
-        if not ln.startswith("Setting the index via positional")
-        and not ln.startswith("Warning:"))
-    my_err = "\n".join(ln for ln in my_err.splitlines()
-                       if not ln.startswith("Warning:"))
-    assert my_err.strip() == ref_err.strip(), \
+    # (HitSink::finish, hit.h:270-346); keep only summary lines so
+    # runtime noise (XLA cache load warnings, the oracle's positional-
+    # arg deprecation notice) doesn't flake the comparison
+    def _summary(text):
+        keep = ("# ", "Reported ", "No alignments", "reporter:")
+        return "\n".join(ln for ln in text.splitlines()
+                         if ln.startswith(keep))
+    assert _summary(my_err) == _summary(r.stderr.decode()), \
         f"stderr summary differs for case {cid}"
 
     want, got = _tree(odir), _tree(mdir)
