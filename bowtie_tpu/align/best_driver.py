@@ -519,16 +519,20 @@ class UnpairedBestAligner:
         self.sink = sink
         self.global_seed = global_seed
         self.maxbts = maxbts
+        self._driver = None    # graph built once, re-pointed per read
+                               # via setQuery (aligner.h:45-84)
 
     def align_read(self, read) -> ReadResult:
         sink = self.sink
         sink.reset(read)
         if len(read.seq) < 4:
             return sink.finish()
-        # NOTE: unlike the PE factories, the SE graph is rebuilt per
-        # read — the seeded graph's set_query does not reset every
-        # draw-relevant field (verified to break -n --best parity)
-        driver = self.driver_factory(read)
+        if self._driver is None:
+            self._driver = self.driver_factory(read)
+        driver = self._driver
+        bt = getattr(driver, "bt_cell", None)
+        if bt is not None:
+            bt[0] = driver.bt_init   # *btCnt_ = maxBts_ per read
         rand = BtRandom(int(read.seed(self.global_seed)))
         qlen = len(read.seq)
         driver.set_query(read)

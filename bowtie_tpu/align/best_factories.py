@@ -210,8 +210,13 @@ def seeded_best_driver_factory(g_fw: GoldenFM, g_bw: GoldenFM,
                 drs.append(s12)
                 drs.append(drv(g_e, efw_e, fw, (BEG, HI, HI, SEED),
                                exacts=False, nudge=True, hh=2, bt=bt))
-        return CostAwareDriver(drs, strand_fix=strand_fix,
-                               global_seed=global_seed)
+        ca = CostAwareDriver(drs, strand_fix=strand_fix,
+                             global_seed=global_seed)
+        # expose the ceiling cell so graph-reusing aligners can reset
+        # it per read (*btCnt_ = maxBts_, aligner.h:453)
+        ca.bt_cell = bt
+        ca.bt_init = maxbts
+        return ca
     return make
 
 
