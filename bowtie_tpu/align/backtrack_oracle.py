@@ -247,8 +247,8 @@ class GreedyDFS:
                 if c < 4:
                     top, bot = int(pairs[d, c]), int(pairs[d, 4 + c])
             elif cur_is_alt:
-                pairs[d, 0:4] = [fm.lf(pt, i) for i in range(4)]
-                pairs[d, 4:8] = [fm.lf(pb, i) for i in range(4)]
+                pairs[d, 0:4] = fm.lf4(pt)
+                pairs[d, 4:8] = fm.lf4(pb)
                 if c < 4:
                     top, bot = int(pairs[d, c]), int(pairs[d, 4 + c])
             else:

@@ -515,8 +515,8 @@ class BestRangeSource:
                             br.bot = rs.bots[c]
                     elif cur_is_alt and (pb > pt or c == 4):
                         rs = br.range_at(br.len)
-                        rs.tops = [fm.lf(pt, j) for j in range(4)]
-                        rs.bots = [fm.lf(pb, j) for j in range(4)]
+                        rs.tops = fm.lf4(pt)
+                        rs.bots = fm.lf4(pb)
                         br.install_ranges(c, self.qual_lim - br.ham, q)
                         if c < 4:
                             br.top = rs.tops[c]

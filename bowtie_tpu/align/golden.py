@@ -33,6 +33,7 @@ class GoldenFM:
             dense = idx.length <= DENSE_HOST_LIMIT
         self._occ_full = None
         self._sa_dense = None
+        self._fchr_l = [int(x) for x in idx.fchr[:4]]
         if dense and idx.offs is not None:
             from ..index.arrays import build_full_rank, build_dense_sa
             self._occ_full = build_full_rank(idx.bwt)
@@ -65,6 +66,19 @@ class GoldenFM:
     def lf(self, i: int, c: int) -> int:
         """top'/bot' step: fchr[c] + Occ(c, i)  (ebwt.h mapLF(l, c))."""
         return int(self.idx.fchr[c]) + self.rank(c, i)
+
+    def lf4(self, i: int) -> list:
+        """All four LF destinations of row i in one row read (the
+        scalar-engine mapLFEx, ebwt.h:2334) — one dense-table row
+        fetch instead of four rank() calls."""
+        if self._occ_full is None:
+            return [self.lf(i, c) for c in range(4)]
+        r = self._occ_full[i].tolist()
+        f = self._fchr_l
+        a = r[0] + f[0]
+        if i > self.idx.zoff:
+            a -= 1                       # '$' stored as 'A' (zoff fix)
+        return [a, r[1] + f[1], r[2] + f[2], r[3] + f[3]]
 
     def lf_row(self, i: int) -> int:
         """LF of a row via its own BWT char (ebwt.h mapLF(l)).
