@@ -2277,9 +2277,9 @@ class DeviceBestAligner:
                      if len(r.seq) < 4 or len(r.seq) > 255]
         Bp = _bucket(B)
         L = _len_bucket(max(len(r.seq) for r in reads))
+        from ..utils.rng import fill_seed_caches
         seeds = np.zeros(Bp, dtype=np.uint32)
-        for b, r in enumerate(reads):
-            seeds[b] = r.seed(self.global_seed)
+        seeds[:B] = fill_seed_caches(reads, self.global_seed)
         host = self.hostinit.build(reads, L, seeds[:B])
         if Bp > B:
             for k, v_ in host.items():

@@ -1468,9 +1468,9 @@ class DeviceDFSAligner:
             for k, v in jobs.items():
                 pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
                 jobs[k] = np.concatenate([v, pad], axis=0)
+        from ..utils.rng import fill_seed_caches
         seeds = np.zeros(Bp, dtype=np.uint32)
-        for b, r in enumerate(reads):
-            seeds[b] = r.seed(self.global_seed)
+        seeds[:len(reads)] = fill_seed_caches(reads, self.global_seed)
         jobs_dev = {k: jnp.asarray(v) for k, v in jobs.items()}
         n_k = self.policy.n if self.policy.n < INF32 else INF32
         m_max = self.policy.max if self.policy.max < INF32 else INF32

@@ -413,9 +413,9 @@ class DeviceNAligner(DeviceDFSAligner):
         fc = self.cat.ftab_chars
         n_k = self.policy.n if self.policy.n < INF32 else INF32
         m_max = self.policy.max if self.policy.max < INF32 else INF32
+        from ..utils.rng import fill_seed_caches
         seeds = np.zeros(Bp, dtype=np.uint32)
-        for b, r in enumerate(reads):
-            seeds[b] = r.seed(self.global_seed)
+        seeds[:len(reads)] = fill_seed_caches(reads, self.global_seed)
 
         def pad(jobs):
             for k, v in jobs.items():

@@ -253,13 +253,12 @@ class DevicePairedBestAligner:
         if not pairs:
             return []
         # lane layout per strand run: [m1_p0, m2_p0, m1_p1, m2_p1, ...]
+        from ..utils.rng import fill_seed_caches
         lane_reads = []
-        seeds = np.zeros(2 * len(pairs), np.uint32)
-        for i, (rd1, rd2) in enumerate(pairs):
+        for rd1, rd2 in pairs:
             lane_reads += [rd1, rd2]
-            s = rd1.seed(self.global_seed)
-            seeds[2 * i] = s
-            seeds[2 * i + 1] = s
+        s1 = fill_seed_caches([p[0] for p in pairs], self.global_seed)
+        seeds = np.repeat(s1, 2)
         s_fw, ov_fw = self.m_fw.record(lane_reads, seeds, self.rec_cap)
         s_rc, ov_rc = self.m_rc.record(lane_reads, seeds, self.rec_cap)
         results = []

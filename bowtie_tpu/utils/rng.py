@@ -42,6 +42,55 @@ class BtRandom:
         return int(v)
 
 
+def gen_rand_seeds(reads, seed: int) -> np.ndarray:
+    """Batched genRandSeed (pat.cpp:21) over a list of ReadRecords —
+    one concatenate + bitwise_xor.reduceat per field instead of ~8
+    small-array allocations per read (the per-read version costs
+    ~29 us; this is ~0.5 us/read, which matters when a device engine
+    pushes tens of thousands of reads/s through one host core)."""
+    n = len(reads)
+    K = np.uint64(59 * 61 * 67 * 71 * 73 * 79 * 83)
+    base = np.uint32((np.uint64(seed + 101) * K) & np.uint64(_M32))
+    out = np.full(n, base, np.uint32)
+
+    def fold(arrs, mask, sh):
+        lens = np.fromiter((len(a) for a in arrs), np.int64, n)
+        nz = lens > 0
+        if not nz.any():
+            return
+        cat = np.concatenate([
+            np.frombuffer(a, np.uint8) if isinstance(a, (bytes,
+                                                         bytearray))
+            else np.asarray(a, np.uint8)
+            for a, ln in zip(arrs, lens) if ln]).astype(np.uint32)
+        lnz = lens[nz]
+        starts = np.zeros(len(lnz), np.int64)
+        np.cumsum(lnz[:-1], out=starts[1:])
+        i = (np.arange(len(cat), dtype=np.int64)
+             - np.repeat(starts, lnz)).astype(np.uint32)
+        with np.errstate(over="ignore"):
+            vals = cat << ((i & mask) << sh)
+            out[nz] ^= np.bitwise_xor.reduceat(vals, starts)
+
+    fold([r.codes_fw for r in reads], np.uint32(15), np.uint32(1))
+    fold([r.qual for r in reads], np.uint32(3), np.uint32(3))
+    fold([r.name for r in reads], np.uint32(3), np.uint32(3))
+    return out
+
+
+def fill_seed_caches(reads, global_seed: int) -> np.ndarray:
+    """Compute (or reuse) every read's per-read seed in one batched
+    pass, populating ReadRecord._seed_cache so later scalar .seed()
+    calls (writers, -M sampling) are free."""
+    missing = [r for r in reads
+               if r._seed_cache is None or
+               r._seed_cache[0] != global_seed]
+    if missing:
+        for r, s in zip(missing, gen_rand_seeds(missing, global_seed)):
+            r._seed_cache = (global_seed, np.uint32(s))
+    return np.array([r._seed_cache[1] for r in reads], np.uint32)
+
+
 def gen_rand_seed(seq_codes: np.ndarray, qual: bytes | np.ndarray,
                   name: bytes | np.ndarray, seed: int) -> np.uint32:
     """Per-read seed (genRandSeed, pat.cpp:21).
