@@ -139,6 +139,41 @@ def _tree(d):
     return out
 
 
+def _reads_as_format(rng, fq_path, tmp):
+    """Randomly re-encode the generated FASTQ as another input format
+    (FASTA/raw/--12 tabbed), returning (extra_args, reads_path)."""
+    recs = []
+    with open(fq_path) as f:
+        while True:
+            nm = f.readline().strip()
+            if not nm:
+                break
+            sq = f.readline().strip()
+            f.readline()
+            q = f.readline().strip()
+            recs.append((nm[1:], sq, q))
+    p = rng.random()
+    if p < 0.55:
+        return [], fq_path
+    if p < 0.70:
+        fa = os.path.join(tmp, "reads.fa")
+        with open(fa, "w") as f:
+            for nm, sq, _q_ in recs:
+                f.write(f">{nm}\n{sq}\n")
+        return ["-f"], fa
+    if p < 0.85:
+        raw = os.path.join(tmp, "reads.raw")
+        with open(raw, "w") as f:
+            for _nm, sq, _q_ in recs:
+                f.write(sq + "\n")
+        return ["-r"], raw
+    tab = os.path.join(tmp, "reads.tab")
+    with open(tab, "w") as f:
+        for nm, sq, q in recs:
+            f.write(f"{nm}\t{sq}\t{q}\n")
+    return ["--12", tab], None
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_random_case_matches_binary(seed, tmp_path):
     rng = np.random.default_rng(1000 + seed)
@@ -149,17 +184,20 @@ def test_random_case_matches_binary(seed, tmp_path):
     from bowtie_tpu.build.builder import build_from_fasta
     build_from_fasta([fasta], base)
     args = _random_policy(rng)
+    fmt_args, reads = _reads_as_format(rng, reads, tmp)
+    args = fmt_args + args
+    reads_pos = [reads] if reads is not None else []
     dumps = _dump_flags(rng)
     odir = os.path.join(tmp, "o")
     mdir = os.path.join(tmp, "m")
     os.makedirs(odir)
     os.makedirs(mdir)
     subprocess.run([ORACLE, "--wrapper", "basic-0", *args,
-                    *_dump_args(dumps, odir), base, reads,
+                    *_dump_args(dumps, odir), base, *reads_pos,
                     os.path.join(odir, "out")],
                    check=True, capture_output=True)
     from bowtie_tpu.cli.align import main
-    rc = main([*args, *_dump_args(dumps, mdir), base, reads,
+    rc = main([*args, *_dump_args(dumps, mdir), base, *reads_pos,
                os.path.join(mdir, "out")])
     assert rc in (0, None)
     want, got = _tree(odir), _tree(mdir)
