@@ -34,6 +34,7 @@ class GoldenFM:
         self._occ_full = None
         self._sa_dense = None
         self._fchr_l = [int(x) for x in idx.fchr[:4]]
+        self._zoff = int(idx.zoff)
         if dense and idx.offs is not None:
             from ..index.arrays import build_full_rank, build_dense_sa
             self._occ_full = build_full_rank(idx.bwt)
@@ -65,6 +66,11 @@ class GoldenFM:
     # -- LF ------------------------------------------------------------
     def lf(self, i: int, c: int) -> int:
         """top'/bot' step: fchr[c] + Occ(c, i)  (ebwt.h mapLF(l, c))."""
+        if self._occ_full is not None:
+            cnt = self._occ_full[i, c].item()
+            if c == 0 and i > self._zoff:
+                cnt -= 1
+            return self._fchr_l[c] + cnt
         return int(self.idx.fchr[c]) + self.rank(c, i)
 
     def lf4(self, i: int) -> list:
@@ -76,7 +82,7 @@ class GoldenFM:
         r = self._occ_full[i].tolist()
         f = self._fchr_l
         a = r[0] + f[0]
-        if i > self.idx.zoff:
+        if i > self._zoff:
             a -= 1                       # '$' stored as 'A' (zoff fix)
         return [a, r[1] + f[1], r[2] + f[2], r[3] + f[3]]
 
