@@ -72,6 +72,24 @@ class RecordedStream:
         return fr, int(rec[6]) == 1
 
 
+class UnrecordedDriver:
+    """Placeholder for a driver stream the recording pass skipped (the
+    rc-orientation drivers in phase A): stays alive, and the first
+    advance() escalates the pair to a fuller recording/live rerun."""
+
+    __slots__ = ("found_range", "done")
+
+    def __init__(self):
+        self.found_range = False
+        self.done = False
+
+    def advance(self, _until):
+        raise ReplayTruncated
+
+    def range(self):
+        return None
+
+
 class ReplayDriver:
     """Feeds a precomputed FoundRange stream through the BestDriver
     advance()/range()/done interface the PE interleave consumes."""
@@ -235,7 +253,9 @@ class DevicePairedBestAligner:
             global_seed=global_seed, maxbts=maxbts)
         self._live_factory = self._host.driver_factory
         self._host.driver_factory = self._factory
+        self.fw1, self.fw2 = fw1, fw2
         self.fallbacks = 0
+        self.escalations = 0
         # record cap: the interleave usually consumes only the first
         # range of one driver under first-k-good policies, so stop
         # each lane after a few recorded ranges instead of running its
@@ -246,39 +266,88 @@ class DevicePairedBestAligner:
 
     def _factory(self, rd1, rd2):
         if self._streams is not None:
-            return [ReplayDriver(s) for s in self._streams]
+            return [ReplayDriver(s) if isinstance(s, RecordedStream)
+                    else UnrecordedDriver() for s in self._streams]
         return self._live_factory(rd1, rd2)
+
+    def _replay(self, rd1, rd2, streams):
+        """Replay one pair; returns (result, escalate)."""
+        self._streams = streams
+        try:
+            return self._host.align_pair(rd1, rd2), False
+        except ReplayTruncated:
+            return None, True
+        finally:
+            self._streams = None
 
     def align_batch(self, pairs):
         if not pairs:
             return []
-        # lane layout per strand run: [m1_p0, m2_p0, m1_p1, m2_p1, ...]
         from ..utils.rng import fill_seed_caches
-        lane_reads = []
-        for rd1, rd2 in pairs:
-            lane_reads += [rd1, rd2]
         s1 = fill_seed_caches([p[0] for p in pairs], self.global_seed)
-        seeds = np.repeat(s1, 2)
-        s_fw, ov_fw = self.m_fw.record(lane_reads, seeds, self.rec_cap)
-        s_rc, ov_rc = self.m_rc.record(lane_reads, seeds, self.rec_cap)
-        results = []
+
+        # Phase A: record only the fw-ORIENTATION streams — the V1
+        # interleave tries the fw pair orientation first (drL = mate1
+        # in its fw1 strand, drR = mate2 in its fw2 strand) and, for
+        # first-k-good policies, never touches the rc-orientation
+        # drivers once the pair is decided (align_pair breaks out of
+        # the orientation loop, aligner.h:817-836).  Half the device
+        # work serves the common case; pairs that reach the rc
+        # orientation escalate to a batched phase B.
+        m1 = [p[0] for p in pairs]
+        m2 = [p[1] for p in pairs]
+        # stream slots in factory order [d1f, d1r, d2f, d2r]
+        slotL = 0 if self.fw1 else 1          # mate1, fw-orientation
+        slotR = 2 if self.fw2 else 3          # mate2, fw-orientation
+        machL = self.m_fw if self.fw1 else self.m_rc
+        machR = self.m_fw if self.fw2 else self.m_rc
+        s_L, ov_L = machL.record(m1, s1, self.rec_cap)
+        s_R, ov_R = machR.record(m2, s1, self.rec_cap)
+
+        results = [None] * len(pairs)
+        escal = []
         for i, (rd1, rd2) in enumerate(pairs):
-            lanes = (2 * i, 2 * i + 1)
-            if any(ov_fw[l] or ov_rc[l] for l in lanes):
+            if ov_L[i] or ov_R[i]:
                 self.fallbacks += 1
-                self._streams = None
+                results[i], _ = self._replay(rd1, rd2, None)
+                continue
+            streams = ["unrec"] * 4
+            streams[slotL] = s_L[i]
+            streams[slotR] = s_R[i]
+            res, esc = self._replay(rd1, rd2, streams)
+            if esc:
+                escal.append(i)
             else:
-                # factory order: d1f, d1r, d2f, d2r
-                self._streams = [s_fw[2 * i], s_rc[2 * i],
-                                 s_fw[2 * i + 1], s_rc[2 * i + 1]]
-            try:
-                results.append(self._host.align_pair(rd1, rd2))
-            except ReplayTruncated:
-                self.fallbacks += 1
-                self._streams = None
-                results.append(self._host.align_pair(rd1, rd2))
-            finally:
-                self._streams = None
+                results[i] = res
+
+        if escal:
+            # Phase B: batch-record the rc-orientation streams for the
+            # escalated pairs and replay with all four
+            self.escalations += len(escal)
+            sB1 = s1[escal]
+            machLb = self.m_rc if self.fw1 else self.m_fw
+            machRb = self.m_rc if self.fw2 else self.m_fw
+            s_Lb, ov_Lb = machLb.record([m1[i] for i in escal], sB1,
+                                        self.rec_cap)
+            s_Rb, ov_Rb = machRb.record([m2[i] for i in escal], sB1,
+                                        self.rec_cap)
+            for k, i in enumerate(escal):
+                rd1, rd2 = pairs[i]
+                if ov_Lb[k] or ov_Rb[k]:
+                    self.fallbacks += 1
+                    results[i], _ = self._replay(rd1, rd2, None)
+                    continue
+                streams = ["unrec"] * 4
+                streams[slotL] = s_L[i]
+                streams[slotR] = s_R[i]
+                streams[1 if self.fw1 else 0] = s_Lb[k]
+                streams[3 if self.fw2 else 2] = s_Rb[k]
+                res, esc = self._replay(rd1, rd2, streams)
+                if esc:
+                    # rec_cap truncation hit mid-replay: live rerun
+                    self.fallbacks += 1
+                    res, _ = self._replay(rd1, rd2, None)
+                results[i] = res
         return results
 
 
