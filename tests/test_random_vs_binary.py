@@ -245,7 +245,7 @@ def _random_pairs(rng, fasta, tmp, npairs=40):
     return p1, p2
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(8))
 def test_random_paired_matches_binary(seed, tmp_path):
     rng = np.random.default_rng(9000 + seed)
     tmp = str(tmp_path)
@@ -270,18 +270,43 @@ def test_random_paired_matches_binary(seed, tmp_path):
     if rng.random() < 0.2:
         args += ["-5", str(int(rng.integers(1, 3)))]
     dumps = _dump_flags(rng)
+    # randomly re-encode the pair files as interleaved or --12 tabbed
+    p = rng.random()
+    if p < 0.6:
+        in_args = ["-1", m1, "-2", m2]
+    elif p < 0.8:
+        il = os.path.join(tmp, "inter.fq")
+        with open(il, "w") as f, open(m1) as f1, open(m2) as f2:
+            while True:
+                r1 = [f1.readline() for _ in range(4)]
+                r2 = [f2.readline() for _ in range(4)]
+                if not r1[0]:
+                    break
+                f.writelines(r1 + r2)
+        in_args = ["--interleaved", il]
+    else:
+        tab = os.path.join(tmp, "pairs.tab")
+        with open(tab, "w") as f, open(m1) as f1, open(m2) as f2:
+            while True:
+                r1 = [f1.readline().strip() for _ in range(4)]
+                r2 = [f2.readline().strip() for _ in range(4)]
+                if not r1[0]:
+                    break
+                nm = r1[0][1:].rsplit("/", 1)[0]
+                f.write(f"{nm}\t{r1[1]}\t{r1[3]}\t{r2[1]}\t{r2[3]}\n")
+        in_args = ["--12", tab]
     odir = os.path.join(tmp, "o")
     mdir = os.path.join(tmp, "m")
     os.makedirs(odir)
     os.makedirs(mdir)
     subprocess.run([ORACLE, "--wrapper", "basic-0", *args,
                     *_dump_args(dumps, odir),
-                    "-1", m1, "-2", m2, base,
+                    *in_args, base,
                     os.path.join(odir, "out")],
                    check=True, capture_output=True)
     from bowtie_tpu.cli.align import main
     rc = main([*args, *_dump_args(dumps, mdir),
-               "-1", m1, "-2", m2, base, os.path.join(mdir, "out")])
+               *in_args, base, os.path.join(mdir, "out")])
     assert rc in (0, None)
     want, got = _tree(odir), _tree(mdir)
     assert sorted(want) == sorted(got), \
