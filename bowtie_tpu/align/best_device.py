@@ -2319,21 +2319,22 @@ class DeviceBestAligner:
                 continue
             buffered = []
             qlen = len(read.seq)
-            for t in range(int(out["nhits"][b])):
-                rec = out["hits"][b, t]
+            nh = int(out["nhits"][b])
+            recs = np.asarray(out["hits"][b, :nh]).tolist() if nh else ()
+            for rec in recs:
                 fw = bool(rec[2] & 1)
                 ebwt_fw = bool((rec[2] >> 1) & 1)
                 mms = []
-                for k in range(int(rec[6])):
-                    d = int(rec[8 + k])          # search depth
-                    refc = int(rec[8 + MM_SLOTS + k])
+                for k in range(rec[6]):
+                    d = rec[8 + k]               # search depth
+                    refc = rec[8 + MM_SLOTS + k]
                     pos = qlen - 1 - d
                     off = qlen - pos - 1 if (ebwt_fw != fw) else pos
-                    mms.append((off, ord("acgt"[refc])))
+                    mms.append((off, (97, 99, 103, 116)[refc]))
                 buffered.append(Hit(
-                    read=read, fw=fw, tidx=int(rec[0]), toff=int(rec[1]),
-                    oms=int(rec[3]), stratum=int(rec[4]),
-                    cost=int(rec[5]), mms=sorted(mms)))
+                    read=read, fw=fw, tidx=rec[0], toff=rec[1],
+                    oms=rec[3], stratum=rec[4],
+                    cost=rec[5], mms=sorted(mms)))
             count = int(out["count"][b])
             maxed = count > m_max
             if self.strata:

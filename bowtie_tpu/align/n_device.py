@@ -570,19 +570,20 @@ class DeviceNAligner(DeviceDFSAligner):
         from .types import Hit
         from .dfs_device import MM_SLOTS
         hits = []
-        for t in range(int(out["nhits"][b])):
-            rec = out["hits"][b, t]
+        nh = int(out["nhits"][b])
+        recs = np.asarray(out["hits"][b, :nh]).tolist() if nh else ()
+        for rec in recs:
             fw = bool(rec[2] & 1)
             ebwt_fw = bool((rec[2] >> 1) & 1)
-            qlen = int(rec[7])
+            qlen = rec[7]
             mms = []
-            for k in range(int(rec[6])):
-                pos = int(rec[8 + k])
-                refc = int(rec[8 + MM_SLOTS + k])
+            for k in range(rec[6]):
+                pos = rec[8 + k]
+                refc = rec[8 + MM_SLOTS + k]
                 off = qlen - pos - 1 if (ebwt_fw != fw) else pos
-                mms.append((off, ord("acgt"[refc])))
-            hits.append(Hit(read=read, fw=fw, tidx=int(rec[0]),
-                            toff=int(rec[1]), oms=int(rec[3]),
-                            stratum=int(rec[4]), cost=int(rec[5]),
+                mms.append((off, (97, 99, 103, 116)[refc]))
+            hits.append(Hit(read=read, fw=fw, tidx=rec[0],
+                            toff=rec[1], oms=rec[3],
+                            stratum=rec[4], cost=rec[5],
                             mms=sorted(mms)))
         return hits
