@@ -88,4 +88,16 @@ def dryrun(n_lanes_per_dev: int = 8, mesh: Mesh | None = None):
                              max_steps=4096)
     assert out["result"].shape[0] == B
     assert int((out["result"] > 0).sum()) > 0, "no lane aligned"
+
+    # seeded -n launch-A jobs (phases 1-2 + partial collection) over
+    # the same mesh — the default mode's first device launch
+    from ..align.dfs_jobs import build_n_jobs_a_vec
+    jobs_n, J_N, _gated, _jrc, _jfw = build_n_jobs_a_vec(
+        reads, 2, 28, 70, 125, True, False, False, 40,
+        cat.ftab_chars)
+    out_n, _ = run_sharded(cat, jobs_n, seeds,
+                           np.zeros(B, np.int32), mesh, J=J_N, L=40,
+                           nfrag=int(idx.nfrag), n_k=1, m_max=D.INF32,
+                           max_steps=4096)
+    assert int((out_n["result"] > 0).sum()) > 0, "no -n lane aligned"
     return out
