@@ -53,6 +53,10 @@ if [ ! -x .oracle/bowtie-inspect-s ]; then
     -lpthread -lz
 fi
 
+# BINARIES_ONLY=1: stop after compiling the oracles (CI uses the live
+# binaries for byte-compares and must not regenerate committed goldens)
+[ -n "$BINARIES_ONLY" ] && exit 0
+
 IDX=$R/indexes/e_coli
 RD=$R/reads/e_coli_1000.fq
 R1=$R/reads/e_coli_1000_1.fq
