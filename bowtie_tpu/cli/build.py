@@ -12,6 +12,7 @@ the Kärkkäinen blockwise scheme and yields the identical index bytes.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -86,6 +87,15 @@ def main(argv=None) -> int:
     if args.version:
         print("bowtie-tpu-build (compatible with bowtie-build 1.3.1)")
         return 0
+    if not args.large_index and not args.cmdline:
+        # the reference wrapper auto-selects the large-index builder
+        # when the input FASTA files total > 4 GiB - 200
+        # (bowtie-build script, small_index_max_size)
+        tot = sum(os.path.getsize(f)
+                  for f in args.reference_in.split(",")
+                  if os.path.exists(f))
+        if tot > 4 * 1024 ** 3 - 200:
+            args.large_index = True
     default_lr = 7 if args.large_index else 6
     if ((args.linerate is not None and args.linerate != default_lr) or
             (args.linesperside is not None and args.linesperside != 1)):
