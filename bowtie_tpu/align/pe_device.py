@@ -306,24 +306,30 @@ class DevicePairedBestAligner:
 
         results = [None] * len(pairs)
         escal = []
-        for i, (rd1, rd2) in enumerate(pairs):
-            if ov_L[i] or ov_R[i]:
-                self.fallbacks += 1
-                results[i], _ = self._replay(rd1, rd2, None)
-                continue
-            streams = ["unrec"] * 4
-            streams[slotL] = s_L[i]
-            streams[slotR] = s_R[i]
-            res, esc = self._replay(rd1, rd2, streams)
-            if esc:
-                escal.append(i)
-            else:
-                results[i] = res
+        if self.rec_cap is None:
+            # -k>1/-a/-m/-M interleaves always visit both orientations
+            # — skip the doomed phase-A replay and record everything
+            escal = list(range(len(pairs)))
+        else:
+            for i, (rd1, rd2) in enumerate(pairs):
+                if ov_L[i] or ov_R[i]:
+                    self.fallbacks += 1
+                    results[i], _ = self._replay(rd1, rd2, None)
+                    continue
+                streams = ["unrec"] * 4
+                streams[slotL] = s_L[i]
+                streams[slotR] = s_R[i]
+                res, esc = self._replay(rd1, rd2, streams)
+                if esc:
+                    escal.append(i)
+                else:
+                    results[i] = res
 
         if escal:
             # Phase B: batch-record the rc-orientation streams for the
             # escalated pairs and replay with all four
-            self.escalations += len(escal)
+            if self.rec_cap is not None:
+                self.escalations += len(escal)
             sB1 = s1[escal]
             machLb = self.m_rc if self.fw1 else self.m_fw
             machRb = self.m_rc if self.fw2 else self.m_fw
@@ -333,7 +339,7 @@ class DevicePairedBestAligner:
                                         self.rec_cap)
             for k, i in enumerate(escal):
                 rd1, rd2 = pairs[i]
-                if ov_Lb[k] or ov_Rb[k]:
+                if ov_L[i] or ov_R[i] or ov_Lb[k] or ov_Rb[k]:
                     self.fallbacks += 1
                     results[i], _ = self._replay(rd1, rd2, None)
                     continue
