@@ -1457,9 +1457,50 @@ class DeviceDFSAligner:
         return build_v_jobs_vec(reads, self.v, self.nofw, self.norc, L,
                                 fc)
 
+    def _exact_aligner(self):
+        if getattr(self, "_exact", None) is None:
+            from .pipeline import ExactAligner
+            from ..index.arrays import from_ebwt
+            compact = self.cat.occ_every > 1
+            fm = from_ebwt(self.idx_fw,
+                           occ_every=128 if compact else 1,
+                           dense_sa=not compact)
+            self._exact = ExactAligner(fm, self.idx_fw, self.policy,
+                                       nofw=self.nofw, norc=self.norc,
+                                       global_seed=self.global_seed)
+        return self._exact
+
+    def _exact_gate(self, reads, slow_path):
+        """Exact-hit fast path for the default first-1-good policy.
+
+        Every mode's phase 1 runs the whole-read-exact jobs first —
+        fw exact then rc (search_1mm_phase1.c:17-38; the rc/second
+        jobs of search_23mm_phase1.c:24-45 and
+        search_seeded_phase1.c:47-75 allow mismatches but the greedy
+        DFS descends the no-edit path first) — and every job re-seeds
+        the per-read LCG at setQuery (ebwt_search_backtrack.h:137).
+        So under -k 1 without -a/-m/-M a read with an exact hit
+        reports the IDENTICAL line in -v 0 and in -v 1/2 / -n modes
+        (verified: all 347 exactly-alignable e_coli_1000 reads have
+        byte-identical -v 0 / -v 1 / -n 2 output).  Such reads take
+        the ~1M reads/s exact kernel; only the rest enter the DFS
+        machine."""
+        if (self.policy.n != 1 or self.policy.max < INF32
+                or self.policy.sample_max):
+            return slow_path(reads)
+        ex_res = self._exact_aligner().align_batch(reads)
+        rest = [i for i, r in enumerate(ex_res) if not r.hits]
+        if rest:
+            for i, r in zip(rest, slow_path([reads[i] for i in rest])):
+                ex_res[i] = r
+        return ex_res
+
     def align_batch(self, reads) -> list:
         if not reads:
             return []
+        return self._exact_gate(reads, self._align_batch_dfs)
+
+    def _align_batch_dfs(self, reads) -> list:
         B = len(reads)
         Bp = _bucket(B)
         L = _len_bucket(max(len(r.seq) for r in reads))

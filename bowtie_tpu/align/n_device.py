@@ -403,9 +403,13 @@ class DeviceNAligner(DeviceDFSAligner):
         return jobs, J
 
     def align_batch(self, reads) -> list:
-        import jax.numpy as jnp
         if not reads:
             return []
+        # exact-hit fast path (see DeviceDFSAligner._exact_gate)
+        return self._exact_gate(reads, self._align_batch_n)
+
+    def _align_batch_n(self, reads) -> list:
+        import jax.numpy as jnp
         B = len(reads)
         Bp = _bucket(B)
         L = _len_bucket(max(max(len(r.seq) for r in reads),
