@@ -189,6 +189,21 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     return (B * ITERS) / dt, v1_rate, n2_rate, idx.length, hbm
 
 
+def _guard(modes, key, metric, fn, extra_keys=()):
+    """Run one bench mode; a failure records the error instead of
+    killing the whole bench (the driver needs the summary line even if
+    one mode trips on a flaky tunnel)."""
+    import traceback
+    try:
+        r = fn()
+    except Exception as e:
+        traceback.print_exc()
+        print(json.dumps({"metric": metric, "error": str(e)[:200]}),
+              flush=True)
+        return None
+    return r
+
+
 def main():
     from bowtie_tpu.index.ebwt_io import read_ebwt
     from bowtie_tpu.io.readers import ReadSource
@@ -209,26 +224,33 @@ def main():
     def mk_v1():
         from bowtie_tpu.align.dfs_device import DeviceDFSAligner
         return DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1)
-    r, fb = bench_aligner(mk_v1, reads, 32768, 16384)
-    modes["v1"] = _emit("-v 1 end-to-end reads/s/chip", r,
-                        {"fallbacks": fb})
+    out = _guard(modes, "v1", "-v 1 end-to-end reads/s/chip",
+                 lambda: bench_aligner(mk_v1, reads, 32768, 16384))
+    if out:
+        modes["v1"] = _emit("-v 1 end-to-end reads/s/chip", out[0],
+                            {"fallbacks": out[1]})
 
     # -n 2 end-to-end (device seeded engine, bowtie's default mode)
     def mk_n2():
         from bowtie_tpu.align.n_device import DeviceNAligner
         return DeviceNAligner(idx, idx_bw, KPolicy(1, INF))
-    r, fb = bench_aligner(mk_n2, reads, 32768, 16384)
-    modes["n2"] = _emit("-n 2 (default mode) end-to-end reads/s/chip",
-                        r, {"fallbacks": fb})
+    out = _guard(modes, "n2", "-n 2 end-to-end reads/s/chip",
+                 lambda: bench_aligner(mk_n2, reads, 32768, 16384))
+    if out:
+        modes["n2"] = _emit(
+            "-n 2 (default mode) end-to-end reads/s/chip",
+            out[0], {"fallbacks": out[1]})
 
     # -v 2 --best end-to-end (device best-first engine)
     def mk_best():
         from bowtie_tpu.align.best_device import DeviceBestAligner
         return DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
                                  strata=False, all_hits=False)
-    r, fb = bench_aligner(mk_best, reads, 32768, 16384)
-    modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip", r,
-                             {"fallbacks": fb})
+    out = _guard(modes, "v2_best", "-v 2 --best end-to-end reads/s/chip",
+                 lambda: bench_aligner(mk_best, reads, 32768, 16384))
+    if out:
+        modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip",
+                                 out[0], {"fallbacks": out[1]})
 
     # paired-end, device-recorded anchor streams + host replay
     src1 = ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
@@ -246,21 +268,26 @@ def main():
         refs = unpack_reference(recs, packed)
         return DevicePairedBestAligner(idx, idx_bw, refs,
                                        KPolicy(1, INF))
-    pairs_big = list(zip(_replicate(p1, 8192 + 2048),
-                         _replicate(p2, 8192 + 2048)))
-    pe_dev = mk_pe_dev()
-    pe_dev.align_batch(pairs_big[8192:])         # warm-up / compile
-    t0 = time.time()
-    n = 0
-    for i in range(0, 8192, 2048):
-        n += len(pe_dev.align_batch(pairs_big[i:i + 2048]))
-    r = n / (time.time() - t0)
-    modes["pe_n2_device"] = _emit(
-        "paired -n 2 end-to-end reads/s/chip (device anchor streams)",
-        r, {"fallbacks": pe_dev.fallbacks})
+    def run_pe_dev():
+        pairs_big = list(zip(_replicate(p1, 8192 + 2048),
+                             _replicate(p2, 8192 + 2048)))
+        pe_dev = mk_pe_dev()
+        pe_dev.align_batch(pairs_big[8192:])     # warm-up / compile
+        t0 = time.time()
+        n = 0
+        for i in range(0, 8192, 2048):
+            n += len(pe_dev.align_batch(pairs_big[i:i + 2048]))
+        return n / (time.time() - t0), pe_dev.fallbacks
+    out = _guard(modes, "pe_n2_device",
+                 "paired -n 2 end-to-end reads/s/chip (device)",
+                 run_pe_dev)
+    if out:
+        modes["pe_n2_device"] = _emit(
+            "paired -n 2 end-to-end reads/s/chip (device anchor "
+            "streams)", out[0], {"fallbacks": out[1]})
 
     # paired-end host engine (parity/reference point)
-    def mk_pe():
+    def run_pe_host():
         from bowtie_tpu.align.golden import GoldenFM
         from bowtie_tpu.align.best_factories import \
             make_paired_best_aligner
@@ -268,19 +295,21 @@ def main():
                                               unpack_reference)
         recs, packed = read_bitpair_reference(
             "/root/reference/indexes/e_coli")
-        refs = unpack_reference(recs, packed)
-        return make_paired_best_aligner(
+        refs = unpack_reference(recs, packed, plen=idx.plen)
+        pe_al = make_paired_best_aligner(
             GoldenFM(idx), GoldenFM(idx_bw), refs, KPolicy(1, INF))
-    pe_al = mk_pe()
-    pairs = list(zip(p1, p2))
-    pe_al.align_batch(pairs[:64])                # warm-up
-    t0 = time.time()
-    pe_al.align_batch(pairs)
-    r = len(pairs) / (time.time() - t0)
-    modes["pe_n2"] = _emit("paired -n 2 reads/s (host engine)", r)
+        pairs = list(zip(p1, p2))
+        pe_al.align_batch(pairs[:64])            # warm-up
+        t0 = time.time()
+        pe_al.align_batch(pairs)
+        return len(pairs) / (time.time() - t0)
+    r = _guard(modes, "pe_n2", "paired -n 2 reads/s (host engine)",
+               run_pe_host)
+    if r:
+        modes["pe_n2"] = _emit("paired -n 2 reads/s (host engine)", r)
 
     # hg-scale exact (compact layout) when the synthetic index exists
-    hg = bench_hg()
+    hg = _guard(modes, "hg", "hg-scale modes", bench_hg)
     if hg is not None:
         r, v1r, n2r, glen, hbm = hg
         modes["hg_exact"] = _emit(
