@@ -157,7 +157,10 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
               (fm.bwt, fm.occ, fm.offs, fm.ftab_hi, fm.ftab_lo))
 
     # -v 1 end-to-end on the same hg-scale index (compact layout, DFS
-    # engine): the second half of BASELINE.json's hg-scale metric
+    # engine): the second half of BASELINE.json's hg-scale metric.
+    # Mutate a realistic fraction of the genome-sampled reads (which
+    # would otherwise ALL take the exact-hit fast path): ~35% stay
+    # exact, ~40% get 1 mismatch, ~15% get 2, ~10% are garbage.
     from bowtie_tpu.io.readers import ReadRecord
     from bowtie_tpu.align.dfs_device import DeviceDFSAligner
     from bowtie_tpu.align.policy import INF, KPolicy
@@ -170,7 +173,16 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     for i in range(2 * v1_n):
         r = mat0[i % mat0.shape[0]]
         n = int(lens0[i % lens0.shape[0]])
-        seq = bytes(b"ACGT"[c] for c in r[-n:])
+        codes = np.array(r[-n:])
+        u = rng.random()
+        if u < 0.10:
+            codes = rng.integers(0, 4, n)
+        else:
+            nmm = 1 if u < 0.50 else (2 if u < 0.65 else 0)
+            for _ in range(nmm):
+                p = int(rng.integers(0, n))
+                codes[p] = (codes[p] + 1 + rng.integers(0, 3)) % 4
+        seq = bytes(b"ACGT"[c] for c in codes)
         recs.append(ReadRecord(name=b"hg%d" % i, seq=seq,
                                qual=b"I" * n, rdid=i))
     al.align_batch(recs[v1_n:])              # warm-up / compile
