@@ -72,6 +72,34 @@ class RecordedStream:
         return fr, int(rec[6]) == 1
 
 
+class SynthStream:
+    """Phase-0 synthesized stream: an anchor driver's FIRST emission is
+    the whole-read exact range whenever one exists — the exact-
+    reporting sub-driver starts at min_cost 0 while every other
+    sub-driver's min_cost_adj is >= 1<<14 (no CostAware tie draws),
+    and the best-first engine's zero-cost descent reports the full
+    exact range first.  So the first emission comes straight from the
+    batched exact kernel, no machine run.  Marked capped: a second pop
+    escalates to a real recording."""
+
+    __slots__ = ("top", "bot", "qlen", "o_fw", "o_efw", "capped")
+
+    def __init__(self, top, bot, qlen, fw, efw):
+        self.top, self.bot = int(top), int(bot)
+        self.qlen = qlen
+        self.o_fw, self.o_efw = fw, efw
+        self.capped = True
+
+    def __len__(self):
+        return 1
+
+    def materialize(self, t):
+        fr = FoundRange(top=self.top, bot=self.bot, cost=0, stratum=0,
+                        num_mms=0, fw=self.o_fw, ebwt_fw=self.o_efw,
+                        mms=[], refcs=[])
+        return fr, False
+
+
 class UnrecordedDriver:
     """Placeholder for a driver stream the recording pass skipped (the
     rc-orientation drivers in phase A): stays alive, and the first
@@ -232,6 +260,7 @@ class DevicePairedBestAligner:
         self.cat = build_fmcat(idx_fw, idx_bw,
                                occ_every=128 if compact else 1,
                                dense_sa=not compact)
+        self._idx_fw, self._idx_bw = idx_fw, idx_bw
         kw = dict(mode=mode, v=v, seed_mms=seed_mms,
                   seed_len=seed_len, qual_cutoff=qual_cutoff,
                   fw=True, maq=maq, qual_order=not better,
@@ -266,8 +295,8 @@ class DevicePairedBestAligner:
 
     def _factory(self, rd1, rd2):
         if self._streams is not None:
-            return [ReplayDriver(s) if isinstance(s, RecordedStream)
-                    else UnrecordedDriver() for s in self._streams]
+            return [UnrecordedDriver() if isinstance(s, str)
+                    else ReplayDriver(s) for s in self._streams]
         return self._live_factory(rd1, rd2)
 
     def _replay(self, rd1, rd2, streams):
@@ -286,14 +315,6 @@ class DevicePairedBestAligner:
         from ..utils.rng import fill_seed_caches
         s1 = fill_seed_caches([p[0] for p in pairs], self.global_seed)
 
-        # Phase A: record only the fw-ORIENTATION streams — the V1
-        # interleave tries the fw pair orientation first (drL = mate1
-        # in its fw1 strand, drR = mate2 in its fw2 strand) and, for
-        # first-k-good policies, never touches the rc-orientation
-        # drivers once the pair is decided (align_pair breaks out of
-        # the orientation loop, aligner.h:817-836).  Half the device
-        # work serves the common case; pairs that reach the rc
-        # orientation escalate to a batched phase B.
         m1 = [p[0] for p in pairs]
         m2 = [p[1] for p in pairs]
         # stream slots in factory order [d1f, d1r, d2f, d2r]
@@ -301,53 +322,88 @@ class DevicePairedBestAligner:
         slotR = 2 if self.fw2 else 3          # mate2, fw-orientation
         machL = self.m_fw if self.fw1 else self.m_rc
         machR = self.m_fw if self.fw2 else self.m_rc
-        s_L, ov_L = machL.record(m1, s1, self.rec_cap)
-        s_R, ov_R = machR.record(m2, s1, self.rec_cap)
-
         results = [None] * len(pairs)
-        escal = []
-        if self.rec_cap is None:
-            # -k>1/-a/-m/-M interleaves always visit both orientations
-            # — skip the doomed phase-A replay and record everything
-            escal = list(range(len(pairs)))
-        else:
+
+        # Phase 0: synthesized exact anchors.  When BOTH fw-orientation
+        # mates have whole-read exact hits, each driver's first
+        # emission is known without running the machine (SynthStream);
+        # pairs whose replay pops deeper escalate to a real recording.
+        need_A = list(range(len(pairs)))
+        if self.rec_cap is not None:
+            synthL = self._synth_streams(machL, m1)
+            synthR = self._synth_streams(machR, m2)
+            need_A = []
             for i, (rd1, rd2) in enumerate(pairs):
-                if ov_L[i] or ov_R[i]:
-                    self.fallbacks += 1
-                    results[i], _ = self._replay(rd1, rd2, None)
+                if synthL[i] is None or synthR[i] is None:
+                    need_A.append(i)
                     continue
                 streams = ["unrec"] * 4
-                streams[slotL] = s_L[i]
-                streams[slotR] = s_R[i]
+                streams[slotL] = synthL[i]
+                streams[slotR] = synthR[i]
                 res, esc = self._replay(rd1, rd2, streams)
                 if esc:
-                    escal.append(i)
+                    need_A.append(i)
                 else:
                     results[i] = res
+
+        # Phase A: record the fw-ORIENTATION streams for the rest —
+        # the V1 interleave tries the fw pair orientation first and,
+        # for first-k-good policies, never touches the rc-orientation
+        # drivers once the pair is decided (align_pair orientation
+        # loop, aligner.h:817-836).  Pairs that reach the rc
+        # orientation escalate to a batched phase B.
+        s_L = s_R = ov_L = ov_R = None
+        escal = []
+        if need_A:
+            sA1 = s1[need_A]
+            s_L, ov_L = machL.record([m1[i] for i in need_A], sA1,
+                                     self.rec_cap)
+            s_R, ov_R = machR.record([m2[i] for i in need_A], sA1,
+                                     self.rec_cap)
+            if self.rec_cap is None:
+                # -k>1/-a/-m/-M interleaves always visit both
+                # orientations — skip the doomed phase-A replay
+                escal = list(range(len(need_A)))
+            else:
+                for k, i in enumerate(need_A):
+                    rd1, rd2 = pairs[i]
+                    if ov_L[k] or ov_R[k]:
+                        self.fallbacks += 1
+                        results[i], _ = self._replay(rd1, rd2, None)
+                        continue
+                    streams = ["unrec"] * 4
+                    streams[slotL] = s_L[k]
+                    streams[slotR] = s_R[k]
+                    res, esc = self._replay(rd1, rd2, streams)
+                    if esc:
+                        escal.append(k)
+                    else:
+                        results[i] = res
 
         if escal:
             # Phase B: batch-record the rc-orientation streams for the
             # escalated pairs and replay with all four
             if self.rec_cap is not None:
                 self.escalations += len(escal)
-            sB1 = s1[escal]
+            pidx = [need_A[k] for k in escal]
+            sB1 = s1[pidx]
             machLb = self.m_rc if self.fw1 else self.m_fw
             machRb = self.m_rc if self.fw2 else self.m_fw
-            s_Lb, ov_Lb = machLb.record([m1[i] for i in escal], sB1,
+            s_Lb, ov_Lb = machLb.record([m1[i] for i in pidx], sB1,
                                         self.rec_cap)
-            s_Rb, ov_Rb = machRb.record([m2[i] for i in escal], sB1,
+            s_Rb, ov_Rb = machRb.record([m2[i] for i in pidx], sB1,
                                         self.rec_cap)
-            for k, i in enumerate(escal):
+            for j, (k, i) in enumerate(zip(escal, pidx)):
                 rd1, rd2 = pairs[i]
-                if ov_L[i] or ov_R[i] or ov_Lb[k] or ov_Rb[k]:
+                if ov_L[k] or ov_R[k] or ov_Lb[j] or ov_Rb[j]:
                     self.fallbacks += 1
                     results[i], _ = self._replay(rd1, rd2, None)
                     continue
                 streams = ["unrec"] * 4
-                streams[slotL] = s_L[i]
-                streams[slotR] = s_R[i]
-                streams[1 if self.fw1 else 0] = s_Lb[k]
-                streams[3 if self.fw2 else 2] = s_Rb[k]
+                streams[slotL] = s_L[k]
+                streams[slotR] = s_R[k]
+                streams[1 if self.fw1 else 0] = s_Lb[j]
+                streams[3 if self.fw2 else 2] = s_Rb[j]
                 res, esc = self._replay(rd1, rd2, streams)
                 if esc:
                     # rec_cap truncation hit mid-replay: live rerun
@@ -355,6 +411,50 @@ class DevicePairedBestAligner:
                     res, _ = self._replay(rd1, rd2, None)
                 results[i] = res
         return results
+
+    # -- phase-0 helpers -------------------------------------------------
+
+    def _exact_fm(self, efw: bool):
+        """FMIndexArrays of the fw (efw=True) or mirror index, ranges
+        only (no SA)."""
+        fms = getattr(self, "_fms", None)
+        if fms is None:
+            fms = self._fms = {}
+        if efw not in fms:
+            from ..index.arrays import from_ebwt
+            oe = self.cat.occ_every
+            fms[efw] = from_ebwt(self._idx_fw if efw else self._idx_bw,
+                                 occ_every=oe, dense_sa=False)
+        return fms[efw]
+
+    def _synth_streams(self, mach, reads):
+        """Per-read SynthStream of the machine's exact-reporting
+        sub-driver (outer 0: always min_cost 0 while every other
+        sub-driver starts >= 1<<14), or None when the read has no
+        whole-read exact hit (or is out of machine bounds)."""
+        import jax.numpy as jnp
+        from .exact import right_align
+        from .exact import exact_ranges
+        cfg = mach.outers[0].cfg
+        assert cfg.report_exacts
+        base = [(r.codes_fw if cfg.fw else r.codes_rc) for r in reads]
+        if not cfg.ebwt_fw:
+            # mirror-index backward search consumes the read forward
+            base = [b[::-1] for b in base]
+        L = max(8, max(len(b) for b in base))
+        mat, lens = right_align(base, pad_to=L)
+        top, bot = exact_ranges(self._exact_fm(cfg.ebwt_fw),
+                                jnp.asarray(mat), jnp.asarray(lens))
+        top = np.asarray(top).tolist()
+        bot = np.asarray(bot).tolist()
+        out = []
+        for i, r in enumerate(reads):
+            if bot[i] > top[i] and 4 <= len(r.seq) <= 255:
+                out.append(SynthStream(top[i], bot[i], len(r.seq),
+                                       cfg.fw, cfg.ebwt_fw))
+            else:
+                out.append(None)
+        return out
 
 
 def dryrun_pe(n_lanes_per_dev: int = 4, mesh=None) -> int:
