@@ -73,3 +73,37 @@ def test_cli_device_pe_golden(key, args, tmp_path, monkeypatch):
     mine = b"".join(l for l in out.read_bytes().splitlines(keepends=True)
                     if not l.startswith(b"@PG"))
     assert mine == golden
+
+
+def test_synth_stream_matches_recording(_setup):
+    """Phase 0's synthesized first emission (the whole-read exact
+    range from the exact kernel) must equal the machine recording's
+    first emission for every read with an exact hit, for both strand
+    machines and both modes."""
+    from bowtie_tpu.align.pe_device import DevicePairedBestAligner
+    from bowtie_tpu.align.policy import KPolicy
+    from bowtie_tpu.utils.rng import fill_seed_caches
+    import numpy as np
+    idx, idxb, refs, pairs = _setup
+    for mode_kw in (dict(mode="n"), dict(mode="v", v=1)):
+        dev = DevicePairedBestAligner(idx, idxb, refs,
+                                      KPolicy(1, 0xFFFFFFFF), **mode_kw)
+        reads = [p[0] for p in pairs[:200]]
+        seeds = fill_seed_caches(reads, 0)
+        for mach in (dev.m_fw, dev.m_rc):
+            synth = dev._synth_streams(mach, reads)
+            streams, ov = mach.record(reads, seeds, rec_cap=None)
+            checked = 0
+            for i, s in enumerate(synth):
+                if s is None or ov[i] or streams[i] is None \
+                        or len(streams[i]) == 0:
+                    continue
+                fr_s, _ = s.materialize(0)
+                fr_r, _ = streams[i].materialize(0)
+                assert (fr_s.top, fr_s.bot, fr_s.cost, fr_s.stratum,
+                        fr_s.fw, fr_s.ebwt_fw, fr_s.mms) == \
+                       (fr_r.top, fr_r.bot, fr_r.cost, fr_r.stratum,
+                        fr_r.fw, fr_r.ebwt_fw, fr_r.mms), \
+                    (mode_kw, i)
+                checked += 1
+            assert checked > 20     # the invariant was actually tested
