@@ -197,6 +197,72 @@ def seeded_mode_configs(seed_mms: int, nofw: bool,
     return out
 
 
+def _outer_min_cost(oc: OuterCfg, read, seed_len: int, maq: bool,
+                    qual_order: bool) -> int:
+    """Initial minCostAdjustment of one CostAware vec entry
+    (BestDriver._init_range_source / initRangeSource,
+    ebwt_search_backtrack.h:2721-2805) — pure arithmetic over the
+    read's qualities, no search.  For seeded outers the SeededDriver's
+    min_cost equals its generator's adjustment."""
+    from .best_driver import cext_to_depth
+    from .backtrack_oracle import mm_penalty
+    cfg = oc.cfg
+    length = len(read.seq)
+    if cfg.ebwt_fw:
+        qual = read.qual if cfg.fw else read.qual[::-1]
+    else:
+        qual = read.qual[::-1] if cfg.fw else read.qual
+    s = min(seed_len, length) if seed_len > 0 else length
+    s_right = s >> 1
+    if s & 1 and not cfg.nudge_left:
+        s_right += 1
+    rev0 = cext_to_depth(cfg.pins[0], s_right, s, length)
+    qlen = s if (cfg.seed and length > s) else length
+    if cfg.report_exacts:
+        return 0
+    if not cfg.hh and rev0 < s:
+        mc = 1 << 14
+        if qual_order:
+            lo = min(qual[qlen - d - 1] for d in range(rev0, s))
+            mc += mm_penalty(maq, lo - 33)
+        return mc
+    if cfg.hh and 0 < s_right < s - 1:
+        mc = (3 if cfg.seed else 2) << 14
+        if qual_order:
+            lo1 = min(qual[qlen - d - 1] for d in range(0, s_right))
+            mc += mm_penalty(maq, lo1 - 33)
+            half2 = sorted(qual[qlen - d - 1]
+                           for d in range(s_right, s))
+            mc += mm_penalty(maq, half2[0] - 33)
+            if cfg.hh > 2 and len(half2) > 1:
+                mc += mm_penalty(maq, half2[1] - 33)
+        return mc
+    return 0
+
+
+def _emulate_sort_actives(costs: list, rand) -> list:
+    """CostAware sortActives over the STATIC initial costs
+    (range_source.h:2367+: selection sort, random swap on equal
+    costs).  Returns the active order as construction indices."""
+    vec = list(range(len(costs)))
+    c = list(costs)
+    sz = len(vec)
+    i = 0
+    while i < sz:
+        mn, mo = c[i], i
+        for j in range(i + 1, sz):
+            if c[j] < mn:
+                mn, mo = c[j], j
+            elif c[j] == mn:
+                if rand.next_u32() & 0x1000:
+                    mo = j
+        if mo != i:
+            vec[i], vec[mo] = vec[mo], vec[i]
+            c[i], c[mo] = c[mo], c[i]
+        i += 1
+    return vec
+
+
 def flatten_outer(outers: list[OuterCfg]):
     """Flat sub-driver list + outer->flat maps."""
     flat: list[DriverCfg] = []
@@ -2272,6 +2338,135 @@ class DeviceBestAligner:
     def align_batch(self, reads) -> list:
         if not reads:
             return []
+        gate = (self.policy.n == 1 and self.policy.max >= INF32 and
+                not self.policy.sample_max and not self.strata and
+                not self.all_hits)
+        if not gate:
+            return self._align_batch_machine(reads)
+        results = self._exact_gate(reads)
+        rest = [i for i, r in enumerate(results) if r is None]
+        if rest:
+            sub = self._align_batch_machine([reads[i] for i in rest])
+            for i, r in zip(rest, sub):
+                results[i] = r
+        return results
+
+    # -- exact-hit fast path (first-1-good policies) ----------------------
+    #
+    # A read with a whole-read exact hit reports, without running the
+    # machine, a hit that is fully determined by: the two exact
+    # drivers' ranges (the only cost-0 sub-drivers — everything else
+    # starts >= 1<<14), the CostAware set_query sortActives draws over
+    # the STATIC initial costs, the strandFix delayed-range draw
+    # (range_source.h:2322: rq % (spread_delayed + spread_first)), and
+    # the chase's first row draw.  All are host-computable; verified
+    # hit-for-hit against the host engine for -v 1/2/3 and -n 1/2/3.
+
+    def _exact_fm(self, efw: bool):
+        fms = getattr(self, "_fms", None)
+        if fms is None:
+            fms = self._fms = {}
+        if efw not in fms:
+            from ..index.arrays import from_ebwt
+            fms[efw] = from_ebwt(self.idx_fw if efw else self.idx_bw,
+                                 occ_every=self.cat.occ_every,
+                                 dense_sa=False)
+        return fms[efw]
+
+    def _gate_ranges(self, reads, cfg):
+        """Whole-read exact (top, bot) per read on cfg's index, via the
+        batched exact kernel."""
+        import jax.numpy as jnp
+        from .exact import exact_ranges, right_align
+        base = [(r.codes_fw if cfg.fw else r.codes_rc) for r in reads]
+        if not cfg.ebwt_fw:
+            base = [b[::-1] for b in base]
+        L = max(8, max(len(b) for b in base))
+        mat, lens = right_align(base, pad_to=L)
+        top, bot = exact_ranges(self._exact_fm(cfg.ebwt_fw),
+                                jnp.asarray(mat), jnp.asarray(lens))
+        return np.asarray(top).tolist(), np.asarray(bot).tolist()
+
+    def _exact_gate(self, reads) -> list:
+        from .policy import ReadResult
+        from .types import Hit
+        from .best import FoundRange
+        from .best_driver import RangeChaser
+        from ..utils.rng import BtRandom, fill_seed_caches
+        from .golden import GoldenFM
+        if getattr(self, "_chaser", None) is None:
+            self._gfw = GoldenFM(self.idx_fw)
+            self._gbw = GoldenFM(self.idx_bw)
+            self._chaser = RangeChaser(self._gfw, self._gbw)
+        outers = self.outers
+        ex_idx = [i for i, oc in enumerate(outers)
+                  if oc.cfg.report_exacts]
+        sl = self.seed_len if self.mode == "n" else 0
+        tops, bots = {}, {}
+        for i in ex_idx:
+            tops[i], bots[i] = self._gate_ranges(reads, outers[i].cfg)
+        seeds = fill_seed_caches(reads, self.global_seed).tolist()
+        results = []
+        for b, read in enumerate(reads):
+            if not (4 <= len(read.seq) <= 255):
+                results.append(None)
+                continue
+            spreads = {i: bots[i][b] - tops[i][b] for i in ex_idx}
+            if all(s <= 0 for s in spreads.values()):
+                results.append(None)     # no exact hit: machine path
+                continue
+            costs = [_outer_min_cost(oc, read, sl, self.maq,
+                                     self.qual_order) for oc in outers]
+            if any(c == 0 for i, c in enumerate(costs)
+                   if i not in ex_idx):
+                results.append(None)     # ambiguous zero-cost tie
+                continue
+            rand = BtRandom(seeds[b])
+            order = _emulate_sort_actives(costs, rand)
+            first = order[0]
+            emit = None
+            if spreads.get(first, 0) > 0:
+                emit = first
+                # strandFix quirk: the mate/strand test reads the
+                # CONSTRUCTION-order driver, the advance acts on the
+                # SORTED-order one (range_source.h:2322-2327)
+                for i in range(1, len(outers)):
+                    if outers[i].cfg.fw != outers[first].cfg.fw:
+                        p2 = order[i]
+                        if costs[p2] > 0:
+                            break
+                        if spreads.get(p2, 0) > 0:
+                            tot = spreads[p2] + spreads[first]
+                            rq = rand.next_u32() % tot
+                            if rq < spreads[p2]:
+                                emit = p2
+                        break
+            else:
+                others = [i for i in ex_idx
+                          if i != first and spreads[i] > 0]
+                emit = others[0] if others else None
+            if emit is None:
+                results.append(None)
+                continue
+            cfg = outers[emit].cfg
+            fr = FoundRange(top=tops[emit][b], bot=bots[emit][b],
+                            cost=0, stratum=0, num_mms=0, fw=cfg.fw,
+                            ebwt_fw=cfg.ebwt_fw, mms=[], refcs=[])
+            rand2 = BtRandom(seeds[b])
+            qlen = len(read.seq)
+            hit = None
+            for tidx, toff in self._chaser.chase(fr, qlen, rand2):
+                hit = Hit(read=read, fw=cfg.fw, tidx=tidx, toff=toff,
+                          oms=spreads[emit] - 1, stratum=0, cost=0,
+                          mms=[])
+                break
+            if hit is None:
+                results.append(None)
+                continue
+            results.append(ReadResult([hit], nvalid=1, nbuffered=1))
+        return results
+
+    def _align_batch_machine(self, reads) -> list:
         B = len(reads)
         host_only = [b for b, r in enumerate(reads)
                      if len(r.seq) < 4 or len(r.seq) > 255]
