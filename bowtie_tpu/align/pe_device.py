@@ -324,11 +324,23 @@ class DevicePairedBestAligner:
         machR = self.m_fw if self.fw2 else self.m_rc
         results = [None] * len(pairs)
 
-        # Phase 0: synthesized exact anchors.  When BOTH fw-orientation
-        # mates have whole-read exact hits, each driver's first
-        # emission is known without running the machine (SynthStream);
-        # pairs whose replay pops deeper escalate to a real recording.
+        def record_into(mach, mates, idxs, streams_d, ov_d):
+            """Batch-record streams for pair indices `idxs` into
+            per-pair dicts."""
+            if not idxs:
+                return
+            ss, ov = mach.record([mates[i] for i in idxs], s1[idxs],
+                                 self.rec_cap)
+            for k, i in enumerate(idxs):
+                streams_d[i] = ss[k]
+                ov_d[i] = bool(ov[k])
+
+        # Phase 0: synthesized exact anchors.  When a fw-orientation
+        # mate has a whole-read exact hit, its driver's first emission
+        # is known without running the machine (SynthStream); pairs
+        # whose replay pops deeper escalate to a real recording.
         need_A = list(range(len(pairs)))
+        synthL = synthR = None
         if self.rec_cap is not None:
             synthL = self._synth_streams(machL, m1)
             synthR = self._synth_streams(machR, m2)
@@ -350,66 +362,114 @@ class DevicePairedBestAligner:
         # the V1 interleave tries the fw pair orientation first and,
         # for first-k-good policies, never touches the rc-orientation
         # drivers once the pair is decided (align_pair orientation
-        # loop, aligner.h:817-836).  Pairs that reach the rc
-        # orientation escalate to a batched phase B.
-        s_L = s_R = ov_L = ov_R = None
+        # loop, aligner.h:817-836).  Mates with a phase-0 synth stream
+        # reuse it (half the lanes for single-exact pairs); pairs that
+        # pop past any capped/synth stream escalate to phase B.
+        realL, realR, ovL, ovR = {}, {}, {}, {}
         escal = []
         if need_A:
-            sA1 = s1[need_A]
-            s_L, ov_L = machL.record([m1[i] for i in need_A], sA1,
-                                     self.rec_cap)
-            s_R, ov_R = machR.record([m2[i] for i in need_A], sA1,
-                                     self.rec_cap)
-            if self.rec_cap is None:
+            full = self.rec_cap is None
+            record_into(machL, m1,
+                        [i for i in need_A
+                         if full or synthL[i] is None], realL, ovL)
+            record_into(machR, m2,
+                        [i for i in need_A
+                         if full or synthR[i] is None], realR, ovR)
+            if full:
                 # -k>1/-a/-m/-M interleaves always visit both
                 # orientations — skip the doomed phase-A replay
-                escal = list(range(len(need_A)))
+                escal = list(need_A)
             else:
-                for k, i in enumerate(need_A):
+                for i in need_A:
                     rd1, rd2 = pairs[i]
-                    if ov_L[k] or ov_R[k]:
+                    if ovL.get(i) or ovR.get(i):
                         self.fallbacks += 1
                         results[i], _ = self._replay(rd1, rd2, None)
                         continue
                     streams = ["unrec"] * 4
-                    streams[slotL] = s_L[k]
-                    streams[slotR] = s_R[k]
+                    streams[slotL] = (realL[i] if i in realL
+                                      else synthL[i])
+                    streams[slotR] = (realR[i] if i in realR
+                                      else synthR[i])
                     res, esc = self._replay(rd1, rd2, streams)
                     if esc:
-                        escal.append(k)
+                        escal.append(i)
                     else:
                         results[i] = res
 
         if escal:
-            # Phase B: batch-record the rc-orientation streams for the
-            # escalated pairs and replay with all four
+            # Phase B: the rc-orientation streams for escalated pairs
+            # (synthesized exact anchors where possible — an
+            # rc-aligning pair pops each rc driver once too), plus real
+            # fw-orientation streams where phase A reused a synth.
             if self.rec_cap is not None:
                 self.escalations += len(escal)
-            pidx = [need_A[k] for k in escal]
-            sB1 = s1[pidx]
             machLb = self.m_rc if self.fw1 else self.m_fw
             machRb = self.m_rc if self.fw2 else self.m_fw
-            s_Lb, ov_Lb = machLb.record([m1[i] for i in pidx], sB1,
-                                        self.rec_cap)
-            s_Rb, ov_Rb = machRb.record([m2[i] for i in pidx], sB1,
-                                        self.rec_cap)
-            for j, (k, i) in enumerate(zip(escal, pidx)):
+            slotLb = 1 if self.fw1 else 0
+            slotRb = 3 if self.fw2 else 2
+            full = self.rec_cap is None
+            synthLb = synthRb = None
+            if not full:
+                synthLb = self._synth_streams(machLb, m1)
+                synthRb = self._synth_streams(machRb, m2)
+            rcL, rcR, ovLb, ovRb = {}, {}, {}, {}
+            record_into(machLb, m1,
+                        [i for i in escal
+                         if full or synthLb[i] is None], rcL, ovLb)
+            record_into(machRb, m2,
+                        [i for i in escal
+                         if full or synthRb[i] is None], rcR, ovRb)
+            record_into(machL, m1,
+                        [i for i in escal if i not in realL],
+                        realL, ovL)
+            record_into(machR, m2,
+                        [i for i in escal if i not in realR],
+                        realR, ovR)
+            escal_c = []
+            for i in escal:
                 rd1, rd2 = pairs[i]
-                if ov_L[k] or ov_R[k] or ov_Lb[j] or ov_Rb[j]:
+                if (ovL.get(i) or ovR.get(i) or ovLb.get(i)
+                        or ovRb.get(i)):
                     self.fallbacks += 1
                     results[i], _ = self._replay(rd1, rd2, None)
                     continue
                 streams = ["unrec"] * 4
-                streams[slotL] = s_L[k]
-                streams[slotR] = s_R[k]
-                streams[1 if self.fw1 else 0] = s_Lb[j]
-                streams[3 if self.fw2 else 2] = s_Rb[j]
+                streams[slotL] = realL[i]
+                streams[slotR] = realR[i]
+                streams[slotLb] = (rcL[i] if i in rcL else synthLb[i])
+                streams[slotRb] = (rcR[i] if i in rcR else synthRb[i])
                 res, esc = self._replay(rd1, rd2, streams)
                 if esc:
-                    # rec_cap truncation hit mid-replay: live rerun
-                    self.fallbacks += 1
-                    res, _ = self._replay(rd1, rd2, None)
-                results[i] = res
+                    escal_c.append(i)
+                else:
+                    results[i] = res
+
+            if escal_c:
+                # Phase C: real rc-orientation streams where phase B
+                # used a synth; live rerun only past rec_cap depth
+                record_into(machLb, m1,
+                            [i for i in escal_c if i not in rcL],
+                            rcL, ovLb)
+                record_into(machRb, m2,
+                            [i for i in escal_c if i not in rcR],
+                            rcR, ovRb)
+                for i in escal_c:
+                    rd1, rd2 = pairs[i]
+                    if ovLb.get(i) or ovRb.get(i):
+                        self.fallbacks += 1
+                        results[i], _ = self._replay(rd1, rd2, None)
+                        continue
+                    streams = ["unrec"] * 4
+                    streams[slotL] = realL[i]
+                    streams[slotR] = realR[i]
+                    streams[slotLb] = rcL[i]
+                    streams[slotRb] = rcR[i]
+                    res, esc = self._replay(rd1, rd2, streams)
+                    if esc:
+                        self.fallbacks += 1
+                        res, _ = self._replay(rd1, rd2, None)
+                    results[i] = res
         return results
 
     # -- phase-0 helpers -------------------------------------------------
