@@ -85,10 +85,13 @@ def _derive_b_jobs_device(st_a, gated, base_codes, base_qual,
     plen = base_plen.astype(jnp.int32)
     qs = jnp.minimum(plen, s)
     pj = st_a["part_job"]                           # [B, P]
-    ppos = st_a["part_pos"]                         # [B, P, 3]
-    prefc = st_a["part_refc"]
-    pn = st_a["part_n"]
     P = pj.shape[1]
+    # raw machine state keeps the per-slot mutation triplets flat
+    # ([B, P*3], slot-major) — the host path only sees them 3-D after
+    # _fuse_parts; reshape here before the per-k column indexing.
+    ppos = st_a["part_pos"].reshape(B, P, 3)        # [B, P, 3]
+    prefc = st_a["part_refc"].reshape(B, P, 3)
+    pn = st_a["part_n"]
     slot = jnp.arange(P)[None, :]
     vpart = (slot < npart[:, None]) & active[:, None]
     rc = vpart & (pj == jrc)
