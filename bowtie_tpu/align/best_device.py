@@ -2205,6 +2205,10 @@ def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
     """chunk may be an int or a schedule tuple (last entry repeats):
     per-step cost scales with the live bucket size, so short early
     chunks compact away the fast lanes before the straggler tail."""
+    import os
+    import sys
+    import time
+    prof = bool(os.environ.get("BOWTIE_TPU_PROF"))
     B0 = st["mode"].shape[0]
     orig = np.arange(B0)
     out = None
@@ -2214,9 +2218,16 @@ def run_compacting(cat: FMCat, cfgj, st, *, L: int, max_steps: int,
     while True:
         csteps = sched[min(ci, len(sched) - 1)]
         ci += 1
+        t0 = time.time()
         st, _ = run_chunk(cat, cfgj, st, chunk=csteps, L=L, **kw)
         steps += csteps
         poll = np.asarray(_poll_all(st))
+        if prof:
+            print(f"[prof best] round {ci}: B={st['mode'].shape[0]} "
+                  f"chunk={csteps} live_after="
+                  f"{int((poll[0] != M_DONE).sum())} "
+                  f"chunk+poll={time.time() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
         mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0
