@@ -1488,8 +1488,17 @@ class DeviceDFSAligner:
         if (self.policy.n != 1 or self.policy.max < INF32
                 or self.policy.sample_max):
             return slow_path(reads)
+        import os
+        import sys
+        import time
+        prof = bool(os.environ.get("BOWTIE_TPU_PROF"))
+        t0 = time.time()
         ex_res = self._exact_aligner().align_batch(reads)
         rest = [i for i, r in enumerate(ex_res) if not r.hits]
+        if prof:
+            print(f"[prof gate] exact gate: B={len(reads)} "
+                  f"rest={len(rest)} t={time.time() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
         if rest:
             for i, r in zip(rest, slow_path([reads[i] for i in rest])):
                 ex_res[i] = r
@@ -1579,7 +1588,7 @@ def run_chunk(cat: FMCat, jobs, st, *, J: int, L: int, nfrag: int,
             it + 1
 
     st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-    return st, st["mode"]
+    return st, it
 
 
 @jax.jit
@@ -1770,6 +1779,10 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
     chunk may be an int or a schedule tuple (the last entry repeats);
     st0 supplies a pre-built device state (seeds/count0 then unused).
     Returns host-side outputs at the ORIGINAL lane indexing."""
+    import os
+    import sys
+    import time
+    prof = bool(os.environ.get("BOWTIE_TPU_PROF"))
     if st0 is not None:
         st = st0
         B0 = int(st["mode"].shape[0])
@@ -1790,10 +1803,17 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
     while True:
         csteps = sched[min(ci, len(sched) - 1)]
         ci += 1
+        t0 = time.time()
         st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
                           n_k=n_k, m_max=m_max, chunk=csteps)
         steps += csteps
         poll = np.asarray(_poll_all(st))
+        if prof:
+            print(f"[prof dfs] round {ci}: B={st['mode'].shape[0]} "
+                  f"chunk={csteps} live_after="
+                  f"{int((poll[0] != M_DONE).sum())} "
+                  f"chunk+poll={time.time() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
         mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0

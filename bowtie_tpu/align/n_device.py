@@ -469,18 +469,29 @@ class DeviceNAligner(DeviceDFSAligner):
         stacked poll + one fused hit-pack transfer.  Each tunnel sync
         costs ~0.7 s, so the host A->B handoff (poll, partial
         download, job upload) dominated the old flow."""
+        import os
+        import sys
+        import time
         import jax.numpy as jnp
         from .backtrack_oracle import QUAL_ROUNDS
         from .dfs_device import (M_DONE, _pad_pow2, _gather_rows,
                                  run_chunk, _init_state, MM_SLOTS,
                                  H_MAX)
+        prof = bool(os.environ.get("BOWTIE_TPU_PROF"))
+        t00 = time.time()
         B = len(reads)
         seeds_d = jnp.asarray(seeds)
         st_a = _init_state(Bp, L, seeds_d,
                            jnp.zeros(Bp, jnp.int32))
-        st_a, _ = run_chunk(self.cat, jobs_a, st_a, J=J_A, L=L,
-                            nfrag=self.nfrag, n_k=n_k, m_max=m_max,
-                            chunk=self.max_steps)
+        st_a, it_a = run_chunk(self.cat, jobs_a, st_a, J=J_A, L=L,
+                               nfrag=self.nfrag, n_k=n_k, m_max=m_max,
+                               chunk=self.max_steps)
+        if prof:
+            print(f"[prof n2] launch A: B={Bp} J={J_A} "
+                  f"steps={int(np.asarray(it_a))} "
+                  f"t={time.time() - t00:.3f}s",
+                  file=sys.stderr, flush=True)
+            t00 = time.time()
         J_B = P_MAX + 4
         if self.n_mms > 0:
             gp = np.ones(Bp, bool)
@@ -496,6 +507,11 @@ class DeviceNAligner(DeviceDFSAligner):
             st_b0, _ = run_chunk(self.cat, jobs_b, st_b0, J=J_B, L=L,
                                  nfrag=self.nfrag, n_k=n_k,
                                  m_max=m_max, chunk=64)
+        if prof:
+            print(f"[prof n2] derive+B64 dispatch: "
+                  f"t={time.time() - t00:.3f}s",
+                  file=sys.stderr, flush=True)
+            t00 = time.time()
         poll_a = np.asarray(_poll_one(st_a))
         ks = ("mode", "result", "overflow", "count", "nhits")
 
@@ -521,6 +537,10 @@ class DeviceNAligner(DeviceDFSAligner):
                 st_a["hits"], jnp.asarray(pla),
                 jnp.asarray(psa)))[:len(lr_a)]
         out_a["hits"] = ha
+        if prof:
+            print(f"[prof n2] A poll+pack: t={time.time() - t00:.3f}s",
+                  file=sys.stderr, flush=True)
+            t00 = time.time()
         if self.n_mms > 0:
             # launch B with straggler compaction (death is bimodal:
             # ~half the lanes finish in <=64 steps, half-and-half
@@ -534,7 +554,15 @@ class DeviceNAligner(DeviceDFSAligner):
                      for k, v in out_b.items()}
         else:
             out_b = None
-        return self._assemble_n(reads, out_a, out_b, seeds, gated)
+        if prof:
+            print(f"[prof n2] launch B: t={time.time() - t00:.3f}s",
+                  file=sys.stderr, flush=True)
+            t00 = time.time()
+        res = self._assemble_n(reads, out_a, out_b, seeds, gated)
+        if prof:
+            print(f"[prof n2] assemble: t={time.time() - t00:.3f}s",
+                  file=sys.stderr, flush=True)
+        return res
 
     def _derive_b_jit(self, st_a, gated_d, bc, bq, bp, qr, J_B, L,
                       jrc):
