@@ -122,6 +122,11 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     from bowtie_tpu.parallel.mesh import sharded_align_step
 
     if not os.path.exists(base + ".1.ebwt"):
+        print(json.dumps({
+            "metric": "hg-scale modes",
+            "hg": "SKIPPED — index not built",
+            "hint": "python scripts/make_hg_synth.py /root/hg_synth",
+        }), flush=True)
         return None
     idx = read_ebwt(base)
     fm = from_ebwt(idx, occ_every=128, dense_sa=False)

@@ -35,15 +35,15 @@ lives in separate [B, ND] arrays.
 State layout (the TPU-critical decision): branch *scalars* live in
 [B, NBR] arrays updated with one-hot masked writes (cheap VPU sweeps);
 per-position range data lives in flat 1-D pools —
-``pt_pool/pb_pool[B*NBR*L]`` (each consumed position's entry top/bot)
-and ``meta[B*NBR*L]`` (packed elimination bits + quallo) — so one
-machine step costs a few dense-pool scatters plus O([B, NBR]) vector
-work.  The pools are deliberately 1-D: TPU memory is tiled (8, 128)
-over the trailing two dims, so e.g. a [N, 2] entry array would occupy
-64x its logical bytes and every scatter's operand copy would sweep
-gigabytes per step.  A split recomputes the needed LF quartet from the
-stored (top, bot) pair (mapLFEx, ebwt.h:2334) instead of storing 8
-ints per position.
+``ptb_pool[B, NBR, 2L]`` (each consumed position's entry top/bot) and
+``meta[B, NBR, L]`` (packed elimination bits + quallo) — so one
+machine step costs a few one-hot masked sweeps plus O([B, NBR]) vector
+work.  Pool rows are read/written with one-hot slot masks, never
+dynamic gathers/scatters: a [B, L]-row gather from a flat pool
+measured ~2.2 ms/op on the TPU sparse core vs ~0.2 ms for the masked
+sweep (scripts/microbench_ops.py).  A split recomputes the needed LF
+quartet from the stored (top, bot) pair (mapLFEx, ebwt.h:2334)
+instead of storing 8 ints per position.
 """
 from __future__ import annotations
 
@@ -394,6 +394,19 @@ class HostInit:
                                 0 if pin == PIN_BEG else qlen)
         st["dqlen"], st["dd5"], st["dd3"] = dqlen, dd5, dd3
 
+        # static per-(lane, flat-driver) by-depth rows [qd | pend]:
+        # the device machine one-hot-selects these instead of deriving
+        # rows with gathers (see _derive_qd)
+        rows_qp = np.zeros((B, ndt, 2 * L), np.int8)
+        for f, c in enumerate(self.flat):
+            qd_f, quald_f = self._derive_rows(c, codes, qual, qlen,
+                                              dqlen[:, f], L)
+            pend_f = _QR[np.clip(quald_f, 0, 255)] if self.maq \
+                else quald_f
+            rows_qp[:, f, :L] = np.clip(qd_f, -128, 127)
+            rows_qp[:, f, L:] = np.clip(pend_f, 0, 127)
+        st["rows_qp"] = rows_qp
+
         di = np.arange(L)[None, :]
         adj = np.zeros((B, ndt), np.int32)
         drv_dead = np.zeros((B, ndt), bool)
@@ -634,12 +647,13 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         # HBM cost of every masked sweep ~5x
         nhits=z(B), hits=z(B, H_MAX * (8 + 2 * MM_SLOTS)),
         qlen=jnp.asarray(host["qlen"], jnp.int32),
-        codes=jnp.asarray(host["codes"], jnp.int32),
-        pen=jnp.asarray(host["pen"], jnp.int32),
+        rows_qp=jnp.asarray(host["rows_qp"], jnp.int8),
         dqlen=jnp.asarray(host["dqlen"], jnp.int32),
         dd5=jnp.asarray(host["dd5"], jnp.int32),
         dd3=jnp.asarray(host["dd3"], jnp.int32),
-        qd_cur=z(B, L), pend_cur=z(B, L),
+        # packed current-driver rows [qd | pend]: element reads
+        # share one one-hot position mask (single fused pass)
+        qp_cur=z(B, 2 * L),
         d5_cur=z(B), d3_cur=z(B), qlen_cur=z(B),
         bt=jnp.full((B,), maxbts, jnp.int32),
         # outer CostAware / aligner control
@@ -666,8 +680,9 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         drv_adj=jnp.asarray(host["drv_adj"], jnp.int32),
         pm_min=z(B, ndt),
         drv_nextid=jnp.asarray(host["drv_nextid"], jnp.int32),
-        # per-driver blocks are FLAT [B, K*W] (see _BLK)
-        rr=jnp.asarray(host["rr"], jnp.int32).reshape(B, -1),
+        # per-driver blocks are FLAT element-major [B, W*K] (see _BLK)
+        rr=jnp.asarray(host["rr"], jnp.int32).transpose(0, 2, 1)
+        .reshape(B, -1),
         rr_ed=z(B, ndt * E_MAX), rr_ec=z(B, ndt * E_MAX),
         # extender dynamic state
         pm_m=z(B, ndt * 3), pm_c=z(B, ndt * 3), pm_n=z(B, ndt),
@@ -686,13 +701,15 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         il_top=z(B, nd), il_bot=z(B, nd), il_cost=z(B, nd),
         il_strat=z(B, nd), il_ne=z(B, nd),
         il_ed=z(B, nd * E_MAX), il_ec=z(B, nd * E_MAX),
-        # branch pool.  All pool arrays are FLAT 1-D (or [B, k*E_MAX])
-        # on purpose: TPU memory is tiled (8, 128) over the last two
-        # dims, so a [N, 2] entry array would physically occupy 64x its
-        # logical size and every per-step scatter's full-array copy
-        # would sweep gigabytes.  Flat layouts keep copies dense.
-        pt_pool=z(B * NBR * L), pb_pool=z(B * NBR * L),
-        meta=jnp.full((B * NBR * L,), META_ALL_DEAD, jnp.int32),
+        # branch pool.  The per-position pools are [B, NBR, *] with the
+        # position axis minor: every row read/write is then a one-hot
+        # masked sweep over the slot axis — dynamic row gathers from a
+        # flat pool measured ~2.2 ms/op on the TPU sparse core vs
+        # ~0.2 ms for the masked sweep (scripts/microbench_ops.py).
+        # ptb packs the entry-top row and entry-bot row side by side
+        # ([pt | pb] along the minor axis) so one pass serves both.
+        ptb_pool=z(B, NBR, 2 * L),
+        meta=jnp.full((B, NBR, L), META_ALL_DEAD, jnp.int32),
         p_ed=z(B, NBR * E_MAX), p_ec=z(B, NBR * E_MAX),
     )
     # outer rr for pre-found plain drivers (immediate ftab ranges)
@@ -734,44 +751,65 @@ def _dw(st, name, mask, drv, val):
     return st
 
 
-def _meta_row(st, mrow, L, B):
-    """[B, L] row gather from the flat meta pool."""
-    base = jnp.clip(mrow, 0, B * NBR - 1) * L
-    return st["meta"][base[:, None] + jnp.arange(L, dtype=jnp.int32)]
+def _slot_mask(fs, B):
+    """One-hot [B, NBR, 1] mask of each lane's slot fs."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (B, NBR), 1)
+            == fs[:, None])[:, :, None]
+
+
+def _meta_row(st, fs, B):
+    """[B, L] meta row of slot fs — one-hot sum over the slot axis."""
+    return jnp.sum(jnp.where(_slot_mask(fs, B), st["meta"], 0), axis=1)
+
+
+def _ptb_row(st, fs, B, L):
+    """(entry-top row, entry-bot row) of slot fs: [B, L] each."""
+    ptb = jnp.sum(jnp.where(_slot_mask(fs, B), st["ptb_pool"], 0),
+                  axis=1)
+    return ptb[:, :L], ptb[:, L:]
 
 
 def _lane_block(arr, slot, width, nslots):
-    """arr[b, slot[b]*width : +width] -> [B, width] from a per-lane
-    flat [B, nslots*width] pool."""
+    """arr block `slot` -> [B, width] from a per-lane flat
+    [B, width*nslots] ELEMENT-MAJOR pool (element e of block k at
+    column e*nslots + k): `width` static slices under ONE shared
+    one-hot slot mask, fused into a single VPU pass.  (The slot-major
+    index-arithmetic gather this replaces measured ~2.2 ms/op on the
+    sparse core at B=16k; scripts/microbench_ops.py.)"""
     B = slot.shape[0]
-    cb = jnp.clip(slot, 0, nslots - 1) * width
-    return arr[jnp.arange(B)[:, None],
-               cb[:, None] + jnp.arange(width, dtype=jnp.int32)]
+    m = jax.lax.broadcasted_iota(jnp.int32, (B, nslots), 1) \
+        == slot[:, None]
+    return jnp.stack(
+        [jnp.sum(jnp.where(m, arr[:, e * nslots:(e + 1) * nslots], 0),
+                 axis=1) for e in range(width)], axis=-1)
 
 
-# Per-driver block widths for the flat [B, K*W] per-lane state (the
-# logical [B, K, W] layout would be TPU-padded to [B, K, 128] — 24-49x
-# its logical bytes, swept in full by every masked write).
+# Per-driver block widths for the flat ELEMENT-MAJOR [B, W*K] per-lane
+# state (a logical [B, K, W] layout would be TPU-padded to [B, K, 128]
+# — 24-49x its logical bytes, swept in full by every masked write).
 _BLK = {"rr": 5, "rr_ed": E_MAX, "rr_ec": E_MAX, "pm_m": 3, "pm_c": 3,
         "od_rr": 5, "od_ed": E_MAX, "od_ec": E_MAX, "il_ed": E_MAX,
         "il_ec": E_MAX, "ic_act": PEX}
 
 
 def _dsel2(st, name, drv):
-    """Block select from flat [B, K*W] -> [B, W]."""
+    """Block select from flat element-major [B, W*K] -> [B, W]."""
     W = _BLK[name]
     a = st[name]
     return _lane_block(a, drv, W, a.shape[1] // W)
 
 
 def _dw2(st, name, mask, drv, val):
-    """Block write into flat [B, K*W]."""
+    """Block write into flat element-major [B, W*K]: one masked sweep
+    (shared one-hot block mask tiled over the W element groups)."""
     a = st[name]
     B, KW = a.shape
     W = _BLK[name]
-    mm = ((jax.lax.broadcasted_iota(jnp.int32, (B, KW), 1) // W)
-          == drv[:, None]) & mask[:, None]
-    st[name] = jnp.where(mm, jnp.tile(val, (1, KW // W)), a)
+    K = KW // W
+    m = (jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+         == drv[:, None]) & mask[:, None]
+    st[name] = jnp.where(jnp.tile(m, (1, W)),
+                         jnp.repeat(val, K, axis=1), a)
     return st
 
 
@@ -803,32 +841,31 @@ def _front_select(st, cur):
 
 
 def _derive_qd(st, cfgj, flat, L):
-    """By-depth code/penalty rows for flat driver `flat` ([B] ids),
-    derived from the base read arrays + premuts (the device analog of
-    set_query/set_qlen/seed-mutation application)."""
+    """By-depth code/penalty rows for flat driver `flat` ([B] ids):
+    the base rows are STATIC per (lane, flat driver) — set_query's
+    reversal/complement geometry depends only on the driver config and
+    the read — so they are precomputed at launch into rows_qp
+    [B, NDT, 2L] int8 and selected here by a one-hot sum over the
+    driver axis (the take_along_axis permutation gathers this replaces
+    measured ~2.2 ms/op on the sparse core).  Only the seed-stage
+    premuts (extender creation, dynamic) are applied per call."""
     B = flat.shape[0]
-    same = _cfg1(cfgj["same"], flat)
-    fw = _cfg1(cfgj["fw"], flat)
-    dq = _dsel(st, "dqlen", flat)
-    qlen = st["qlen"]
-    di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    in_q = di < dq[:, None]
-    pos = jnp.where(same[:, None] > 0, dq[:, None] - 1 - di,
-                    qlen[:, None] - dq[:, None] + di)
-    pos = jnp.where(in_q, jnp.clip(pos, 0, L - 1), 0)
-    cd = jnp.take_along_axis(st["codes"], pos, axis=1)
-    cd = jnp.where((fw[:, None] == 0) & (cd < 4), 3 - cd, cd)
-    qd = jnp.where(in_q, cd, 4)
-    pend = jnp.where(in_q, jnp.take_along_axis(st["pen"], pos, axis=1),
-                     0)
+    ndt = st["pm_n"].shape[1]
+    m = (jax.lax.broadcasted_iota(jnp.int32, (B, ndt), 1)
+         == flat[:, None])[:, :, None]
+    qp = jnp.sum(jnp.where(m, st["rows_qp"], 0), axis=1) \
+        .astype(jnp.int32)                           # [B, 2L]
+    qd, pend = qp[:, :L], qp[:, L:]
     # seed-stage mutations: depth == m_k (set_query applies the seed
     # range's edits to qry; in depth coordinates the edit lands at its
-    # seed-relative 5' offset)
+    # seed-relative 5' offset).  Premut positions are always < dqlen,
+    # so no extra in_q guard is needed.
+    di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     npm = _dsel(st, "pm_n", flat)
     pmm = _dsel2(st, "pm_m", flat)       # [B, 3]
     pmc = _dsel2(st, "pm_c", flat)
     for k in range(3):
-        hit = (di == pmm[:, k:k + 1]) & (npm[:, None] > k) & in_q
+        hit = (di == pmm[:, k:k + 1]) & (npm[:, None] > k)
         qd = jnp.where(hit, pmc[:, k:k + 1], qd)
     return qd, pend
 
@@ -837,8 +874,8 @@ def _load_cur_rows(st, mask, flat, cfgj, L):
     """Refresh the current-flat-driver registers (by-depth query and
     penalty rows, d5/d3/qlen)."""
     qd, pend = _derive_qd(st, cfgj, flat, L)
-    st["qd_cur"] = jnp.where(mask[:, None], qd, st["qd_cur"])
-    st["pend_cur"] = jnp.where(mask[:, None], pend, st["pend_cur"])
+    qp = jnp.concatenate([qd, pend], axis=1)
+    st["qp_cur"] = jnp.where(mask[:, None], qp, st["qp_cur"])
     st = _w(st, "d5_cur", mask, _dsel(st, "dd5", flat))
     st = _w(st, "d3_cur", mask, _dsel(st, "dd3", flat))
     st = _w(st, "qlen_cur", mask, _dsel(st, "dqlen", flat))
@@ -873,8 +910,8 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
         rm = run & (_sel_col(done2, cur) > 0) & \
             (_sel_col(found2, cur) == 0)
         shift = rm[:, None] & (cols >= i[:, None])
-        src = jnp.clip(cols + 1, 0, act.shape[1] - 1)
-        act = jnp.where(shift, jnp.take_along_axis(act, src, 1), act)
+        act_s1 = jnp.concatenate([act[:, 1:], act[:, -1:]], axis=1)
+        act = jnp.where(shift, act_s1, act)
         act_n = jnp.where(rm, act_n - 1, act_n)
         sel = run & ~rm
         min_cost = _sel_col(min2, cur)
@@ -1149,8 +1186,10 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
                              ((depth == d3) & (fne < hh)))
 
     consume = m & ~hhfail & (depth < qlen)
-    c = _sel_col(st["qd_cur"], jnp.clip(depth, 0, L - 1))
-    q = _sel_col(st["pend_cur"], jnp.clip(depth, 0, L - 1))
+    mD = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) \
+        == jnp.clip(depth, 0, L - 1)[:, None]
+    c = jnp.sum(jnp.where(mD, st["qp_cur"][:, :L], 0), axis=1)
+    q = jnp.sum(jnp.where(mD, st["qp_cur"][:, L:], 0), axis=1)
     alt = (depth >= fd0) & (fham + q <= qual_lim)
     pt, pb = ftop, fbot
     n4 = consume & (c == 4) & (depth > 0)
@@ -1226,31 +1265,25 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     # EXTEND
     st = _pw(st, "p_len", extend, fs, flen + 1)
 
-    # row writes
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-    rowbase = (lane * NBR + fs) * L
-    BIG = jnp.int32(B * NBR * L + 7)
-    i1 = jnp.where(consume, rowbase + flen, BIG)
-    st["pt_pool"] = st["pt_pool"].at[i1].set(pt, mode="drop",
-                                             unique_indices=True)
-    st["pb_pool"] = st["pb_pool"].at[i1].set(pb, mode="drop",
-                                             unique_indices=True)
-    mrow = lane * NBR + fs
-    mj1 = jnp.clip(flen, 0, L - 1)
-    mj2 = jnp.clip(flen + 1, 0, L - 1)
-    # one combined scatter into the flat pool: each .at[].set()
-    # materializes a full copy on TPU, so two writes cost twice the
-    # HBM traffic (distinct OOB fills keep dropped indices unique)
-    f1 = jnp.where(consume, mrow * L + mj1, BIG)
-    f2 = jnp.where(extend & (flen + 1 < L), mrow * L + mj2, BIG + 1)
-    st["meta"] = st["meta"].at[jnp.concatenate([f1, f2])].set(
-        jnp.concatenate([meta_new,
-                         jnp.full_like(meta_new, META_ALL_DEAD)]),
-        mode="drop", unique_indices=True)
+    # row writes: one-hot (slot, position) masked sweeps, fused into a
+    # single pass per pool
+    slot3 = _slot_mask(fs, B)                       # [B, NBR, 1]
+    iota2L = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2 * L), 2)
+    c3 = consume[:, None, None] & slot3
+    st["ptb_pool"] = jnp.where(
+        c3 & (iota2L == flen[:, None, None]), pt[:, None, None],
+        jnp.where(c3 & (iota2L == (L + flen)[:, None, None]),
+                  pb[:, None, None], st["ptb_pool"]))
+    iotaL = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    m1 = c3 & (iotaL == flen[:, None, None])
+    m2 = (extend[:, None, None] & slot3 &
+          (iotaL == (flen + 1)[:, None, None]))
+    st["meta"] = jnp.where(m1, meta_new[:, None, None],
+                           jnp.where(m2, META_ALL_DEAD, st["meta"]))
     st["overflow"] = st["overflow"] | (extend & (flen + 1 >= L))
 
     # CURTAIL (range_source.h:877-939 + PathManager::curtail 1434-1455)
-    meta_row = _meta_row(st, mrow, L, B)
+    meta_row = _meta_row(st, fs, B)
     elig, costs = _meta_costs(st, meta_row, frd, flen, fd0, d3,
                               qual_order)
     lowest = jnp.min(costs, axis=1)
@@ -1322,9 +1355,7 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
         st = _dw(st, "pm_min", clear0, cur, jnp.zeros_like(cur))
         st["mode"] = jnp.where(clear0, M_DEND, st["mode"])
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-    mrow = lane * NBR + fs
-    meta_row = _meta_row(st, mrow, L, B)
+    meta_row = _meta_row(st, fs, B)
     elig, costs = _meta_costs(st, meta_row, frd, flen, fd0, d3,
                               qual_order)
     best = jnp.min(costs, axis=1)
@@ -1350,9 +1381,9 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     pos = jnp.argmax(posm, axis=1).astype(jnp.int32)
     depth_split = frd + pos
 
-    prow = jnp.clip((lane * NBR + fs) * L + pos, 0, B * NBR * L - 1)
-    spt = st["pt_pool"][prow]
-    spb = st["pb_pool"][prow]
+    pt_row, pb_row = _ptb_row(st, fs, B, L)
+    spt = _sel_col(pt_row, pos)
+    spb = _sel_col(pb_row, pos)
     meta_pos = _sel_col(meta_row, pos)
     is_fchr = (meta_pos & META_FCHR) > 0
     tops, bots = _lf4pair(cat, occ_base, zoff,
@@ -1423,10 +1454,10 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     nec_row = jnp.where(at_ne, chosen[:, None], ec_row)
     ohc = (jax.lax.broadcasted_iota(jnp.int32, (B, NBR), 1)
            == cslot[:, None]) & ok[:, None]
-    ohf = jnp.repeat(ohc, E_MAX, axis=1)           # [B, NBR*E_MAX]
-    st["p_ed"] = jnp.where(ohf, jnp.tile(ned_row, (1, NBR)),
+    ohf = jnp.tile(ohc, (1, E_MAX))          # element-major [B, E*NBR]
+    st["p_ed"] = jnp.where(ohf, jnp.repeat(ned_row, NBR, axis=1),
                            st["p_ed"])
-    st["p_ec"] = jnp.where(ohf, jnp.tile(nec_row, (1, NBR)),
+    st["p_ec"] = jnp.where(ohf, jnp.repeat(nec_row, NBR, axis=1),
                            st["p_ec"])
 
     # parent post-split bookkeeping
@@ -1437,14 +1468,13 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     st = _pw(st, "p_dly", dly, fs, fcost - best + nxt)
     st = _pw(st, "p_dlyf", dly, fs, jnp.ones_like(fs))
 
-    BIGF = jnp.int32(B * NBR * L + 7)
-    f1 = jnp.where(ok, mrow * L + jnp.clip(pos, 0, L - 1), BIGF)
-    f2 = jnp.where(ok, (lane * NBR + cslot) * L, BIGF + 1)
-    # combined parent-elim + child-clear scatter (one pool copy)
-    st["meta"] = st["meta"].at[jnp.concatenate([f1, f2])].set(
-        jnp.concatenate([pm_new,
-                         jnp.full_like(pm_new, META_ALL_DEAD)]),
-        mode="drop", unique_indices=True)
+    # combined parent-elim + child-clear write (one fused sweep)
+    iotaL = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    ok3 = ok[:, None, None]
+    mp = ok3 & _slot_mask(fs, B) & (iotaL == pos[:, None, None])
+    mc = ok3 & _slot_mask(cslot, B) & (iotaL == 0)
+    st["meta"] = jnp.where(mp, pm_new[:, None, None],
+                           jnp.where(mc, META_ALL_DEAD, st["meta"]))
 
     # ---- loop exit checks (advance_branch tail) ----------------------
     chk = (rest & ~over) | pm_empty
@@ -1770,12 +1800,10 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
         st = _pw(st, name, pushed, cslot, val)
     st = _dw(st, "drv_nextid", pushed, flat_e, jnp.ones_like(flat_e))
     # clear the created branch's first scan position
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-    BIGF = jnp.int32(B * NBR * L + 7)
-    cf = jnp.where(pushed,
-                   (lane * NBR + cslot) * L + jnp.clip(blen0, 0, L - 1),
-                   BIGF)
-    st["meta"] = st["meta"].at[cf].set(META_ALL_DEAD, mode="drop")
+    iotaL = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    mcf = (pushed[:, None, None] & _slot_mask(cslot, B) &
+           (iotaL == blen0[:, None, None]))
+    st["meta"] = jnp.where(mcf, META_ALL_DEAD, st["meta"])
     st = _dw(st, "drv_done", ok, flat_e,
              (~pushed & ~imm).astype(jnp.int32))
     st = _dw(st, "drv_found", ok, flat_e, imm.astype(jnp.int32))
@@ -2035,27 +2063,43 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
                   fc: int, has_seeded: bool, record: bool = False,
                   rec_cap: int | None = None):
     st = dict(st)
+    # mode-presence counts in ONE [B, nmodes] pass (see dfs_device):
+    # lanes flipping into a gated mode mid-step run next iteration
+    cnts = jnp.sum(st["mode"][:, None] ==
+                   jnp.arange(M_ICPOST + 1, dtype=jnp.int32)[None, :],
+                   axis=0)
+
+    def gate(modes, fn, s):
+        """Run a sub-step group only when some lane is in one of its
+        modes: the heavy groups (sorts, extender creation, chases)
+        cost 0.5-3 ms even fully masked, while a cond costs ~0.05 ms."""
+        p = jnp.zeros((), bool)
+        for mc in modes:
+            p = p | (cnts[mc] > 0)
+        return jax.lax.cond(p, fn, lambda x: dict(x), s)
+
     st = _step_main(st, strata, record, rec_cap)
     st = _step_cadv(st)
     st = _step_sfx(st)
     if has_seeded:
-        st = _step_sd(st, cfgj, L)
-        st = _step_icadv(st, cfgj, L)
+        st = gate((M_SD, M_ICADV), lambda s: _step_icadv(
+            _step_sd(s, cfgj, L), cfgj, L), st)
     st = _step_oadv(st, cfgj, L, has_seeded)
     st = _step_dadv(st)
     st = _step_ext(st, cat, cfgj, qual_lim, qual_order, L)
     st = _step_spp(st, cat, cfgj, qual_order, L, bt_on)
     st = _step_dend(st)
     if has_seeded:
-        st = _step_sdgen(st, cat, cfgj, None, qual_order, L, fc)
-        st = _step_icpost(st)
-        st = _step_sdfull(st, cfgj)
+        st = gate((M_SDGEN, M_ICPOST, M_SDFULL), lambda s: _step_sdfull(
+            _step_icpost(_step_sdgen(
+                s, cat, cfgj, None, qual_order, L, fc)), cfgj), st)
     st = _step_odend(st, cfgj)
     st = _step_cpost(st, cfgj, nd)
     st = _step_sfxend(st)
-    st = _step_sort(st, nd)
+    st = gate((M_SORT,), lambda s: _step_sort(s, nd), st)
     if not record:
-        st = _step_chase(st, cat, cfgj, nfrag, n_k, m_max, strata)
+        st = gate((M_CHASE,), lambda s: _step_chase(
+            s, cat, cfgj, nfrag, n_k, m_max, strata), st)
     return st
 
 
@@ -2093,12 +2137,6 @@ def _compact(st, idxs, pad, *, L: int):
     B_old = st["mode"].shape[0]
 
     def take(v):
-        if v.ndim >= 1 and v.shape[0] == B_old * NBR * L:
-            return v.reshape(B_old, NBR * L, *v.shape[1:])[idxs] \
-                .reshape(idxs.shape[0] * NBR * L, *v.shape[1:])
-        if v.ndim >= 1 and v.shape[0] == B_old * NBR:
-            return v.reshape(B_old, NBR, *v.shape[1:])[idxs] \
-                .reshape(idxs.shape[0] * NBR, *v.shape[1:])
         return v[idxs]
 
     st2 = {k: take(v) for k, v in st.items()}
@@ -2281,7 +2319,7 @@ class DeviceBestAligner:
             compact = (idx_fw.length > self.DENSE_LIMIT or
                        bool(os.environ.get("BOWTIE_TPU_COMPACT")))
         self.cat = build_fmcat(idx_fw, idx_bw,
-                               occ_every=128 if compact else 1,
+                               occ_every=128,
                                dense_sa=not compact)
         self.policy = policy
         self.mode = mode

@@ -159,12 +159,14 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
     occ = jnp.concatenate([fm_fw.occ, fm_bw.occ], axis=0)
     if dense_sa:
         sa = jnp.concatenate([fm_fw.sa, fm_bw.sa])
-        bwt = jnp.zeros(2, jnp.uint32)
-        nblk = 0
     else:
         sa = jnp.concatenate([fm_fw.offs, fm_bw.offs])
+    if occ_every > 1:
         bwt = jnp.concatenate([fm_fw.bwt, fm_bw.bwt])
         nblk = len(np.asarray(fm_fw.bwt)) // (occ_every // 16)
+    else:
+        bwt = jnp.zeros(2, jnp.uint32)
+        nblk = 0
     return FMCat(
         occ=occ,
         fchr=fm_fw.fchr,
@@ -226,10 +228,19 @@ def _rank4(cat: FMCat, occ_base, zoff, i, blk_base=0):
 
 
 def _lf4pair(cat: FMCat, occ_base, zoff, top, bot, blk_base=0):
-    """fchr + rank quartets at top and bot (mapLFEx, ebwt.h:2334)."""
+    """fchr + rank quartets at top and bot (mapLFEx, ebwt.h:2334).
+
+    One fused [2B] rank lookup: sparse-core gathers have a ~300 µs
+    fixed cost at B=16k (scripts/microbench_ops.py), so one gather of
+    2B rows beats two of B."""
     f4 = cat.fchr[:4]
-    return f4 + _rank4(cat, occ_base, zoff, top, blk_base), \
-        f4 + _rank4(cat, occ_base, zoff, bot, blk_base)
+    B = top.shape[0]
+    i2 = jnp.concatenate([top, bot])
+    ob2 = jnp.concatenate([jnp.broadcast_to(occ_base, (B,))] * 2)
+    z2 = jnp.concatenate([jnp.broadcast_to(zoff, (B,))] * 2)
+    bb2 = jnp.concatenate([jnp.broadcast_to(blk_base, (B,))] * 2)
+    r2 = _rank4(cat, ob2, z2, i2, bb2)
+    return f4 + r2[:B], f4 + r2[B:]
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +272,10 @@ JOB_FIELDS = [
 ]
 
 
+NJF = len(JOB_FIELDS)
+_FIDX = {f: i for i, f in enumerate(JOB_FIELDS)}
+
+
 def empty_jobs(B: int, J: int, L: int):
     """Host-side job table: scalars [B, J] + per-depth rows [B, J, L]."""
     jobs = {f: np.zeros((B, J), dtype=np.int32) for f in JOB_FIELDS}
@@ -268,6 +283,143 @@ def empty_jobs(B: int, J: int, L: int):
     jobs["quald"] = np.zeros((B, J, L), dtype=np.int32)    # qual by depth
     jobs["pend"] = np.zeros((B, J, L), dtype=np.int32)     # penalty by depth
     return jobs
+
+
+# ---------------------------------------------------------------------------
+# Device job format.
+#
+# The machine step runs every micro-step, so the job table's layout sets
+# a floor on per-step HBM traffic.  Two rules:
+#   - all scalar fields live in ONE [B, J, NJF] int32 array ("scal")
+#     read with a one-hot masked sum over the job axis — 26 separate
+#     [B, J] arrays each pad their minor dim to a full lane tile,
+#     multiplying bytes swept ~26x;
+#   - the by-depth query/qual/penalty rows are [B, J, 3L] int8
+#     ([qd | quald | pend]) selected the same way — and they are
+#     derived ON DEVICE once per launch (set_query semantics), never
+#     per machine step.
+# ---------------------------------------------------------------------------
+
+
+def _sel_block(arr3, jidx):
+    """arr3[b, jidx[b], :] via ONE one-hot masked sum over the block
+    axis — pure VPU work.  Dynamic gathers/scatters run on the TPU
+    sparse core at ~µs-per-row granularity (measured ~1-3 ms per op at
+    B=16k), so every hot-loop indexed read here is a masked sweep."""
+    B, J, W = arr3.shape
+    m = (jax.lax.broadcasted_iota(jnp.int32, (B, J), 1)
+         == jidx[:, None])[:, :, None]
+    return jnp.sum(jnp.where(m, arr3, 0), axis=1)
+
+
+def _job_scal(jobs, jidx, J: int):
+    """All NJF scalar fields of each lane's current job: [B, NJF]."""
+    return _sel_block(jobs["scal"], jidx)
+
+
+def pack_jobs_host(jobs, J: int, L: int):
+    """Host job dict (per-field [B, J] + optional [B, J, L] rows) ->
+    device-format numpy dict (scal [+ rows if present on host])."""
+    B = jobs["valid"].shape[0]
+    scal = np.stack([jobs[f] for f in JOB_FIELDS],
+                    axis=-1).astype(np.int32)        # [B, J, NJF]
+    out = {"scal": scal}
+    if "qd" in jobs:
+        out["qqp_r"] = np.concatenate([
+            np.clip(jobs["qd"], -128, 127).astype(np.int8),
+            np.clip(jobs["quald"], 0, 127).astype(np.int8),
+            np.clip(jobs["pend"], 0, 127).astype(np.int8),
+        ], axis=2)                                   # [B, J, 3L]
+    for k in ("base_codes", "base_qual", "base_plen"):
+        if k in jobs:
+            out[k] = jobs[k]
+    return out
+
+
+def _derive_rows_impl(scal, base_codes, base_qual, base_plen, *,
+                      J: int, L: int, fc: int):
+    """set_query semantics on device, vectorized over (lane, job):
+    derive the by-depth query/qual/penalty rows and the N-tally gates
+    from the base read arrays (see dfs_jobs.py coordinate identities;
+    _tally_ns analog, ebwt_search_backtrack.h:1306-1343).  Runs ONCE
+    per launch.  Returns (scal with gates filled, packed qqp_r
+    [B, J*3L] int8 rows)."""
+    B = base_plen.shape[0]
+    s2 = scal.reshape(B * J, NJF)       # [B, J, NJF] -> flat rows
+
+    def f(name):
+        return s2[:, _FIDX[name]]
+
+    codes = jnp.repeat(base_codes.astype(jnp.int32), J, axis=0)
+    qual = jnp.repeat(base_qual.astype(jnp.int32), J, axis=0)
+    plen = jnp.repeat(base_plen.astype(jnp.int32), J)
+    qs = f("qlen")
+    fwj = f("fw")
+    efw = f("ebwt_fw")
+    di = jax.lax.broadcasted_iota(jnp.int32, (B * J, L), 1)
+    rev = (fwj == efw)[:, None]
+    take = jnp.where(rev, qs[:, None] - 1 - di,
+                     plen[:, None] - qs[:, None] + di)
+    take = jnp.clip(take, 0, L - 1)
+    qd = jnp.take_along_axis(codes, take, axis=1)
+    qv = jnp.take_along_axis(qual, take, axis=1)
+    comp = (fwj == 0)[:, None]
+    qd = jnp.where(comp & (qd < 4), 3 - qd, qd)
+    in_q = di < qs[:, None]
+    qd = jnp.where(in_q, qd, 4)
+    qv = jnp.where(in_q, qv, 0)
+    # seed-stage mutations (phase 3/4 extension jobs)
+    npm = f("npremut")
+    for k in range(3):
+        pos = f(f"premut_pos{k}")
+        hit_d = (di == (qs - 1 - pos)[:, None]) & (npm > k)[:, None]
+        qd = jnp.where(hit_d, f(f"premut_refc{k}")[:, None], qd)
+    pend = jnp.where(f("maq_round")[:, None] > 0,
+                     jnp.minimum(30, ((qv + 5) // 10) * 10), qv)
+    # N tally gates
+    region = in_q & (di < f("rev3")[:, None])
+    isn = (qd == 4) & region
+    nsc = jnp.cumsum(isn.astype(jnp.int32), axis=1)
+
+    def kth(kk):
+        at = isn & (nsc == kk)
+        return jnp.any(at, axis=1), jnp.argmax(at, axis=1) \
+            .astype(jnp.int32)
+
+    h1, p1 = kth(1)
+    h2, p2 = kth(2)
+    h3, p3 = kth(3)
+    total = nsc[:, -1]
+    ns_gate = ((h1 & (p1 < f("unrev"))) | (h2 & (p2 < f("rev1"))) |
+               (h3 & (p3 < f("rev2"))) | (total > 3)).astype(jnp.int32)
+    ns_ftab = jnp.sum(((qd[:, :fc] == 4) & in_q[:, :fc])
+                      .astype(jnp.int32), axis=1)
+    s2 = s2.at[:, _FIDX["ns_gate"]].set(ns_gate)
+    s2 = s2.at[:, _FIDX["ns_ftab"]].set(ns_ftab)
+    qqp = jnp.concatenate([
+        qd.astype(jnp.int8),
+        jnp.clip(qv, 0, 127).astype(jnp.int8),
+        jnp.clip(pend, 0, 127).astype(jnp.int8)], axis=1)  # [B*J, 3L]
+    return s2.reshape(B, J, NJF), qqp.reshape(B, J, 3 * L)
+
+
+@partial(jax.jit, static_argnames=("J", "L", "fc"))
+def derive_rows_jit(scal, base_codes, base_qual, base_plen, *, J, L, fc):
+    return _derive_rows_impl(scal, base_codes, base_qual, base_plen,
+                             J=J, L=L, fc=fc)
+
+
+def upload_jobs(jobs_np: dict, J: int, L: int, fc: int) -> dict:
+    """Upload a host-format job dict; derive the by-depth rows on
+    device when the host didn't precompute them."""
+    jobs_np = pack_jobs_host(jobs_np, J, L) if "scal" not in jobs_np \
+        else jobs_np
+    dev = {k: jnp.asarray(v) for k, v in jobs_np.items()}
+    if "qqp_r" not in dev:
+        dev["scal"], dev["qqp_r"] = derive_rows_jit(
+            dev["scal"], dev["base_codes"], dev["base_qual"],
+            dev["base_plen"], J=J, L=L, fc=fc)
+    return dev
 
 
 # ---------------------------------------------------------------------------
@@ -301,8 +453,12 @@ def _init_state(B: int, L: int, seeds, count0):
         rng=jnp.asarray(seeds, jnp.uint32),
         seed=jnp.asarray(seeds, jnp.uint32),
         count=jnp.asarray(count0, jnp.int32),
-        # current-job registers
-        qd=z(B, L), quald=z(B, L), pend=z(B, L),
+        # current-job registers.  qqp packs the three by-depth rows
+        # [qd | quald | pend] into ONE [B, 3L] array: element reads at
+        # depth d become three static slices under one shared one-hot
+        # mask (fused single VPU pass), and the JOB-step load is one
+        # masked sweep instead of three
+        qqp=z(B, 3 * L),
         qlen=z(B), ebwt_fw=z(B), fwflag=z(B),
         jd5=z(B), jd3=z(B), jrev2=z(B), jrev3=z(B),
         rep_exacts=z(B), rep_partials=z(B), hh=z(B), maxbts=z(B),
@@ -313,10 +469,13 @@ def _init_state(B: int, L: int, seeds, count0):
         blk_base=z(B),
         num_bts=z(B), bailed=jnp.zeros((B,), bool),
         # current-frame data rows
-        # pairs is FLAT [B, L*8] (position-major, 8 channels per
-        # position): a trailing dim of 8 would be padded to 128 lanes
-        # by TPU (8, 128) tiling — 16x the HBM bytes on an array this
-        # machine sweeps every step
+        # pairs is FLAT [B, 8*L] and CHANNEL-MAJOR (channel c of
+        # position p at column c*L+p): a trailing dim of 8 would be
+        # padded to 128 lanes by TPU (8, 128) tiling — 16x the HBM
+        # bytes — and channel-major makes every read a set of STATIC
+        # [B, L] slices under one shared position mask (a dynamic
+        # [B, 8]-block gather measured 2.1 ms/op on the sparse core vs
+        # ~0.1 ms for the masked sweep; scripts/microbench_ops.py)
         pairs=z(B, L * 8),
         elims=z(B, L),
         # frame stack: one combined row per (lane, level) — regs,
@@ -356,7 +515,9 @@ def _w(st, name, mask, val):
 
 def _fw_set(st, name, mask, val):
     """Masked write into a [B, S] per-stack-depth array at slot sd
-    (used only for mms/refcs/mmd)."""
+    (used only for mms/refcs/mmd).  One-hot masked sweep: dynamic
+    scatters run on the sparse core (~ms per op at B=16k), sweeps on
+    the VPU (~µs)."""
     B, S = st[name].shape
     m = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
          == st["sd"][:, None]) & mask[:, None]
@@ -389,15 +550,21 @@ def _unpack_elims(words, L):
 
 def _push_frame(st, mask):
     """Save the current frame (registers + pairs rows + packed elims)
-    to the stack at slot sd — ONE row scatter."""
+    to the stack at slot sd.  One-hot masked sweep over the slot dim —
+    the row scatter costs ~770 µs vs ~590 µs for the sweep at B=16k
+    (scripts/microbench_ops.py), and the broadcast of rec over S_MAX
+    is a free view."""
     B = st["sd"].shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
-    tgt = jnp.where(mask, row, st["stk"].shape[0])
     regs = jnp.stack([st["c_" + r] for r in REGS], axis=-1)   # [B, NREG]
     rec = jnp.concatenate([regs, st["pairs"],
                            _pack_elims(st["elims"])], axis=-1)
-    st["stk"] = st["stk"].at[tgt].set(rec, mode="drop",
-                                      unique_indices=True)
+    Wd = rec.shape[1]
+    slot_m = ((jax.lax.broadcasted_iota(jnp.int32, (B, S_MAX), 1)
+               == st["sd"][:, None]) & mask[:, None]) \
+        .reshape(B * S_MAX, 1)
+    recb = jnp.broadcast_to(rec[:, None, :], (B, S_MAX, Wd)) \
+        .reshape(B * S_MAX, Wd)
+    st["stk"] = jnp.where(slot_m, recb, st["stk"])
     return st
 
 
@@ -664,21 +831,15 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     m = st["mode"] == M_JOB
     jidx = jnp.minimum(st["job"], J - 1)
     B = jidx.shape[0]
+    vals = _job_scal(jobs, jidx, J)            # [B, NJF], one sweep
 
     def jf(name):
-        return _sel_col(jobs[name], jidx)
+        return vals[:, _FIDX[name]]
 
     valid = (jf("valid") > 0) & (st["job"] < J)
     done = m & ~valid
     st["mode"] = jnp.where(done, M_DONE, st["mode"])
     m = m & valid
-    derive = "base_codes" in jobs     # static at trace time
-    flat = jidx + jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * J
-    if not derive:
-        for reg, row in [("qd", "qd"), ("quald", "quald"),
-                         ("pend", "pend")]:
-            rows = jobs[row].reshape(B * J, L)[flat].astype(jnp.int32)
-            st[reg] = jnp.where(m[:, None], rows, st[reg])
     for reg, f in [("qlen", "qlen"), ("ebwt_fw", "ebwt_fw"),
                    ("fwflag", "fw"), ("jd5", "d5"), ("jd3", "d3"),
                    ("jrev2", "rev2"), ("jrev3", "rev3"),
@@ -714,69 +875,11 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
                                st["blk_base"])
     st["sd"] = jnp.where(m, 0, st["sd"])
 
-    if derive:
-        # derive the by-depth query/qual/penalty rows from the base
-        # read arrays (set_query semantics, see dfs_jobs.py identities)
-        # — removes the per-batch [B, J, L] uploads.
-        codes = jobs["base_codes"].astype(jnp.int32)       # [B, L]
-        qual = jobs["base_qual"].astype(jnp.int32)         # [B, L]
-        plen = jobs["base_plen"]                           # [B]
-        qs = jf("qlen")
-        fwj = jf("fw")
-        efw2 = jf("ebwt_fw")
-        di = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-        rev = (fwj == efw2)[:, None]
-        take = jnp.where(rev, qs[:, None] - 1 - di,
-                         plen[:, None] - qs[:, None] + di)
-        take = jnp.clip(take, 0, L - 1)
-        oh = take[:, :, None] == \
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
-        qd = jnp.sum(jnp.where(oh, codes[:, None, :], 0), axis=2)
-        qv = jnp.sum(jnp.where(oh, qual[:, None, :], 0), axis=2)
-        comp = (fwj == 0)[:, None]
-        qd = jnp.where(comp & (qd < 4), 3 - qd, qd)
-        in_q = di < qs[:, None]
-        qd = jnp.where(in_q, qd, 4)
-        qv = jnp.where(in_q, qv, 0)
-        # seed-stage mutations (phase 3/4 extension jobs)
-        npm = jf("npremut")
-        for k, (pf, cf) in enumerate((("premut_pos0", "premut_refc0"),
-                                      ("premut_pos1", "premut_refc1"),
-                                      ("premut_pos2", "premut_refc2"))):
-            pos = jf(pf)
-            # premut positions are query coords; depth = qs-1-pos
-            hit_d = (di == (qs - 1 - pos)[:, None]) & (npm > k)[:, None]
-            qd = jnp.where(hit_d, jf(cf)[:, None], qd)
-        pend = jnp.where(jf("maq_round")[:, None] > 0,
-                         jnp.minimum(30, ((qv + 5) // 10) * 10), qv)
-        st["qd"] = jnp.where(m[:, None], qd, st["qd"])
-        st["quald"] = jnp.where(m[:, None], qv, st["quald"])
-        st["pend"] = jnp.where(m[:, None], pend, st["pend"])
-        # N tally gate computed on device (_tally_ns, :1306-1343)
-        rev3j = jf("rev3")
-        region = in_q & (di < rev3j[:, None])
-        isn = (qd == 4) & region
-        nsc = jnp.cumsum(isn.astype(jnp.int32), axis=1)
-        def kth(kk):
-            at = isn & (nsc == kk)
-            has = jnp.any(at, axis=1)
-            pos = jnp.argmax(at, axis=1).astype(jnp.int32)
-            return has, pos
-        h1, p1 = kth(1)
-        h2, p2 = kth(2)
-        h3, p3 = kth(3)
-        total = nsc[:, -1]
-        ns_gate_v = ((h1 & (p1 < jf("unrev"))) |
-                     (h2 & (p2 < jf("rev1"))) |
-                     (h3 & (p3 < jf("rev2"))) | (total > 3))
-        fcs = cat.ftab_chars
-        ns_ftab_v = jnp.sum(((qd[:, :fcs] == 4) & in_q[:, :fcs])
-                            .astype(jnp.int32), axis=1)
-        gate = m & ns_gate_v
-    else:
-        ns_gate_v = jf("ns_gate") > 0
-        ns_ftab_v = jf("ns_ftab")
-        gate = m & ns_gate_v
+    # load the current job's packed by-depth rows into the lane state
+    rows = _sel_block(jobs["qqp_r"], jidx).astype(jnp.int32)
+    st["qqp"] = jnp.where(m[:, None], rows, st["qqp"])
+
+    gate = m & (jf("ns_gate") > 0)
     st["mode"] = jnp.where(gate, M_JOB, st["mode"])
     st["job"] = jnp.where(gate, st["job"] + 1, st["job"])
     m = m & ~gate
@@ -784,12 +887,13 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
     fc = cat.ftab_chars
     qlen = jf("qlen")
     unrev = jf("unrev")
-    ns_ftab = ns_ftab_v
+    ns_ftab = jf("ns_ftab")
     ham0 = jf("ham0")
     use_ftab = (ns_ftab == 0) & (jnp.minimum(unrev, qlen) >= fc)
     # calcFtabOff over depths 0..fc-1 (ebwt_search_backtrack.h:254-257)
     w = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
-    qf = jnp.where(st["qd"][:, :fc] > 3, 0, st["qd"][:, :fc])
+    qd_fc = rows[:, :fc]
+    qf = jnp.where(qd_fc > 3, 0, qd_fc)
     foff = jnp.sum(qf << w, axis=1)
     ft = _g1(cat.ftab_hi, foff + st["ftab_base"])
     fb = _g1(cat.ftab_lo, foff + 1 + st["ftab_base"])
@@ -851,9 +955,10 @@ def _branch_exit(st, mask):
     return st
 
 
-def _step_adv(st, cat: FMCat, L: int):
+def _step_adv(st, cat: FMCat, jobs, J: int, L: int):
     m = st["mode"] == M_ADV
     B = st["sd"].shape[0]
+    jidx = jnp.minimum(st["job"], J - 1)
     d = st["c_d"]
     sd = st["sd"]
     qlen = st["qlen"]
@@ -875,9 +980,14 @@ def _step_adv(st, cat: FMCat, L: int):
     m = m & ~hh_fail
 
     # -- position character / qual / penalty -----------------------------
-    c = _sel_col(st["qd"], d)
-    q = _sel_col(st["quald"], d)
-    pen = _sel_col(st["pend"], d)
+    # one shared one-hot position mask over the packed qqp rows: the
+    # three element reads fuse into a single [B, 3L] pass
+    li0 = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    mD = li0 == jnp.clip(d, 0, L - 1)[:, None]
+    qqp = st["qqp"]
+    c = jnp.sum(jnp.where(mD, qqp[:, :L], 0), axis=1)
+    q = jnp.sum(jnp.where(mD, qqp[:, L:2 * L], 0), axis=1)
+    pen = jnp.sum(jnp.where(mD, qqp[:, 2 * L:], 0), axis=1)
     depth = st["c_depth"]
     unrev = st["c_unrev"]
     ham = st["c_ham"]
@@ -904,8 +1014,9 @@ def _step_adv(st, cat: FMCat, L: int):
     rec8 = jnp.concatenate([row_t, row_b], axis=-1)
     ml = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) ==
           d[:, None]) & write_pairs[:, None]
-    st["pairs"] = jnp.where(jnp.repeat(ml, 8, axis=1),
-                            jnp.tile(rec8, (1, L)), st["pairs"])
+    # channel-major: column c*L+p gets rec8[:, c] where p == d
+    st["pairs"] = jnp.where(jnp.tile(ml, (1, 8)),
+                            jnp.repeat(rec8, L, axis=1), st["pairs"])
     cK = jnp.clip(c, 0, 3)
     top_n = jnp.where(zero_case, _sel_col(row_t, cK), _sel_col(lf4t, cK))
     bot_n = jnp.where(zero_case, _sel_col(row_b, cK), _sel_col(lf4b, cK))
@@ -1000,9 +1111,10 @@ def _step_adv(st, cat: FMCat, L: int):
 # BR: branch-loop head — condition, mismatch pick, frame push (:334-420)
 # ---------------------------------------------------------------------------
 
-def _step_br(st, cat: FMCat, L: int):
+def _step_br(st, cat: FMCat, jobs, J: int, L: int):
     m = st["mode"] == M_BR
     B = st["sd"].shape[0]
+    jidx = jnp.minimum(st["job"], J - 1)
     sd = st["sd"]
     top = st["c_top"]
     bot = st["c_bot"]
@@ -1024,15 +1136,19 @@ def _step_br(st, cat: FMCat, L: int):
     # -- scan pick (:340-365): highest eligible position -----------------
     er = st["elims"]                                       # [B, L]
     li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    qual_ok = jnp.where(cq[:, None], st["quald"] == lowq[:, None], True)
+    quald_row = st["qqp"][:, L:2 * L]
+    qual_ok = jnp.where(cq[:, None], quald_row == lowq[:, None], True)
     elig = (li >= depth[:, None]) & (li <= d[:, None]) & \
         (er != 15) & qual_ok
     istar_s = jnp.max(jnp.where(elig, li, -1), axis=1)
     no_pos = scan & (istar_s < 0)            # defensive: cannot happen
     istar_safe = jnp.maximum(istar_s, 0)
-    p8 = st["pairs"][jnp.arange(B)[:, None],
-                     (istar_safe * 8)[:, None]
-                     + jnp.arange(8, dtype=jnp.int32)]     # [B, 8]
+    # channel-major pairs: 8 static slices under one shared one-hot
+    # position mask (fused single pass; no sparse-core gather)
+    mi = li == istar_safe[:, None]
+    pf = st["pairs"]
+    p8 = jnp.stack([jnp.sum(jnp.where(mi, pf[:, c * L:(c + 1) * L], 0),
+                            axis=1) for c in range(8)], axis=-1)
     er_i = _sel_col(er, istar_safe)
     jar = jnp.arange(4, dtype=jnp.int32)[None, :]
     nonelim = ((er_i[:, None] >> jar) & 1) == 0
@@ -1052,7 +1168,8 @@ def _step_br(st, cat: FMCat, L: int):
     jstar_s = jnp.argmax(pickj, axis=1).astype(jnp.int32)
     bttop_s = _sel_col(p8[:, 0:4], jstar_s)
     btbot_s = _sel_col(p8[:, 4:8], jstar_s)
-    btham_s = ham + _sel_col(st["pend"], istar_safe)
+    btham_s = ham + jnp.sum(jnp.where(mi, st["qqp"][:, 2 * L:], 0),
+                            axis=1)
 
     # -- cached single-eligible pick (:366-370) ---------------------------
     use_cache = m & ~scan
@@ -1092,16 +1209,25 @@ def _step_br(st, cat: FMCat, L: int):
     midftab = rest & (st["hh"] > 0) & (st["c_dftab"] == 0) & \
         (st["jrev2"] == st["jrev3"]) & (istar + 1 < fc) & \
         (fc <= st["jd5"])
-    # mid-recursion ftab with the mutation substituted (:393-416)
-    w = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
-    sub = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (B, fc), 1) == istar[:, None],
-        jstar[:, None], st["qd"][:, :fc])
-    sub = jnp.where(sub > 3, 0, sub)
-    foff = jnp.sum(sub << w, axis=1)
-    ft = _g1(cat.ftab_hi, jnp.where(midftab, foff + st["ftab_base"], 0))
-    fb = _g1(cat.ftab_lo, jnp.where(midftab, foff + 1 + st["ftab_base"],
-                                    0))
+
+    # mid-recursion ftab with the mutation substituted (:393-416),
+    # gated: the two table gathers cost ~300 µs each even fully masked
+    def _midftab_lookup(_):
+        w = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
+        sub = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (B, fc), 1)
+            == istar[:, None],
+            jstar[:, None], st["qqp"][:, :fc])
+        sub = jnp.where(sub > 3, 0, sub)
+        foff = jnp.sum(sub << w, axis=1)
+        return (_g1(cat.ftab_hi,
+                    jnp.where(midftab, foff + st["ftab_base"], 0)),
+                _g1(cat.ftab_lo,
+                    jnp.where(midftab, foff + 1 + st["ftab_base"], 0)))
+
+    ft, fb = jax.lax.cond(
+        jnp.any(midftab), _midftab_lookup,
+        lambda _: (jnp.zeros_like(istar), jnp.zeros_like(istar)), None)
     ft_empty = midftab & (ft == fb)
     st["mode"] = jnp.where(ft_empty, M_POP, st["mode"])
     push = (rest & ~midftab) | (midftab & ~ft_empty)
@@ -1123,9 +1249,10 @@ def _step_br(st, cat: FMCat, L: int):
 # POP: post-child bookkeeping (:421-472)
 # ---------------------------------------------------------------------------
 
-def _step_pop(st, L: int):
+def _step_pop(st, jobs, J: int, L: int):
     m = st["mode"] == M_POP
     B = st["sd"].shape[0]
+    jidx = jnp.minimum(st["job"], J - 1)
     # bailed / backtrack-ceiling cascade (:423-427)
     bts_hit = (st["hh"] > 0) & (st["maxbts"] > 0) & \
         (st["num_bts"] >= st["maxbts"])
@@ -1153,6 +1280,8 @@ def _step_pop(st, L: int):
     m = m & ~dead
     rescan = m & (elnum == 0) & (st["cons_quals"] > 0)
 
+    li = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
     def do_rescan(st):
         # eligibility rescan (:437-472), vectorized over positions
         depth = st["c_depth"]
@@ -1160,21 +1289,24 @@ def _step_pop(st, L: int):
         unrev = st["c_unrev"]
         ham = st["c_ham"]
         er = st["elims"]                                   # [B, L]
-        pf = st["pairs"]                                   # [B, L*8]
-        # per-channel strided views keep everything [B, L] (no padded
-        # [B, L, 4] materialization)
-        spread_c = [pf[:, 4 + j::8] - pf[:, j::8] for j in range(4)]
+        pf = st["pairs"]                                   # [B, 8*L]
+        # channel-major pairs: per-channel STATIC slices (no strided
+        # views, no padded [B, L, 4] materialization)
+        spread_c = [pf[:, (4 + j) * L:(5 + j) * L] -
+                    pf[:, j * L:(j + 1) * L] for j in range(4)]
         live_c = [(((er >> j) & 1) == 0) & (spread_c[j] > 0)
                   for j in range(4)]
         in_rng = (li >= jnp.maximum(depth, unrev)[:, None]) & \
             (li <= d[:, None])
-        k_alt = (ham[:, None] + st["pend"]) <= st["qthresh"][:, None]
+        pend_row = st["qqp"][:, 2 * L:]
+        quald_row = st["qqp"][:, L:2 * L]
+        k_alt = (ham[:, None] + pend_row) <= st["qthresh"][:, None]
         nlive = sum(lc.astype(jnp.int32) for lc in live_c)
         szs = sum(jnp.where(live_c[j], spread_c[j], 0) for j in range(4))
         valid_k = in_rng & k_alt & (nlive > 0)
-        qv = jnp.where(valid_k, st["quald"], 0x7FFF)
+        qv = jnp.where(valid_k, quald_row, 0x7FFF)
         low = jnp.min(qv, axis=1)
-        at_low = valid_k & (st["quald"] == low[:, None])
+        at_low = valid_k & (quald_row == low[:, None])
         kstar = jnp.max(jnp.where(at_low, li, -1), axis=1)
         has = kstar >= 0
         ks = jnp.maximum(kstar, 0)
@@ -1184,16 +1316,18 @@ def _step_pop(st, L: int):
         lk = jnp.stack([_sel_col(live_c[j].astype(jnp.int32), ks)
                         for j in range(4)], axis=-1) > 0  # [B, 4]
         lstar = jnp.argmax(lk, axis=1).astype(jnp.int32)
-        Brs = ks.shape[0]
-        p8k = pf[jnp.arange(Brs)[:, None],
-                 (ks * 8)[:, None] + jnp.arange(8, dtype=jnp.int32)]
+        mk = li == ks[:, None]
+        p8k = jnp.stack([jnp.sum(jnp.where(
+            mk, pf[:, c * L:(c + 1) * L], 0), axis=1)
+            for c in range(8)], axis=-1)
         mm = rescan & has
         st2 = dict(st)
         st2 = _w(st2, "c_lowq", mm, low)
         st2 = _w(st2, "c_eli", mm, ks)
         st2 = _w(st2, "c_eltop", mm, _sel_col(p8k[:, 0:4], lstar))
         st2 = _w(st2, "c_elbot", mm, _sel_col(p8k[:, 4:8], lstar))
-        st2 = _w(st2, "c_elham", mm, _sel_col(st2["pend"], ks))
+        st2 = _w(st2, "c_elham", mm,
+                 jnp.sum(jnp.where(mk, pend_row, 0), axis=1))
         st2 = _w(st2, "c_elcint", mm, lstar)
         st2 = _w(st2, "c_elignore", mm, jnp.zeros_like(ks))
         st2 = _w(st2, "c_elnum", mm, n_el)
@@ -1219,12 +1353,26 @@ def _machine_step(st, cat: FMCat, jobs, J: int, L: int, nfrag: int,
     """One lockstep micro-step: each sub-step processes the lanes in its
     mode; a lane can flow JOB->ADV->BR->REP within one iteration."""
     st = dict(st)
-    st = _step_retf(st)       # stack reads first (in-place friendliness)
-    st = _step_job(st, cat, jobs, J, L)
-    st = _step_adv(st, cat, L)
-    st = _step_pop(st, L)
-    st = _step_rep(st, cat, nfrag, n_k, m_max)
-    st = _step_br(st, cat, L)     # the only stack write (push) last
+    # mode-presence counts in ONE [B, nmodes] pass: each jnp.any()
+    # predicate costs ~70 µs on its own, and a lane that flips into a
+    # gated mode mid-step is simply picked up next iteration
+    cnts = jnp.sum(st["mode"][:, None] ==
+                   jnp.arange(M_RETF + 1, dtype=jnp.int32)[None, :],
+                   axis=0)
+
+    def gate(mode_c, fn, s):
+        """Run a sub-step only when some lane is in its mode: the
+        gather-bearing sub-steps cost ~0.3-1 ms in sparse-core fixed
+        overhead even when fully masked out."""
+        return jax.lax.cond(cnts[mode_c] > 0, fn, lambda x: dict(x), s)
+
+    st = gate(M_RETF, _step_retf, st)  # stack reads before BR's push
+    st = gate(M_JOB, lambda s: _step_job(s, cat, jobs, J, L), st)
+    st = _step_adv(st, cat, jobs, J, L)
+    st = gate(M_POP, lambda s: _step_pop(s, jobs, J, L), st)
+    st = gate(M_REP, lambda s: _step_rep(s, cat, nfrag, n_k, m_max),
+              st)
+    st = _step_br(st, cat, jobs, J, L)   # the only stack write (push)
     return st
 
 
@@ -1430,8 +1578,12 @@ class DeviceDFSAligner:
         if compact is None:
             compact = (idx_fw.length > self.DENSE_LIMIT or
                        bool(os.environ.get("BOWTIE_TPU_COMPACT")))
-        self.cat = build_fmcat(idx_fw, idx_bw,
-                               occ_every=128 if compact else 1,
+        # hybrid default: checkpoint-row + popcount rank beats the
+        # full per-row rank-table gather on TPU (171 vs 391 µs/step at
+        # B=16k — the checkpoint table is ~36x smaller, so its gathers
+        # hit much faster memory; scripts/microbench_ops.py), while
+        # the dense SA (one gather per report) stays whenever it fits
+        self.cat = build_fmcat(idx_fw, idx_bw, occ_every=128,
                                dense_sa=not compact)
         self.policy = policy
         self.v = v
@@ -1461,10 +1613,8 @@ class DeviceDFSAligner:
         if getattr(self, "_exact", None) is None:
             from .pipeline import ExactAligner
             from ..index.arrays import from_ebwt
-            compact = self.cat.occ_every > 1
-            fm = from_ebwt(self.idx_fw,
-                           occ_every=128 if compact else 1,
-                           dense_sa=not compact)
+            fm = from_ebwt(self.idx_fw, occ_every=128,
+                           dense_sa=self.cat.dense)
             self._exact = ExactAligner(fm, self.idx_fw, self.policy,
                                        nofw=self.nofw, norc=self.norc,
                                        global_seed=self.global_seed)
@@ -1521,7 +1671,7 @@ class DeviceDFSAligner:
         from ..utils.rng import fill_seed_caches
         seeds = np.zeros(Bp, dtype=np.uint32)
         seeds[:len(reads)] = fill_seed_caches(reads, self.global_seed)
-        jobs_dev = {k: jnp.asarray(v) for k, v in jobs.items()}
+        jobs_dev = upload_jobs(jobs, J, L, self.cat.ftab_chars)
         n_k = self.policy.n if self.policy.n < INF32 else INF32
         m_max = self.policy.max if self.policy.max < INF32 else INF32
         out = run_compacting(

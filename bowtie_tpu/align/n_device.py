@@ -69,7 +69,7 @@ def _pack_hits2(st_a, st_b, la_a, sl_a, la_b, sl_b):
 
 def _derive_b_jobs_device(st_a, gated, base_codes, base_qual,
                           base_plen, qr_tab, *, J, jrc, n, s, qt,
-                          maxbts, maq, norc, nofw, L):
+                          maxbts, maq, norc, nofw, L, fc):
     """jnp twin of _jobs_b_vec, run ON DEVICE from launch-A state: the
     A->B host round trip (poll + partial download + job upload) costs
     ~3 tunnel syncs x ~0.7 s per batch, which dominated -n 2.  Field-
@@ -182,10 +182,14 @@ def _derive_b_jobs_device(st_a, gated, base_codes, base_qual,
         jobs = sh(jobs, "qual_thresh", qt)
         jobs = sh(jobs, "maq_round", int(maq))
         jobs = sh(jobs, "reset_rng", 1)
-    jobs["base_codes"] = base_codes
-    jobs["base_qual"] = base_qual
-    jobs["base_plen"] = base_plen
-    return jobs
+    # pack to the device job format + derive by-depth rows, all still
+    # inside this jit (no host round trip)
+    from .dfs_device import JOB_FIELDS as JF, NJF, _derive_rows_impl
+    scal = jnp.stack([jobs[f] for f in JF], axis=-1).reshape(B, J * NJF)
+    scal, qqp_r = _derive_rows_impl(
+        scal, base_codes, base_qual, base_plen, J=J, L=L, fc=fc)
+    return {"scal": scal, "qqp_r": qqp_r, "base_codes": base_codes,
+            "base_qual": base_qual, "base_plen": base_plen}
 
 
 class DeviceNAligner(DeviceDFSAligner):
@@ -424,13 +428,15 @@ class DeviceNAligner(DeviceDFSAligner):
         seeds = np.zeros(Bp, dtype=np.uint32)
         seeds[:len(reads)] = fill_seed_caches(reads, self.global_seed)
 
-        def pad(jobs):
+        from .dfs_device import upload_jobs
+
+        def pad(jobs, J):
             for k, v in jobs.items():
                 if v.shape[0] < Bp:
                     z = np.zeros((Bp - v.shape[0],) + v.shape[1:],
                                  dtype=v.dtype)
                     jobs[k] = np.concatenate([v, z], axis=0)
-            return {k: jnp.asarray(v) for k, v in jobs.items()}
+            return upload_jobs(jobs, J, L, fc)
 
         from .dfs_jobs import build_n_jobs_a_vec, derive_rows_enabled
         jobs_a, J_A, gated, jrc, jfw = build_n_jobs_a_vec(
@@ -440,10 +446,10 @@ class DeviceNAligner(DeviceDFSAligner):
                 __import__("os").environ.get("BOWTIE_TPU_N2_UNFUSED",
                                              0)):
             return self._align_batch_fused(
-                reads, pad(jobs_a), J_A, gated, jrc, seeds, Bp, L,
+                reads, pad(jobs_a, J_A), J_A, gated, jrc, seeds, Bp, L,
                 n_k, m_max)
         out_a = run_compacting(
-            self.cat, pad(jobs_a), seeds,
+            self.cat, pad(jobs_a, J_A), seeds,
             np.zeros(Bp, np.int32), J=J_A, L=L, nfrag=self.nfrag,
             n_k=n_k, m_max=m_max, max_steps=self.max_steps)
 
@@ -454,7 +460,7 @@ class DeviceNAligner(DeviceDFSAligner):
             jobs_b, J_B = self._jobs_b(reads, out_a, L, fc, gated, jrc)
         if jobs_b is not None:
             out_b = run_compacting(
-                self.cat, pad(jobs_b), seeds,
+                self.cat, pad(jobs_b, J_B), seeds,
                 np.asarray(out_a["count"], np.int32), J=J_B, L=L,
                 nfrag=self.nfrag, n_k=n_k, m_max=m_max,
                 max_steps=self.max_steps)
@@ -502,11 +508,12 @@ class DeviceNAligner(DeviceDFSAligner):
                 jnp.asarray(QUAL_ROUNDS.astype(np.int32)), J_B, L,
                 int(jrc))
             st_b0 = _init_state(Bp, L, seeds_d, st_a["count"])
-            # dispatch B's first chunk BEFORE syncing on A's results:
-            # the A poll/pack transfers then overlap B device compute
+            # dispatch B's first big chunk BEFORE syncing on A's
+            # results: the A poll/pack transfers (~1 s of tunnel +
+            # host work) then fully overlap B device compute
             st_b0, _ = run_chunk(self.cat, jobs_b, st_b0, J=J_B, L=L,
                                  nfrag=self.nfrag, n_k=n_k,
-                                 m_max=m_max, chunk=64)
+                                 m_max=m_max, chunk=256)
         if prof:
             print(f"[prof n2] derive+B64 dispatch: "
                   f"t={time.time() - t00:.3f}s",
@@ -548,7 +555,7 @@ class DeviceNAligner(DeviceDFSAligner):
             out_b = run_compacting(
                 self.cat, jobs_b, None, None, J=J_B, L=L,
                 nfrag=self.nfrag, n_k=n_k, m_max=m_max,
-                max_steps=self.max_steps - 64, chunk=(128, 512),
+                max_steps=self.max_steps - 256, chunk=(128, 512),
                 st0=st_b0)
             out_b = {k: (v[:B] if hasattr(v, "shape") else v)
                      for k, v in out_b.items()}
@@ -577,7 +584,7 @@ class DeviceNAligner(DeviceDFSAligner):
                 _derive_b_jobs_device, J=J_B, jrc=jrc,
                 n=self.n_mms, s=self.seed_len, qt=self.qt,
                 maxbts=self.maxbts, maq=self.maq, norc=self.norc,
-                nofw=self.nofw, L=L))
+                nofw=self.nofw, L=L, fc=self.cat.ftab_chars))
         return cache[key](st_a, gated_d, bc, bq, bp, qr)
 
     def _assemble_n(self, reads, out_a, out_b, seeds, gated) -> list:

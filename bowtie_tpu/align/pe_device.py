@@ -237,9 +237,27 @@ class _StrandMachine:
         return streams, overflow
 
 
+# set in the parent right before the replay pool forks; children
+# inherit the whole aligner (incl. dense index tables) copy-on-write
+_PE_WORKER = None
+
+
+def _pe_replay_worker(chunk):
+    out = []
+    for i, rd1, rd2, streams in chunk:
+        res, esc = _PE_WORKER._replay(rd1, rd2, streams)
+        out.append((i, res, esc))
+    return out
+
+
 class DevicePairedBestAligner:
     """Drop-in replacement for make_paired_best_aligner's product:
-    align_batch(pairs) with device-recorded anchor streams."""
+    align_batch(pairs) with device-recorded anchor streams.
+
+    threads > 1 forks a worker pool for the host replay stage (the
+    device records the anchor streams; the byte-identical interleave/
+    rescue replay then scales with host cores — the -p analog of the
+    reference's per-thread aligner graphs, ebwt_search.cpp:1333)."""
 
     def __init__(self, idx_fw, idx_bw, refs, policy: KPolicy,
                  mode: str = "n", v: int = 0, seed_mms: int = 2,
@@ -250,7 +268,7 @@ class DevicePairedBestAligner:
                  sym_ceiling: int = 0xFFFFFFFF, maq: bool = True,
                  better: bool = False, global_seed: int = 0,
                  maxbts: int = 800, max_steps: int = 60000,
-                 compact: bool | None = None):
+                 compact: bool | None = None, threads: int = 1):
         import os
         from .best_factories import make_paired_best_aligner
         from .golden import GoldenFM
@@ -258,7 +276,7 @@ class DevicePairedBestAligner:
             compact = (idx_fw.length > (1 << 28) or
                        bool(os.environ.get("BOWTIE_TPU_COMPACT")))
         self.cat = build_fmcat(idx_fw, idx_bw,
-                               occ_every=128 if compact else 1,
+                               occ_every=128,
                                dense_sa=not compact)
         self._idx_fw, self._idx_bw = idx_fw, idx_bw
         kw = dict(mode=mode, v=v, seed_mms=seed_mms,
@@ -292,6 +310,43 @@ class DevicePairedBestAligner:
         # deep consumer to a live-driver rerun).  -k>1/-a/-m/-M chase
         # every range, so record uncapped there.
         self.rec_cap = 8 if not policy.want_all_rows() else None
+        # fork pool for the replay stage (-p)
+        import os as _os
+        self.threads = max(1, min(threads, _os.cpu_count() or 1))
+        self._pool = None
+        if self.threads > 1 and hasattr(_os, "fork"):
+            import multiprocessing as _mp
+            global _PE_WORKER
+            _PE_WORKER = self
+            self._pool = _mp.get_context("fork").Pool(self.threads)
+
+    def _replay_all(self, pairs, items):
+        """Replay (i, streams) items; returns [(i, result, escalate)].
+        Uses the fork pool when it pays (pickling results back costs
+        ~µs/pair; the replay itself is ~ms/pair)."""
+        if self._pool is None or len(items) < 2 * self.threads:
+            return [(i, *self._replay(*pairs[i], streams))
+                    for i, streams in items]
+        work = [(i, pairs[i][0], pairs[i][1], streams)
+                for i, streams in items]
+        nchunks = min(len(work), self.threads * 4)
+        size = -(-len(work) // nchunks)
+        chunks = [work[k:k + size] for k in range(0, len(work), size)]
+        out = []
+        for part in self._pool.map(_pe_replay_worker, chunks):
+            out.extend(part)
+        return out
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _factory(self, rd1, rd2):
         if self._streams is not None:
@@ -345,6 +400,7 @@ class DevicePairedBestAligner:
             synthL = self._synth_streams(machL, m1)
             synthR = self._synth_streams(machR, m2)
             need_A = []
+            items = []
             for i, (rd1, rd2) in enumerate(pairs):
                 if synthL[i] is None or synthR[i] is None:
                     need_A.append(i)
@@ -352,11 +408,13 @@ class DevicePairedBestAligner:
                 streams = ["unrec"] * 4
                 streams[slotL] = synthL[i]
                 streams[slotR] = synthR[i]
-                res, esc = self._replay(rd1, rd2, streams)
+                items.append((i, streams))
+            for i, res, esc in self._replay_all(pairs, items):
                 if esc:
                     need_A.append(i)
                 else:
                     results[i] = res
+            need_A.sort()
 
         # Phase A: record the fw-ORIENTATION streams for the rest —
         # the V1 interleave tries the fw pair orientation first and,
@@ -380,22 +438,27 @@ class DevicePairedBestAligner:
                 # orientations — skip the doomed phase-A replay
                 escal = list(need_A)
             else:
+                items = []
+                fb_items = []
                 for i in need_A:
-                    rd1, rd2 = pairs[i]
                     if ovL.get(i) or ovR.get(i):
                         self.fallbacks += 1
-                        results[i], _ = self._replay(rd1, rd2, None)
+                        fb_items.append((i, None))
                         continue
                     streams = ["unrec"] * 4
                     streams[slotL] = (realL[i] if i in realL
                                       else synthL[i])
                     streams[slotR] = (realR[i] if i in realR
                                       else synthR[i])
-                    res, esc = self._replay(rd1, rd2, streams)
+                    items.append((i, streams))
+                for i, res, _ in self._replay_all(pairs, fb_items):
+                    results[i] = res
+                for i, res, esc in self._replay_all(pairs, items):
                     if esc:
                         escal.append(i)
                     else:
                         results[i] = res
+                escal.sort()
 
         if escal:
             # Phase B: the rc-orientation streams for escalated pairs
@@ -427,23 +490,28 @@ class DevicePairedBestAligner:
                         [i for i in escal if i not in realR],
                         realR, ovR)
             escal_c = []
+            items = []
+            fb_items = []
             for i in escal:
-                rd1, rd2 = pairs[i]
                 if (ovL.get(i) or ovR.get(i) or ovLb.get(i)
                         or ovRb.get(i)):
                     self.fallbacks += 1
-                    results[i], _ = self._replay(rd1, rd2, None)
+                    fb_items.append((i, None))
                     continue
                 streams = ["unrec"] * 4
                 streams[slotL] = realL[i]
                 streams[slotR] = realR[i]
                 streams[slotLb] = (rcL[i] if i in rcL else synthLb[i])
                 streams[slotRb] = (rcR[i] if i in rcR else synthRb[i])
-                res, esc = self._replay(rd1, rd2, streams)
+                items.append((i, streams))
+            for i, res, _ in self._replay_all(pairs, fb_items):
+                results[i] = res
+            for i, res, esc in self._replay_all(pairs, items):
                 if esc:
                     escal_c.append(i)
                 else:
                     results[i] = res
+            escal_c.sort()
 
             if escal_c:
                 # Phase C: real rc-orientation streams where phase B
@@ -454,21 +522,25 @@ class DevicePairedBestAligner:
                 record_into(machRb, m2,
                             [i for i in escal_c if i not in rcR],
                             rcR, ovRb)
+                items = []
+                fb_items = []
                 for i in escal_c:
-                    rd1, rd2 = pairs[i]
                     if ovLb.get(i) or ovRb.get(i):
                         self.fallbacks += 1
-                        results[i], _ = self._replay(rd1, rd2, None)
+                        fb_items.append((i, None))
                         continue
                     streams = ["unrec"] * 4
                     streams[slotL] = realL[i]
                     streams[slotR] = realR[i]
                     streams[slotLb] = rcL[i]
                     streams[slotRb] = rcR[i]
-                    res, esc = self._replay(rd1, rd2, streams)
+                    items.append((i, streams))
+                for i, res, _ in self._replay_all(pairs, fb_items):
+                    results[i] = res
+                for i, res, esc in self._replay_all(pairs, items):
                     if esc:
                         self.fallbacks += 1
-                        res, _ = self._replay(rd1, rd2, None)
+                        res, _ = self._replay(*pairs[i], None)
                     results[i] = res
         return results
 

@@ -47,6 +47,33 @@ class JoinedResolver:
         return tidx, textoff, valid
 
 
+import jax
+
+
+@jax.jit
+def _one_row_kernel(fm: FMIndexArrays, mat, lens, seeds2):
+    """Fused exact search + random-row pick + row resolve: ONE device
+    round trip for the k-hits-without-enumeration path (the row pick is
+    reportFullAlignment's first RNG draw,
+    ebwt_search_backtrack.h:1536-1540)."""
+    top, bot = exact_ranges(fm, mat, lens)
+    a = jnp.uint32(1664525)
+    c = jnp.uint32(1013904223)
+    s1 = a * seeds2 + c
+    ret = s1 >> jnp.uint32(16)
+    s2 = a * s1 + c
+    r1 = ret ^ s2                       # RandomSource::nextU32
+    spread = bot - top
+    row = top + (r1 % jnp.maximum(spread, 1).astype(jnp.uint32)) \
+        .astype(top.dtype)
+    off, ok = resolve_rows(fm, jnp.where(spread > 0, row, 0))
+    # uint32 stack: rows/offsets are < 2^32 by construction (TIndexOffU
+    # small-index semantics); the host widens to int64
+    return (jnp.stack([spread.astype(jnp.uint32),
+                       off.astype(jnp.uint32),
+                       ok.astype(jnp.uint32)]))
+
+
 class ExactAligner:
     """-v 0 aligner over a replicated device index."""
 
@@ -60,6 +87,59 @@ class ExactAligner:
         self.joined = JoinedResolver(idx)
 
     def align_batch(self, reads: list) -> list[ReadResult]:
+        if not self.policy.want_all_rows():
+            return self._align_batch_one_row(reads)
+        return self._align_batch_enum(reads)
+
+    def _align_batch_one_row(self, reads: list) -> list[ReadResult]:
+        """Vectorized path when only one random row per range is
+        chased (-k without -a/-m enumeration): one fused kernel call,
+        vectorized joinedToTextOff, and a slim per-read policy loop."""
+        from ..utils.rng import fill_seed_caches
+        B = len(reads)
+        fw = [r.codes_fw for r in reads]
+        rc = [r.codes_rc for r in reads]
+        mat, lens = right_align(fw + rc)
+        seeds = fill_seed_caches(reads, self.global_seed)
+        seeds2 = np.concatenate([seeds, seeds])
+        packed = np.asarray(_one_row_kernel(
+            self.fm, jnp.asarray(mat), jnp.asarray(lens),
+            jnp.asarray(seeds2))).astype(np.int64)
+        spread, offs, ok = packed[0], packed[1], packed[2]
+        tidx, textoff, valid = self.joined(offs, lens.astype(np.int64))
+        valid = valid & (ok > 0) & (spread > 0)
+        spread_l = spread.tolist()
+        tidx_l = tidx.tolist()
+        toff_l = textoff.tolist()
+        valid_l = valid.tolist()
+        seeds_l = seeds.tolist()
+        results = []
+        strands = [s for s in (0, 1)
+                   if not (s == 0 and self.nofw)
+                   and not (s == 1 and self.norc)]
+        finish = self.policy.finish
+        stop_after = self.policy.stop_after
+        for i, read in enumerate(reads):
+            buffered: list[Hit] = []
+            count = 0
+            for strand in strands:
+                j = i + strand * B
+                if spread_l[j] <= 0 or not valid_l[j]:
+                    continue
+                count += 1
+                stop, maxed = stop_after(count)
+                if maxed:
+                    break
+                buffered.append(Hit(
+                    read=read, fw=(strand == 0), tidx=tidx_l[j],
+                    toff=toff_l[j], oms=spread_l[j] - 1, stratum=0,
+                    cost=0))
+                if stop:
+                    break
+            results.append(finish(buffered, count, seeds_l[i]))
+        return results
+
+    def _align_batch_enum(self, reads: list) -> list[ReadResult]:
         B = len(reads)
         fw = [r.codes_fw for r in reads]
         rc = [r.codes_rc for r in reads]

@@ -23,7 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="bowtie-tpu",
         description="TPU-native ultrafast short-read aligner "
                     "(bowtie-1-compatible)")
-    p.add_argument("ebwt_base")
+    p.add_argument("-x", dest="index_opt", default=None,
+                   help="index basename (positional form deprecated)")
+    p.add_argument("ebwt_base", nargs="?", default=None)
     p.add_argument("reads", nargs="?", default=None)
     p.add_argument("hits", nargs="?", default=None)
     # paired-end input
@@ -256,6 +258,22 @@ def main(argv=None) -> int:
         return 0
     args = build_parser().parse_args(argv)
 
+    # index via -x or positional (ebwt_search.cpp:3358-3393: the
+    # positional form is accepted with a deprecation warning; with -x
+    # the positionals shift left to [query, output])
+    if args.index_opt is not None:
+        args.hits = args.reads
+        args.reads = args.ebwt_base
+        args.ebwt_base = args.index_opt
+    else:
+        if args.ebwt_base is None:
+            print("No index, query, or output file specified!",
+                  file=sys.stderr)
+            return 1
+        print("Setting the index via positional argument will be "
+              "deprecated in a future release. Please use -x option "
+              "instead.", file=sys.stderr)
+
     # arg validation (parseOptions, ebwt_search.cpp:614+)
     if args.mismatches >= 0 and not 0 <= args.mismatches <= 3:
         print("-v arg must be at least 0 and at most 3", file=sys.stderr)
@@ -347,18 +365,16 @@ def main(argv=None) -> int:
                 report_se=args.reportse, best_sink=args.strata,
                 global_seed=args.seed,
                 maxbts=args.maxbts if args.maxbts is not None else 800)
-        elif (os.environ.get("BOWTIE_TPU_DEVICE_PE")
+        elif (_device_pe_enabled(args)
               and not (os.environ.get("BOWTIE_TPU_HOST_ENGINE")
                        or args.nofw or args.norc)):
             # PairedBWAlignerV1 with device-recorded anchor streams:
             # the four per-(mate,strand) best-first drivers run as
             # lanes of the lockstep machine; the interleave/rescue
             # replay on host is byte-identical (align/pe_device.py).
-            # Opt-in (BOWTIE_TPU_DEVICE_PE): the host engine is still
-            # faster until the interleave itself runs on device —
-            # stream recording pays full driver exhaustion (~320
-            # machine steps/lane) while the host interleave stops
-            # after a handful of advances per driver.
+            # Default on accelerators: ~70% of the host engine's time
+            # is advance_branch (the anchor search the recorder
+            # replaces); opt out with BOWTIE_TPU_DEVICE_PE=0.
             from ..align.pe_device import DevicePairedBestAligner
             host_engine = False
             aligner = DevicePairedBestAligner(
@@ -370,7 +386,8 @@ def main(argv=None) -> int:
                 sym_ceiling=policy.max,
                 maq=not args.nomaqround, better=args.best,
                 global_seed=args.seed,
-                maxbts=args.maxbts if args.maxbts is not None else 800)
+                maxbts=args.maxbts if args.maxbts is not None else 800,
+                threads=args.threads)
         else:
             aligner = make_paired_best_aligner(
                 g_fw, g_bw, refs, policy, mode=mode,
@@ -392,6 +409,16 @@ def main(argv=None) -> int:
         aligner = ParallelHostAligner(aligner, args.threads)
 
     return _run(args, argv, idx, policy, aligner, paired, fmt, cont)
+
+
+def _device_pe_enabled(args) -> bool:
+    """Device-recorded paired-end is the default on accelerators
+    (BOWTIE_TPU_DEVICE_PE=0 opts out, =1 forces on even on CPU)."""
+    v = os.environ.get("BOWTIE_TPU_DEVICE_PE")
+    if v is not None:
+        return v not in ("", "0")
+    import jax
+    return jax.default_backend() != "cpu"
 
 
 def _build_se_aligner(args, idx, policy):

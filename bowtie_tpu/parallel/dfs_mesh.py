@@ -54,8 +54,17 @@ def run_sharded(cat: D.FMCat, jobs_np: dict, seeds: np.ndarray,
     assert B % ndev == 0, f"lane count {B} not divisible by {ndev}"
     cat = replicate_cat(cat, mesh)
     lane_arrays = shard_lanes(mesh, seeds, count0)
+    if "scal" not in jobs_np:
+        jobs_np = D.pack_jobs_host(jobs_np, J, L)
     jobs_dev = {k: shard_lanes(mesh, np.ascontiguousarray(v))[0]
                 for k, v in jobs_np.items()}
+    if "qqp_r" not in jobs_dev:
+        # derive by-depth rows on device; GSPMD keeps the outputs
+        # lane-sharded from the sharded inputs
+        jobs_dev["scal"], jobs_dev["qqp_r"] = D.derive_rows_jit(
+            jobs_dev["scal"], jobs_dev["base_codes"],
+            jobs_dev["base_qual"], jobs_dev["base_plen"],
+            J=J, L=L, fc=cat.ftab_chars)
     out, iters = D.run_machine(cat, jobs_dev, *lane_arrays, J=J, L=L,
                                nfrag=nfrag, n_k=n_k, m_max=m_max,
                                max_steps=max_steps)

@@ -45,8 +45,8 @@ def main():
     modes = sys.argv[1:] or ["n2"]
     idx, idx_bw, reads = load()
     from bowtie_tpu.align.policy import INF, KPolicy
-    big = replicate(reads, 32768)
-    B = 16384
+    B = int(os.environ.get("PROF_B", 16384))
+    big = replicate(reads, 2 * B)
 
     for m in modes:
         if m == "n2":
@@ -59,6 +59,33 @@ def main():
             from bowtie_tpu.align.best_device import DeviceBestAligner
             al = DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
                                    strata=False, all_hits=False)
+        elif m == "pe":
+            import time as _t
+            from bowtie_tpu.align.pe_device import \
+                DevicePairedBestAligner
+            from bowtie_tpu.index.ebwt_io import (
+                read_bitpair_reference, unpack_reference)
+            from bowtie_tpu.io.readers import ReadSource
+            rc, packed = read_bitpair_reference(
+                "/root/reference/indexes/e_coli")
+            refs = unpack_reference(rc, packed)
+            p1 = list(ReadSource(
+                ["/root/reference/reads/e_coli_1000_1.fq"],
+                "fastq").records())
+            p2 = list(ReadSource(
+                ["/root/reference/reads/e_coli_1000_2.fq"],
+                "fastq").records())
+            al = DevicePairedBestAligner(idx, idx_bw, refs,
+                                         KPolicy(1, INF))
+            pairs = list(zip(replicate(p1, 6144), replicate(p2, 6144)))
+            al.align_batch(pairs[4096:])
+            t0 = _t.time()
+            n = len(al.align_batch(pairs[:4096]))
+            dt = _t.time() - t0
+            print(f"=== pe: {n} pairs in {dt:.3f}s = {n / dt:.1f} "
+                  f"pairs/s fallbacks={al.fallbacks} "
+                  f"escalations={al.escalations} ===", flush=True)
+            continue
         else:
             print(f"unknown mode {m}")
             continue

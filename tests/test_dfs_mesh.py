@@ -29,8 +29,8 @@ def test_sharded_dfs_matches_single():
     out_s, _ = run_sharded(cat, jobs, seeds, np.zeros(B, np.int32),
                            mesh, **kw)
     import jax.numpy as jnp
-    out_1, _ = D.run_machine(cat, {k: jnp.asarray(v)
-                                   for k, v in jobs.items()},
+    out_1, _ = D.run_machine(cat, D.upload_jobs(jobs, J, 40,
+                                                cat.ftab_chars),
                              jnp.asarray(seeds),
                              jnp.zeros(B, jnp.int32), **kw)
     for k in ("result", "count", "nhits", "hits", "overflow"):

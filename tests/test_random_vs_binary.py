@@ -17,6 +17,12 @@ import subprocess
 import numpy as np
 import pytest
 
+# seed counts: defaults keep the local/push-gate runtime modest; the
+# nightly CI raises them via env (random_tests.yml), matching the
+# reference's make random-test sweep scale
+N_SE = int(os.environ.get("BOWTIE_TPU_RANDOM_SE_SEEDS", 12))
+N_PE = int(os.environ.get("BOWTIE_TPU_RANDOM_PE_SEEDS", 8))
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, ".oracle", "bowtie-align-s")
 
@@ -83,7 +89,7 @@ def _random_policy(rng):
     -n 0..3 without --best."""
     args = []
     if rng.random() < 0.5:
-        args += ["-v", str(int(rng.integers(0, 3)))]
+        args += ["-v", str(int(rng.integers(0, 4)))]
     else:
         args += ["-n", str(int(rng.integers(0, 4)))]
         if rng.random() < 0.5:
@@ -174,7 +180,7 @@ def _reads_as_format(rng, fq_path, tmp):
     return ["--12", tab], None
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(N_SE))
 def test_random_case_matches_binary(seed, tmp_path):
     rng = np.random.default_rng(1000 + seed)
     tmp = str(tmp_path)
@@ -245,7 +251,7 @@ def _random_pairs(rng, fasta, tmp, npairs=40):
     return p1, p2
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(N_PE))
 def test_random_paired_matches_binary(seed, tmp_path):
     rng = np.random.default_rng(9000 + seed)
     tmp = str(tmp_path)
@@ -256,19 +262,30 @@ def test_random_paired_matches_binary(seed, tmp_path):
     build_from_fasta([fasta], base)
     args = []
     if rng.random() < 0.5:
-        args += ["-v", str(int(rng.integers(0, 3)))]
+        args += ["-v", str(int(rng.integers(0, 4)))]
     else:
         args += ["-n", str(int(rng.integers(0, 4)))]
     args += ["-I", str(int(rng.integers(0, 60))),
              "-X", str(int(rng.integers(150, 300)))]
-    if rng.random() < 0.3:
+    p = rng.random()
+    if p < 0.3:
         args += ["-k", str(int(rng.integers(1, 3)))]
+    elif p < 0.45:
+        args += ["-a"]
+    if rng.random() < 0.25:
+        args += ["-m", str(int(rng.integers(1, 4)))]
     if rng.random() < 0.3:
         args += ["--best"]
+    if rng.random() < 0.25:
+        args += ["--pev2"]
+    if rng.random() < 0.25:
+        args += ["--reportse"]
     if rng.random() < 0.2:
         args += ["--rf"] if rng.random() < 0.5 else ["--ff"]
     if rng.random() < 0.2:
         args += ["-5", str(int(rng.integers(1, 3)))]
+    if rng.random() < 0.2:
+        args += ["-3", str(int(rng.integers(1, 3)))]
     dumps = _dump_flags(rng)
     # randomly re-encode the pair files as interleaved or --12 tabbed
     p = rng.random()
