@@ -1542,7 +1542,8 @@ def build_v_jobs(reads, v: int, nofw: bool, norc: bool, L: int, fc: int):
     return jobs, J
 
 
-def _bucket(n: int, buckets=(256, 1024, 4096, 16384)) -> int:
+def _bucket(n: int, buckets=(256, 1024, 4096, 8192, 12288,
+                             16384)) -> int:
     for b in buckets:
         if n <= b:
             return b
@@ -1677,7 +1678,8 @@ class DeviceDFSAligner:
         out = run_compacting(
             self.cat, jobs_dev, np.asarray(seeds),
             np.zeros(Bp, np.int32), J=J, L=L, nfrag=self.nfrag,
-            n_k=n_k, m_max=m_max, max_steps=self.max_steps)
+            n_k=n_k, m_max=m_max, max_steps=self.max_steps,
+            parts=False)
         return self.assemble(reads, out, seeds)
 
     def assemble(self, reads, out, seeds) -> list:
@@ -1917,10 +1919,23 @@ def _harvest_poll(st, poll, idxs):
     return out
 
 
+_SLICE_CACHE: dict = {}
+
+
+def _slice_hits(st, ncols: int):
+    """Jitted static [:, :ncols] hits-pool slice (see n_device
+    _hits_slice): a data-independent transfer enqueued with the poll."""
+    fn = _SLICE_CACHE.get(ncols)
+    if fn is None:
+        fn = _SLICE_CACHE[ncols] = jax.jit(lambda h: h[:, :ncols])
+    return fn(st["hits"])
+
+
 def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
                    L: int, nfrag: int, n_k: int, m_max: int,
                    max_steps: int, chunk=None,
-                   min_bucket: int = 512, st0=None):
+                   min_bucket: int = 512, st0=None,
+                   parts: bool = True):
     """Run the machine in chunks, compacting live lanes into smaller
     buckets as reads finish.  Per-step cost scales with the bucket
     size, so this converts total cost from B * max(lane steps) to
@@ -1949,6 +1964,9 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
     # fast lanes, longer late chunks avoid poll spam on stragglers
     sched = ((chunk,) if isinstance(chunk, int) else chunk) \
         or (768,)
+    W = 8 + 2 * MM_SLOTS
+    nslots = H_MAX if (n_k == INF32 or m_max != INF32) \
+        else min(n_k, H_MAX)
     ci = 0
     while True:
         csteps = sched[min(ci, len(sched) - 1)]
@@ -1957,19 +1975,49 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         st, _ = run_chunk(cat, jobs_d, st, J=J, L=L, nfrag=nfrag,
                           n_k=n_k, m_max=m_max, chunk=csteps)
         steps += csteps
-        poll = np.asarray(_poll_all(st))
+        poll_dev = _poll_all(st)
+        hits_dev = None
+        if not parts:
+            # policy-bounded static hits slice rides with the poll —
+            # the harvest then needs NO further round trips
+            hits_dev = _slice_hits(st, nslots * W)
+            for x in (poll_dev, hits_dev):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass
+        poll = np.asarray(poll_dev)
         if prof:
             print(f"[prof dfs] round {ci}: B={st['mode'].shape[0]} "
                   f"chunk={csteps} live_after="
                   f"{int((poll[0] != M_DONE).sum())} "
                   f"chunk+poll={time.time() - t0:.3f}s",
                   file=sys.stderr, flush=True)
+
+        def harvest(idxs):
+            if parts:
+                return _harvest_poll(st, poll, idxs)
+            h = {k: poll[i + 1][idxs].copy()
+                 for i, k in enumerate(_HARVEST_KEYS)}
+            h["overflow"] = h["overflow"].astype(bool)
+            h["rng"] = h["rng"].astype(np.uint32)
+            n = len(idxs)
+            full = np.zeros((n, H_MAX, W), np.int32)
+            full[:, :nslots] = np.asarray(hits_dev)[idxs] \
+                .reshape(n, nslots, W)
+            h["hits"] = full
+            z = np.zeros((n, P_MAX), np.int32)
+            h["part_n"], h["part_job"] = z, z.copy()
+            h["part_pos"] = np.zeros((n, P_MAX, 3), np.int32)
+            h["part_refc"] = np.zeros((n, P_MAX, 3), np.int32)
+            return h
+
         mode = poll[0]
         act = np.flatnonzero(mode != M_DONE)
         live = orig >= 0
         if len(act) == 0 or steps >= max_steps:
             sub = np.flatnonzero(live)
-            h = _harvest_poll(st, poll, sub)
+            h = harvest(sub)
             if steps >= max_steps and len(act):
                 # ran out of budget: flag still-active lanes
                 still = np.isin(sub, act)
@@ -1981,8 +2029,7 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         if newB < mode.shape[0]:
             done_live = np.flatnonzero((mode == M_DONE) & live)
             if len(done_live):
-                out = _merge_out(out, _harvest_poll(st, poll,
-                                                    done_live),
+                out = _merge_out(out, harvest(done_live),
                                  orig[done_live], B0)
             pad_n = newB - len(act)
             idxs = np.concatenate([act, np.full(pad_n, act[0],

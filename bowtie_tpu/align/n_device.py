@@ -50,6 +50,21 @@ def _poll_one(st):
     return jnp.stack([st[k].astype(jnp.int32) for k in ks])
 
 
+_HITS_SLICE_CACHE: dict = {}
+
+
+def _hits_slice(st, ncols: int):
+    """Static [:, :ncols] slice of the flat hits pool (jitted per
+    width) — a data-INDEPENDENT transfer that can be enqueued ahead of
+    the next launch's compute."""
+    import jax
+    fn = _HITS_SLICE_CACHE.get(ncols)
+    if fn is None:
+        fn = _HITS_SLICE_CACHE[ncols] = \
+            jax.jit(lambda h: h[:, :ncols])
+    return fn(st["hits"])
+
+
 def _poll_pair(st_a, st_b):
     """A+B per-lane scalars in ONE [10, B] transfer."""
     import jax.numpy as jnp
@@ -498,6 +513,21 @@ class DeviceNAligner(DeviceDFSAligner):
                   f"t={time.time() - t00:.3f}s",
                   file=sys.stderr, flush=True)
             t00 = time.time()
+        # A-result transfers: enqueue BEFORE launch B's compute so the
+        # DMA overlaps it (the tunnel serializes ops FIFO).  The hits
+        # pool is fetched as a POLICY-BOUNDED static slice — a lane
+        # buffers at most n_k hits under plain -k (no data-dependent
+        # gather round trip needed)
+        W = 8 + 2 * MM_SLOTS
+        nslots = H_MAX if (n_k == INF32 or m_max != INF32) \
+            else min(n_k, H_MAX)
+        poll_dev = _poll_one(st_a)
+        hits_dev = _hits_slice(st_a, nslots * W)
+        for x in (poll_dev, hits_dev):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
         J_B = P_MAX + 4
         if self.n_mms > 0:
             gp = np.ones(Bp, bool)
@@ -508,18 +538,17 @@ class DeviceNAligner(DeviceDFSAligner):
                 jnp.asarray(QUAL_ROUNDS.astype(np.int32)), J_B, L,
                 int(jrc))
             st_b0 = _init_state(Bp, L, seeds_d, st_a["count"])
-            # dispatch B's first big chunk BEFORE syncing on A's
-            # results: the A poll/pack transfers (~1 s of tunnel +
-            # host work) then fully overlap B device compute
+            # dispatch B's first chunk; the A transfers above ride
+            # ahead of it in the queue and land while it computes
             st_b0, _ = run_chunk(self.cat, jobs_b, st_b0, J=J_B, L=L,
                                  nfrag=self.nfrag, n_k=n_k,
-                                 m_max=m_max, chunk=256)
+                                 m_max=m_max, chunk=192)
         if prof:
-            print(f"[prof n2] derive+B64 dispatch: "
+            print(f"[prof n2] derive+B256 dispatch: "
                   f"t={time.time() - t00:.3f}s",
                   file=sys.stderr, flush=True)
             t00 = time.time()
-        poll_a = np.asarray(_poll_one(st_a))
+        poll_a = np.asarray(poll_dev)
         ks = ("mode", "result", "overflow", "count", "nhits")
 
         def unpack(rows):
@@ -528,21 +557,8 @@ class DeviceNAligner(DeviceDFSAligner):
                 .astype(bool)
             return o
         out_a = unpack(poll_a)
-
-        def pidx(counts):
-            lanes_rel = np.repeat(np.arange(B), counts)
-            slots = (np.concatenate([np.arange(c) for c in counts])
-                     if counts.sum() else np.zeros(0, np.int64))
-            return (lanes_rel, slots,
-                    _pad_pow2(lanes_rel.astype(np.int64)),
-                    _pad_pow2(slots.astype(np.int64)))
-        W = 8 + 2 * MM_SLOTS
-        lr_a, sl_a, pla, psa = pidx(out_a["nhits"])
         ha = np.zeros((B, H_MAX, W), np.int32)
-        if len(lr_a):
-            ha[lr_a, sl_a] = np.asarray(_gather_rows(
-                st_a["hits"], jnp.asarray(pla),
-                jnp.asarray(psa)))[:len(lr_a)]
+        ha[:, :nslots] = np.asarray(hits_dev)[:B].reshape(B, nslots, W)
         out_a["hits"] = ha
         if prof:
             print(f"[prof n2] A poll+pack: t={time.time() - t00:.3f}s",
@@ -552,11 +568,14 @@ class DeviceNAligner(DeviceDFSAligner):
             # launch B with straggler compaction (death is bimodal:
             # ~half the lanes finish in <=64 steps, half-and-half
             # searches run to ~640)
+            # chunk 0 first: poll+compact the B192 state BEFORE running
+            # more full-width steps (half the lanes die in the first
+            # couple hundred B steps; per-step cost scales with bucket)
             out_b = run_compacting(
                 self.cat, jobs_b, None, None, J=J_B, L=L,
                 nfrag=self.nfrag, n_k=n_k, m_max=m_max,
-                max_steps=self.max_steps - 256, chunk=(128, 512),
-                st0=st_b0)
+                max_steps=self.max_steps - 192, chunk=(0, 192, 512),
+                st0=st_b0, parts=False)
             out_b = {k: (v[:B] if hasattr(v, "shape") else v)
                      for k, v in out_b.items()}
         else:

@@ -303,13 +303,13 @@ class DevicePairedBestAligner:
         self.fw1, self.fw2 = fw1, fw2
         self.fallbacks = 0
         self.escalations = 0
-        # record cap: the interleave usually consumes only the first
-        # range of one driver under first-k-good policies, so stop
-        # each lane after a few recorded ranges instead of running its
-        # driver to exhaustion (ReplayTruncated escalates the rare
-        # deep consumer to a live-driver rerun).  -k>1/-a/-m/-M chase
-        # every range, so record uncapped there.
-        self.rec_cap = 8 if not policy.want_all_rows() else None
+        # record cap: stop each lane after this many recorded ranges
+        # instead of running its driver to exhaustion; a pair whose
+        # interleave outruns a capped stream re-records uncapped (a
+        # NON-aligning pair must drain every driver to prove no pair,
+        # so the cap sits near the hits-pool bound to keep those rare).
+        # -k>1/-a/-m/-M chase every range, so record uncapped there.
+        self.rec_cap = 12 if not policy.want_all_rows() else None
         # fork pool for the replay stage (-p)
         import os as _os
         self.threads = max(1, min(threads, _os.cpu_count() or 1))
@@ -365,8 +365,22 @@ class DevicePairedBestAligner:
             self._streams = None
 
     def align_batch(self, pairs):
+        """Record ALL FOUR driver streams upfront (one batched machine
+        run per (mate, orientation)), then replay every pair once.
+
+        The earlier phased design (synth phase 0, fw-orientation
+        phase A, rc on escalation) assumed most pairs decide on their
+        first fw-orientation anchor; on real paired fixtures ~75% of
+        pairs must visit the rc-orientation drivers (the V1 interleave
+        tries both orientations whenever the first yields no pair,
+        aligner.h:817-836), so phasing turned the COMMON case into a
+        serial escalate-re-record-re-replay chain.  With the machine
+        fast, four upfront batched recordings are cheaper.  Capped
+        streams that the interleave outruns (rare) re-record uncapped;
+        only cap-proof failures fall back to live host drivers."""
         if not pairs:
             return []
+        import numpy as np_
         from ..utils.rng import fill_seed_caches
         s1 = fill_seed_caches([p[0] for p in pairs], self.global_seed)
 
@@ -375,173 +389,68 @@ class DevicePairedBestAligner:
         # stream slots in factory order [d1f, d1r, d2f, d2r]
         slotL = 0 if self.fw1 else 1          # mate1, fw-orientation
         slotR = 2 if self.fw2 else 3          # mate2, fw-orientation
+        slotLb = 1 if self.fw1 else 0         # mate1, rc-orientation
+        slotRb = 3 if self.fw2 else 2
         machL = self.m_fw if self.fw1 else self.m_rc
         machR = self.m_fw if self.fw2 else self.m_rc
+        machLb = self.m_rc if self.fw1 else self.m_fw
+        machRb = self.m_rc if self.fw2 else self.m_fw
         results = [None] * len(pairs)
+        plan = ((machL, m1, slotL), (machR, m2, slotR),
+                (machLb, m1, slotLb), (machRb, m2, slotRb))
 
-        def record_into(mach, mates, idxs, streams_d, ov_d):
-            """Batch-record streams for pair indices `idxs` into
-            per-pair dicts."""
-            if not idxs:
-                return
-            ss, ov = mach.record([mates[i] for i in idxs], s1[idxs],
-                                 self.rec_cap)
-            for k, i in enumerate(idxs):
-                streams_d[i] = ss[k]
-                ov_d[i] = bool(ov[k])
+        def record_round(idxs, cap):
+            """Record the 4 streams for the given pair indices.
+            Returns (streams[i] -> [4 streams], overflow[i])."""
+            sts = {i: [None] * 4 for i in idxs}
+            ovd = {}
+            seeds = s1[np_.asarray(idxs, np_.int64)]
+            for mach, mates, slot in plan:
+                ss, ov = mach.record([mates[i] for i in idxs], seeds,
+                                     cap)
+                for k, i in enumerate(idxs):
+                    sts[i][slot] = ss[k]
+                    ovd[i] = ovd.get(i, False) or bool(ov[k])
+            return sts, ovd
 
-        # Phase 0: synthesized exact anchors.  When a fw-orientation
-        # mate has a whole-read exact hit, its driver's first emission
-        # is known without running the machine (SynthStream); pairs
-        # whose replay pops deeper escalate to a real recording.
-        need_A = list(range(len(pairs)))
-        synthL = synthR = None
-        if self.rec_cap is not None:
-            synthL = self._synth_streams(machL, m1)
-            synthR = self._synth_streams(machR, m2)
-            need_A = []
-            items = []
-            for i, (rd1, rd2) in enumerate(pairs):
-                if synthL[i] is None or synthR[i] is None:
-                    need_A.append(i)
-                    continue
-                streams = ["unrec"] * 4
-                streams[slotL] = synthL[i]
-                streams[slotR] = synthR[i]
-                items.append((i, streams))
-            for i, res, esc in self._replay_all(pairs, items):
-                if esc:
-                    need_A.append(i)
-                else:
-                    results[i] = res
-            need_A.sort()
-
-        # Phase A: record the fw-ORIENTATION streams for the rest —
-        # the V1 interleave tries the fw pair orientation first and,
-        # for first-k-good policies, never touches the rc-orientation
-        # drivers once the pair is decided (align_pair orientation
-        # loop, aligner.h:817-836).  Mates with a phase-0 synth stream
-        # reuse it (half the lanes for single-exact pairs); pairs that
-        # pop past any capped/synth stream escalate to phase B.
-        realL, realR, ovL, ovR = {}, {}, {}, {}
-        escal = []
-        if need_A:
-            full = self.rec_cap is None
-            record_into(machL, m1,
-                        [i for i in need_A
-                         if full or synthL[i] is None], realL, ovL)
-            record_into(machR, m2,
-                        [i for i in need_A
-                         if full or synthR[i] is None], realR, ovR)
-            if full:
-                # -k>1/-a/-m/-M interleaves always visit both
-                # orientations — skip the doomed phase-A replay
-                escal = list(need_A)
+        # Round 1: capped recordings of all four streams, one replay.
+        idxs = list(range(len(pairs)))
+        sts, ovd = record_round(idxs, self.rec_cap)
+        items, fb_items, escal = [], [], []
+        for i in idxs:
+            if ovd.get(i):
+                self.fallbacks += 1
+                fb_items.append((i, None))
             else:
-                items = []
-                fb_items = []
-                for i in need_A:
-                    if ovL.get(i) or ovR.get(i):
-                        self.fallbacks += 1
-                        fb_items.append((i, None))
-                        continue
-                    streams = ["unrec"] * 4
-                    streams[slotL] = (realL[i] if i in realL
-                                      else synthL[i])
-                    streams[slotR] = (realR[i] if i in realR
-                                      else synthR[i])
-                    items.append((i, streams))
-                for i, res, _ in self._replay_all(pairs, fb_items):
-                    results[i] = res
-                for i, res, esc in self._replay_all(pairs, items):
-                    if esc:
-                        escal.append(i)
-                    else:
-                        results[i] = res
-                escal.sort()
+                items.append((i, sts[i]))
+        for i, res, _ in self._replay_all(pairs, fb_items):
+            results[i] = res
+        for i, res, esc in self._replay_all(pairs, items):
+            if esc:
+                escal.append(i)
+            else:
+                results[i] = res
 
         if escal:
-            # Phase B: the rc-orientation streams for escalated pairs
-            # (synthesized exact anchors where possible — an
-            # rc-aligning pair pops each rc driver once too), plus real
-            # fw-orientation streams where phase A reused a synth.
-            if self.rec_cap is not None:
-                self.escalations += len(escal)
-            machLb = self.m_rc if self.fw1 else self.m_fw
-            machRb = self.m_rc if self.fw2 else self.m_fw
-            slotLb = 1 if self.fw1 else 0
-            slotRb = 3 if self.fw2 else 2
-            full = self.rec_cap is None
-            synthLb = synthRb = None
-            if not full:
-                synthLb = self._synth_streams(machLb, m1)
-                synthRb = self._synth_streams(machRb, m2)
-            rcL, rcR, ovLb, ovRb = {}, {}, {}, {}
-            record_into(machLb, m1,
-                        [i for i in escal
-                         if full or synthLb[i] is None], rcL, ovLb)
-            record_into(machRb, m2,
-                        [i for i in escal
-                         if full or synthRb[i] is None], rcR, ovRb)
-            record_into(machL, m1,
-                        [i for i in escal if i not in realL],
-                        realL, ovL)
-            record_into(machR, m2,
-                        [i for i in escal if i not in realR],
-                        realR, ovR)
-            escal_c = []
-            items = []
-            fb_items = []
+            # Round 2: the interleave outran a capped stream —
+            # re-record those pairs to exhaustion and replay again.
+            escal.sort()
+            self.escalations += len(escal)
+            sts, ovd = record_round(escal, None)
+            items, fb_items = [], []
             for i in escal:
-                if (ovL.get(i) or ovR.get(i) or ovLb.get(i)
-                        or ovRb.get(i)):
+                if ovd.get(i):
                     self.fallbacks += 1
                     fb_items.append((i, None))
-                    continue
-                streams = ["unrec"] * 4
-                streams[slotL] = realL[i]
-                streams[slotR] = realR[i]
-                streams[slotLb] = (rcL[i] if i in rcL else synthLb[i])
-                streams[slotRb] = (rcR[i] if i in rcR else synthRb[i])
-                items.append((i, streams))
+                else:
+                    items.append((i, sts[i]))
             for i, res, _ in self._replay_all(pairs, fb_items):
                 results[i] = res
             for i, res, esc in self._replay_all(pairs, items):
-                if esc:
-                    escal_c.append(i)
-                else:
-                    results[i] = res
-            escal_c.sort()
-
-            if escal_c:
-                # Phase C: real rc-orientation streams where phase B
-                # used a synth; live rerun only past rec_cap depth
-                record_into(machLb, m1,
-                            [i for i in escal_c if i not in rcL],
-                            rcL, ovLb)
-                record_into(machRb, m2,
-                            [i for i in escal_c if i not in rcR],
-                            rcR, ovRb)
-                items = []
-                fb_items = []
-                for i in escal_c:
-                    if ovLb.get(i) or ovRb.get(i):
-                        self.fallbacks += 1
-                        fb_items.append((i, None))
-                        continue
-                    streams = ["unrec"] * 4
-                    streams[slotL] = realL[i]
-                    streams[slotR] = realR[i]
-                    streams[slotLb] = rcL[i]
-                    streams[slotRb] = rcR[i]
-                    items.append((i, streams))
-                for i, res, _ in self._replay_all(pairs, fb_items):
-                    results[i] = res
-                for i, res, esc in self._replay_all(pairs, items):
-                    if esc:
-                        self.fallbacks += 1
-                        res, _ = self._replay(*pairs[i], None)
-                    results[i] = res
+                if esc:       # cannot happen on uncapped streams
+                    self.fallbacks += 1
+                    res, _ = self._replay(*pairs[i], None)
+                results[i] = res
         return results
 
     # -- phase-0 helpers -------------------------------------------------
