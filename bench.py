@@ -121,14 +121,18 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     from bowtie_tpu.align.exact import right_align
     from bowtie_tpu.parallel.mesh import sharded_align_step
 
-    if not os.path.exists(base + ".1.ebwt"):
+    # a bench run during the multi-hour build must not read
+    # half-written files: read_ebwt raises EOFError on a truncated
+    # index, which maps to an explicit SKIPPED record
+    try:
+        idx = read_ebwt(base)
+    except (FileNotFoundError, EOFError) as e:
         print(json.dumps({
             "metric": "hg-scale modes",
-            "hg": "SKIPPED — index not built",
+            "hg": f"SKIPPED — index not (fully) built ({e})"[:160],
             "hint": "python scripts/make_hg_synth.py /root/hg_synth",
         }), flush=True)
         return None
-    idx = read_ebwt(base)
     fm = from_ebwt(idx, occ_every=128, dense_sa=False)
     # reads sampled from the genome itself (N-free 35-mers)
     rng = np.random.default_rng(7)
@@ -169,7 +173,15 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
     from bowtie_tpu.io.readers import ReadRecord
     from bowtie_tpu.align.dfs_device import DeviceDFSAligner
     from bowtie_tpu.align.policy import INF, KPolicy
-    idx_bw = read_ebwt(base + ".rev")
+    try:
+        idx_bw = read_ebwt(base + ".rev")
+    except (FileNotFoundError, EOFError) as e:
+        # mirror still building: report the exact row alone
+        print(json.dumps({
+            "metric": "hg-scale -v1/-n2",
+            "hg": f"SKIPPED — mirror index not (fully) built"}),
+            flush=True)
+        return (B * ITERS) / dt, None, None, idx.length, hbm
     al = DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1,
                           compact=True)
     recs = []
@@ -333,12 +345,14 @@ def main():
             f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp synthetic"
             f" genome, compact layout, {hbm/1e9:.2f} GB HBM)", r,
             {"genome_bp": glen, "hbm_bytes": hbm})
-        modes["hg_v1"] = _emit(
-            f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f} "
-            "Gbp synthetic genome, compact layout)", v1r)
-        modes["hg_n2"] = _emit(
-            f"hg-scale -n 2 end-to-end reads/s/chip ({glen/1e9:.2f} "
-            "Gbp synthetic genome, compact layout)", n2r)
+        if v1r is not None:
+            modes["hg_v1"] = _emit(
+                f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f}"
+                " Gbp synthetic genome, compact layout)", v1r)
+        if n2r is not None:
+            modes["hg_n2"] = _emit(
+                f"hg-scale -n 2 end-to-end reads/s/chip ({glen/1e9:.2f}"
+                " Gbp synthetic genome, compact layout)", n2r)
 
     # summary line: flagship value + all modes
     print(json.dumps({

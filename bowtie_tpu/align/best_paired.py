@@ -58,21 +58,15 @@ class RefAlignerPy:
         self.qual_max = qual_max
         self.maq = maq_round
 
-    def find(self, ref: np.ndarray, qry: np.ndarray, qual: bytes,
-             begin: int, end: int, pairs: set, aoff: int,
-             seed_on_left: bool, tidx: int, num_to_find: int = 1):
-        """Returns [(result_off, mms[(pos,refchr)], stratum, ham)].
-        qry is in fw-reference orientation; for seed_on_left=False the
-        mate's 5' seed sits at the RIGHT end of qry.
-
-        Vectorized: all window positions are scored at once via a
-        strided [npos, qlen] view, then visited in the reference's
-        zig-zag-from-the-middle order (ref_aligner.h:204-212) so
-        first-hit-wins and the dedup set behave identically."""
+    def score(self, ref: np.ndarray, qry: np.ndarray, qual: bytes,
+              begin: int, end: int, seed_on_left: bool):
+        """Score every window position; returns the VALID candidates in
+        the reference's zig-zag-from-the-middle order
+        (ref_aligner.h:204-212) as (lefts, strats, hams, segs, neq) —
+        the dedup/first-hit-wins pass happens in pick()."""
         qlen = len(qry)
         if (qry > 3).any():
-            return []   # Ns in query disqualify (ref_aligner.h:322)
-        out = []
+            return None   # Ns in query disqualify (ref_aligner.h:322)
         if seed_on_left:
             qbegin, qend = begin, end - qlen
         else:
@@ -87,7 +81,7 @@ class RefAlignerPy:
         ok = (left_all >= 0) & (left_all + qlen <= len(ref))
         lefts = left_all[ok]
         if len(lefts) == 0:
-            return out
+            return None
         lo_w, hi_w = int(lefts.min()), int(lefts.max()) + qlen
         win = ref[lo_w:hi_w]
         segs = np.lib.stride_tricks.sliding_window_view(win, qlen)
@@ -111,7 +105,23 @@ class RefAlignerPy:
             valid &= (seed_mm <= self.seed_mms) & \
                 (ham_all <= self.qual_max)
             strat_all = seed_mm
-        for j in np.flatnonzero(valid):
+        j = np.flatnonzero(valid)
+        if len(j) == 0:
+            return None
+        return (lefts[j], strat_all[j], ham_all[j], segs[j], neq[j])
+
+    @staticmethod
+    def pick(scored, pairs: set, aoff: int, tidx: int,
+             num_to_find: int = 1):
+        """First-hit-wins over the zig-zag-ordered valid candidates
+        with the (upstream, downstream) dedup set (ref_aligner.h:
+        441-460)."""
+        out = []
+        if scored is None:
+            return out
+        lefts, strat_all, ham_all, segs, neq = scored
+        qlen = segs.shape[1] if len(segs) else 0
+        for j in range(len(lefts)):
             left = int(lefts[j])
             # dedup on (upstream, downstream) coordinates
             lo, hi2 = (left, aoff) if left < aoff else (aoff, left)
@@ -121,14 +131,48 @@ class RefAlignerPy:
             pairs.add(key)
             seg = segs[j]
             mms5 = []
+            # seed_on_left is recoverable from the caller; encode it
+            # via the neq row orientation handled there instead
             for c in np.flatnonzero(neq[j]):
-                p5 = int(c) if seed_on_left else qlen - 1 - int(c)
-                mms5.append((p5, ord("ACGTN"[int(seg[c])])))
-            out.append((left, sorted(mms5), int(strat_all[j]),
+                mms5.append((int(c), ord("ACGTN"[int(seg[c])])))
+            out.append((left, mms5, int(strat_all[j]),
                         int(ham_all[j])))
             if len(out) == num_to_find:
                 return out
         return out
+
+    def find(self, ref: np.ndarray, qry: np.ndarray, qual: bytes,
+             begin: int, end: int, pairs: set, aoff: int,
+             seed_on_left: bool, tidx: int, num_to_find: int = 1):
+        """Returns [(result_off, mms[(pos,refchr)], stratum, ham)].
+        qry is in fw-reference orientation; for seed_on_left=False the
+        mate's 5' seed sits at the RIGHT end of qry."""
+        out = self.pick(self.score(ref, qry, qual, begin, end,
+                                   seed_on_left),
+                        pairs, aoff, tidx, num_to_find)
+        if not seed_on_left:
+            qlen = len(qry)
+            out = [(left, sorted((qlen - 1 - p, ch) for p, ch in mms),
+                    st, ham) for left, mms, st, ham in out]
+        else:
+            out = [(left, sorted(mms), st, ham)
+                   for left, mms, st, ham in out]
+        return out
+
+
+class _PairCtx:
+    """All per-pair mutable state of one align_pair_gen run — local to
+    the generator so many pairs can run in lockstep."""
+
+    __slots__ = ("rd1", "rd2", "sink", "rand", "pairs_fw", "pairs_rc",
+                 "stopped")
+
+    def __init__(self, rd1, rd2, sink, rand, pairs_fw, pairs_rc):
+        self.rd1, self.rd2 = rd1, rd2
+        self.sink = sink
+        self.rand = rand
+        self.pairs_fw, self.pairs_rc = pairs_fw, pairs_rc
+        self.stopped = False
 
 
 class PairedBestSink:
@@ -216,62 +260,83 @@ class PairedBestAligner:
         return [self.align_pair(a, b) for a, b in pairs]
 
     def align_pair(self, rd1, rd2) -> ReadResult:
-        self.sink.reset(rd1, rd2)
+        """Synchronous driver of the generator interleave: answers each
+        yielded rescue-scan request with an immediate score()."""
+        gen = self.align_pair_gen(rd1, rd2)
+        scored = None
+        try:
+            while True:
+                tidx, seq, qual, begin, end, sol = gen.send(scored)
+                scored = self.ra.score(self.refs[tidx], seq, qual,
+                                       begin, end, sol)
+        except StopIteration as e:
+            return e.value
+
+    def align_pair_gen(self, rd1, rd2, drivers=None):
+        """The PairedBWAlignerV1 state machine as a GENERATOR: yields
+        (tidx, seq, qual, begin, end, seed_on_left) rescue-scan
+        requests and receives their score() results, so a scheduler
+        can run many pairs in lockstep and score their rescue windows
+        in one vectorized batch (pe_device._replay_all).  All per-pair
+        state is local — generators for different pairs never share
+        mutable state."""
+        sink = type(self.sink)(self.sink.policy, self.sink.global_seed)
+        sink.reset(rd1, rd2)
         if len(rd1.seq) < 4 or len(rd2.seq) < 4:
-            return self.sink.finish()
-        d1f, d1r, d2f, d2r = self.driver_factory(rd1, rd2)
-        self.rd1, self.rd2 = rd1, rd2
-        self.qlen1, self.qlen2 = len(rd1.seq), len(rd2.seq)
-        self.rand = BtRandom(int(rd1.seed(self.global_seed)))
-        self.pairs_fw: set = set()
-        self.pairs_rc: set = set()
-        self.stopped = False
+            return sink.finish()
+        if drivers is None:
+            drivers = self.driver_factory(rd1, rd2)
+        d1f, d1r, d2f, d2r = drivers
+        qlen1, qlen2 = len(rd1.seq), len(rd2.seq)
+        ctx = _PairCtx(
+            rd1=rd1, rd2=rd2, sink=sink,
+            rand=BtRandom(int(rd1.seed(self.global_seed))),
+            pairs_fw=set(), pairs_rc=set())
         # fw orientation: upstream (L) = mate1 in its fw1_ orientation
         fw_cfg = dict(
             drL=(d1f if self.fw1 else d1r), drR=(d2f if self.fw2 else d2r),
             fwL=self.fw1, fwR=self.fw2, Lis1=True,
-            qlenL=self.qlen1, qlenR=self.qlen2, pair_fw=True)
+            qlenL=qlen1, qlenR=qlen2, pair_fw=True)
         rc_cfg = dict(
             drL=(d2r if self.fw2 else d2f), drR=(d1r if self.fw1 else d1f),
             fwL=not self.fw2, fwR=not self.fw1, Lis1=False,
-            qlenL=self.qlen2, qlenR=self.qlen1, pair_fw=False)
+            qlenL=qlen2, qlenR=qlen1, pair_fw=False)
         for cfg in (fw_cfg, rc_cfg):
-            self._run_orientation(**cfg)
-            if self.stopped:
+            yield from self._run_orientation(ctx, **cfg)
+            if ctx.stopped:
                 break
-        return self.sink.finish()
+        return sink.finish()
 
     # -- one orientation of advanceOrientation (aligner.h:1092-1326) ----
-    def _run_orientation(self, drL, drR, fwL, fwR, Lis1, qlenL, qlenR,
-                         pair_fw):
+    def _run_orientation(self, ctx, drL, drR, fwL, fwR, Lis1, qlenL,
+                         qlenR, pair_fw):
         offsLsz = offsRsz = 0
         delayedL = delayedR = False
         delayed_rangeL = delayed_rangeR = None
-        mixed_attempts = 0
+        attempts = [0]
 
         def chase_and_rescue(dr, is_left, rng: FoundRange):
             """Chase all rows of rng; rescue opposite mate per row.
-            Returns True if the whole read is done (sink satisfied or
-            pairtries exceeded)."""
-            nonlocal mixed_attempts
+            Returns True (via StopIteration value) if the whole read
+            is done (sink satisfied or pairtries exceeded)."""
             g = self.gfw if rng.ebwt_fw else self.gbw
             qlen = (qlenL if is_left else qlenR)
             spread = rng.bot - rng.top
-            irow = rng.top + self.rand.next_u32() % spread
+            irow = rng.top + ctx.rand.next_u32() % spread
             row = irow
             while True:
                 off = g.resolve_row(row)
                 res = g.joined_to_text_off(qlen, off, rng.ebwt_fw)
                 if res is not None:
                     tidx, toff, tlen = res
-                    done = self._resolve_outstanding(
-                        rng, is_left, Lis1, fwL, fwR, pair_fw,
+                    done = yield from self._resolve_outstanding(
+                        ctx, rng, is_left, Lis1, fwL, fwR, pair_fw,
                         tidx, toff, tlen, qlenL, qlenR)
-                    mixed_attempts += 1
+                    attempts[0] += 1
                     if done:
-                        self.stopped = True
+                        ctx.stopped = True
                         return True
-                    if mixed_attempts > self.mixed_attempt_lim:
+                    if attempts[0] > self.mixed_attempt_lim:
                         return True
                 row += 1
                 if row == rng.bot:
@@ -279,7 +344,7 @@ class PairedBestAligner:
                 if row == irow:
                     return False
 
-        while not self.stopped:
+        while not ctx.stopped:
             # search for more ranges for whichever mate has fewer
             # candidates (aligner.h:1190-1326)
             if (offsLsz < offsRsz or drR.done) and not drL.done:
@@ -301,22 +366,22 @@ class PairedBestAligner:
                         if delayedR and offsRsz < offsLsz:
                             delayedR = False
                             delayedL, delayed_rangeL = True, r
-                            if chase_and_rescue(drR, False,
-                                                delayed_rangeR):
+                            if (yield from chase_and_rescue(
+                                    drR, False, delayed_rangeR)):
                                 return
                             delayed_rangeR = None
                             if delayedL:
                                 delayedL = False
-                                if chase_and_rescue(drL, True,
-                                                    delayed_rangeL):
+                                if (yield from chase_and_rescue(
+                                        drL, True, delayed_rangeL)):
                                     return
                         else:
-                            if chase_and_rescue(drL, True, r):
+                            if (yield from chase_and_rescue(drL, True, r)):
                                 return
                             if delayedR:
                                 delayedR = False
-                                if chase_and_rescue(drR, False,
-                                                    delayed_rangeR):
+                                if (yield from chase_and_rescue(
+                                        drR, False, delayed_rangeR)):
                                     return
             elif not drR.done:
                 if drL.done and offsLsz == 0:
@@ -337,39 +402,40 @@ class PairedBestAligner:
                         if delayedL and offsLsz < offsRsz:
                             delayedL = False
                             delayedR, delayed_rangeR = True, r
-                            if chase_and_rescue(drL, True,
-                                                delayed_rangeL):
+                            if (yield from chase_and_rescue(
+                                    drL, True, delayed_rangeL)):
                                 return
                             delayed_rangeL = None
                             if delayedR:
                                 delayedR = False
-                                if chase_and_rescue(drR, False,
-                                                    delayed_rangeR):
+                                if (yield from chase_and_rescue(
+                                        drR, False, delayed_rangeR)):
                                     return
                         else:
-                            if chase_and_rescue(drR, False, r):
+                            if (yield from chase_and_rescue(drR, False, r)):
                                 return
                             if delayedL:
                                 delayedL = False
-                                if chase_and_rescue(drL, True,
-                                                    delayed_rangeL):
+                                if (yield from chase_and_rescue(
+                                        drL, True, delayed_rangeL)):
                                     return
             else:
                 return
 
     # -- resolveOutstandingInRef (aligner.h:951-1087) --------------------
-    def _resolve_outstanding(self, rng, anchor_is_left, Lis1, fwL, fwR,
-                             pair_fw, tidx, toff, tlen, qlenL, qlenR):
+    def _resolve_outstanding(self, ctx, rng, anchor_is_left, Lis1, fwL,
+                             fwR, pair_fw, tidx, toff, tlen, qlenL,
+                             qlenR):
         # identify the outstanding mate
         out_is_1 = (not Lis1) if anchor_is_left else Lis1
-        orr = self.rd1 if out_is_1 else self.rd2
-        ar = self.rd2 if out_is_1 else self.rd1
+        orr = ctx.rd1 if out_is_1 else ctx.rd2
+        ar = ctx.rd2 if out_is_1 else ctx.rd1
         match_right = anchor_is_left
         ofw = fwR if anchor_is_left else fwL
         qlen = len(orr.seq)
         alen = len(ar.seq)
         minins, maxins = _trim_adjusted_insert(
-            self.minins, self.maxins, self.rd1, self.rd2,
+            self.minins, self.maxins, ctx.rd1, ctx.rd2,
             self.fw1, self.fw2)
         if maxins <= max(qlen, alen):
             return False
@@ -395,9 +461,19 @@ class PairedBestAligner:
             return False
         seq = orr.codes_fw if ofw else orr.codes_rc
         qual = orr.qual if ofw else orr.qual[::-1]
-        pairs = self.pairs_fw if pair_fw else self.pairs_rc
-        found = self.ra.find(self.refs[tidx], seq, qual, begin, end,
-                             pairs, toff, ofw, tidx)
+        pairs = ctx.pairs_fw if pair_fw else ctx.pairs_rc
+        # the heavy window scoring is YIELDED so a scheduler can batch
+        # it across pairs; dedup + first-hit-wins + the mismatch-
+        # coordinate flip (find()'s tail) stay here
+        scored = yield (tidx, seq, qual, begin, end, ofw)
+        found = self.ra.pick(scored, pairs, toff, tidx, num_to_find=1)
+        if not ofw:
+            found = [(left, sorted((qlen - 1 - pp, ch)
+                                   for pp, ch in mms), st, ham)
+                     for left, mms, st, ham in found]
+        else:
+            found = [(left, sorted(mms), st, ham)
+                     for left, mms, st, ham in found]
         for result, mms, stratum, ham in found:
             cost = (stratum << 14) | ham
             oms = rng.bot - rng.top - 1
@@ -424,9 +500,9 @@ class PairedBestAligner:
                 h.mtidx = o.tidx
                 h.mtoff = o.toff
                 h.mlen = o.length
-            if self.sink.report_hit(up):
+            if ctx.sink.report_hit(up):
                 return True
-            if self.sink.report_hit(dn):
+            if ctx.sink.report_hit(dn):
                 return True
         return False
 

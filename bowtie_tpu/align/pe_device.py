@@ -237,6 +237,75 @@ class _StrandMachine:
         return streams, overflow
 
 
+def _score_batch(ra, ref_cat, ref_base, ref_len, reqs):
+    """Vectorized RefAlignerPy.score over many rescue requests at once.
+
+    One request's window scan touches only ~250x35 cells — the per-call
+    cost is numpy fixed overhead (~15 small-array ops), so batching all
+    live pairs' scans into [n, NC, qlen] arrays is a ~30-50x win on the
+    replay's dominant component.  Byte-equivalent to per-request
+    score(): same zig-zag candidate order, same validity rules.
+    reqs: list of (tidx, seq, qual, begin, end, seed_on_left)."""
+    out = [None] * len(reqs)
+    groups = {}
+    for k, (tidx, seq, qual, begin, end, sol) in enumerate(reqs):
+        seq = np.asarray(seq)
+        if (seq > 3).any():
+            continue            # Ns in query disqualify
+        groups.setdefault((len(seq), bool(sol)), []).append(k)
+    for (qlen, sol), ks in groups.items():
+        n = len(ks)
+        begin = np.array([reqs[k][3] for k in ks], np.int64)
+        end = np.array([reqs[k][4] for k in ks], np.int64)
+        tidxs = np.array([reqs[k][0] for k in ks], np.int64)
+        qry = np.stack([np.asarray(reqs[k][1], np.uint8) for k in ks])
+        reflen = ref_len[tidxs]
+        if sol:
+            qbegin, qend = begin, end - qlen
+        else:
+            qbegin, qend = begin + qlen, end
+        lim = qend - qbegin
+        halfway = qbegin + (lim >> 1)
+        NC = int(lim.max()) + 1
+        i = np.arange(1, NC + 1, dtype=np.int64)[None, :]
+        ri = np.where(i & 1, halfway[:, None] - (i >> 1),
+                      halfway[:, None] + (i >> 1))
+        left_all = ri if sol else ri - qlen
+        ok = ((i <= lim[:, None] + 1) & (left_all >= 0) &
+              (left_all + qlen <= reflen[:, None]))
+        glob = ref_base[tidxs][:, None] + \
+            np.clip(left_all, 0, np.maximum(reflen - qlen, 0)[:, None])
+        segs = ref_cat[glob[:, :, None] +
+                       np.arange(qlen, dtype=np.int64)]  # [n, NC, qlen]
+        neq = segs != qry[:, None, :]
+        valid = ok & ~(segs > 3).any(axis=2)
+        if ra.v is not None:
+            mmc = neq.sum(axis=2)
+            valid &= mmc <= ra.v
+            strat_all = mmc
+            ham_all = np.zeros((n, NC), np.int64)
+        else:
+            slen = min(ra.seed_len, qlen)
+            if sol:
+                seedcols = np.arange(qlen) < slen
+            else:
+                seedcols = np.arange(qlen) >= qlen - slen
+            seed_mm = (neq & seedcols[None, None, :]).sum(axis=2)
+            quals = np.stack([np.frombuffer(reqs[k][2], np.uint8)
+                              for k in ks]).astype(np.int32) - 33
+            from .backtrack_oracle import QUAL_ROUNDS
+            pens = QUAL_ROUNDS[quals] if ra.maq else quals
+            ham_all = (pens[:, None, :] * neq).sum(axis=2)
+            valid &= (seed_mm <= ra.seed_mms) & (ham_all <= ra.qual_max)
+            strat_all = seed_mm
+        for r, k in enumerate(ks):
+            jj = np.flatnonzero(valid[r])
+            if len(jj):
+                out[k] = (left_all[r, jj], strat_all[r, jj],
+                          ham_all[r, jj], segs[r, jj], neq[r, jj])
+    return out
+
+
 # set in the parent right before the replay pool forks; children
 # inherit the whole aligner (incl. dense index tables) copy-on-write
 _PE_WORKER = None
@@ -322,19 +391,70 @@ class DevicePairedBestAligner:
 
     def _replay_all(self, pairs, items):
         """Replay (i, streams) items; returns [(i, result, escalate)].
-        Uses the fork pool when it pays (pickling results back costs
-        ~µs/pair; the replay itself is ~ms/pair)."""
-        if self._pool is None or len(items) < 2 * self.threads:
-            return [(i, *self._replay(*pairs[i], streams))
+        Stream items run the generator interleave in LOCKSTEP with
+        batched rescue scoring (_score_batch); live-driver fallbacks
+        (streams=None) run per pair.  The fork pool (threads > 1)
+        splits the lockstep work across cores."""
+        if self._pool is not None and len(items) >= 2 * self.threads:
+            work = [(i, pairs[i][0], pairs[i][1], streams)
                     for i, streams in items]
-        work = [(i, pairs[i][0], pairs[i][1], streams)
-                for i, streams in items]
-        nchunks = min(len(work), self.threads * 4)
-        size = -(-len(work) // nchunks)
-        chunks = [work[k:k + size] for k in range(0, len(work), size)]
+            nchunks = min(len(work), self.threads * 4)
+            size = -(-len(work) // nchunks)
+            chunks = [work[k:k + size]
+                      for k in range(0, len(work), size)]
+            out = []
+            for part in self._pool.map(_pe_replay_worker, chunks):
+                out.extend(part)
+            return out
+        return self._replay_wave(pairs, items)
+
+    def _ref_cat(self):
+        if getattr(self, "_refcat", None) is None:
+            refs = self._host.refs
+            self._refcat = np.concatenate(
+                [np.asarray(r, np.uint8) for r in refs])
+            lens = np.array([len(r) for r in refs], np.int64)
+            self._refbase = np.zeros(len(refs), np.int64)
+            np.cumsum(lens[:-1], out=self._refbase[1:])
+            self._reflen = lens
+        return self._refcat, self._refbase, self._reflen
+
+    def _replay_wave(self, pairs, items):
+        """Advance every pair's interleave generator one heavy step at
+        a time, scoring all pairs' rescue windows per wave in one
+        vectorized batch."""
+        host = self._host
+        cat, base, rlen = self._ref_cat()
         out = []
-        for part in self._pool.map(_pe_replay_worker, chunks):
-            out.extend(part)
+        live = {}
+        results_for = {}
+        for i, streams in items:
+            if streams is None:
+                out.append((i, *self._replay(*pairs[i], None)))
+                continue
+            drivers = [ReplayDriver(s) for s in streams]
+            live[i] = host.align_pair_gen(*pairs[i], drivers)
+            results_for[i] = None
+        while live:
+            reqs = []
+            for i in list(live):
+                g = live[i]
+                try:
+                    req = g.send(results_for.pop(i, None))
+                except StopIteration as e:
+                    out.append((i, e.value, False))
+                    del live[i]
+                    continue
+                except ReplayTruncated:
+                    out.append((i, None, True))
+                    del live[i]
+                    continue
+                reqs.append((i, req))
+            if reqs:
+                scored = _score_batch(host.ra, cat, base, rlen,
+                                      [r for _, r in reqs])
+                for (i, _), sc in zip(reqs, scored):
+                    results_for[i] = sc
         return out
 
     def close(self):
