@@ -253,6 +253,15 @@ def _score_batch(ra, ref_cat, ref_base, ref_len, reqs):
         if (seq > 3).any():
             continue            # Ns in query disqualify
         groups.setdefault((len(seq), bool(sol)), []).append(k)
+    if len(reqs) < 48:
+        # small waves (the long-grinding tail where few pairs remain
+        # live): per-request scoring is as fast as a padded batch
+        for k, (tidx, seq, qual, begin, end, sol) in enumerate(reqs):
+            base = ref_base[tidx]
+            ref = ref_cat[base:base + ref_len[tidx]]
+            out[k] = ra.score(ref, np.asarray(seq), qual, begin, end,
+                              sol)
+        return out
     for (qlen, sol), ks in groups.items():
         n = len(ks)
         begin = np.array([reqs[k][3] for k in ks], np.int64)
@@ -266,24 +275,28 @@ def _score_batch(ra, ref_cat, ref_base, ref_len, reqs):
             qbegin, qend = begin + qlen, end
         lim = qend - qbegin
         halfway = qbegin + (lim >> 1)
-        NC = int(lim.max()) + 1
-        i = np.arange(1, NC + 1, dtype=np.int64)[None, :]
-        ri = np.where(i & 1, halfway[:, None] - (i >> 1),
-                      halfway[:, None] + (i >> 1))
-        left_all = ri if sol else ri - qlen
-        ok = ((i <= lim[:, None] + 1) & (left_all >= 0) &
-              (left_all + qlen <= reflen[:, None]))
-        glob = ref_base[tidxs][:, None] + \
-            np.clip(left_all, 0, np.maximum(reflen - qlen, 0)[:, None])
-        segs = ref_cat[glob[:, :, None] +
-                       np.arange(qlen, dtype=np.int64)]  # [n, NC, qlen]
-        neq = segs != qry[:, None, :]
-        valid = ok & ~(segs > 3).any(axis=2)
+        # window span per request: leftmost to rightmost candidate.
+        # Gather ONE contiguous window per request ([n, W+qlen]) and
+        # score in natural window order; the zig-zag ordering is
+        # applied only at the per-request extraction of the (few)
+        # valid candidates.
+        lo_zz = halfway - ((lim + 1) >> 1)
+        lo_w = (lo_zz if sol else lo_zz - qlen)
+        lo_w = np.maximum(lo_w, 0)
+        span = int(lim.max()) + qlen + 2
+        npos = span - qlen + 1
+        widx = lo_w[:, None] + np.arange(span, dtype=np.int64)
+        widx = np.minimum(widx, (reflen - 1)[:, None])
+        win = ref_cat[ref_base[tidxs][:, None] + widx]   # [n, span]
+        sw = np.lib.stride_tricks.sliding_window_view(win, qlen,
+                                                      axis=1)
+        neq = sw != qry[:, None, :]                 # [n, npos, qlen]
+        okn = ~(sw > 3).any(axis=2)
         if ra.v is not None:
             mmc = neq.sum(axis=2)
-            valid &= mmc <= ra.v
+            okn &= mmc <= ra.v
             strat_all = mmc
-            ham_all = np.zeros((n, NC), np.int64)
+            ham_all = np.zeros((n, npos), np.int64)
         else:
             slen = min(ra.seed_len, qlen)
             if sol:
@@ -296,13 +309,24 @@ def _score_batch(ra, ref_cat, ref_base, ref_len, reqs):
             from .backtrack_oracle import QUAL_ROUNDS
             pens = QUAL_ROUNDS[quals] if ra.maq else quals
             ham_all = (pens[:, None, :] * neq).sum(axis=2)
-            valid &= (seed_mm <= ra.seed_mms) & (ham_all <= ra.qual_max)
+            okn &= (seed_mm <= ra.seed_mms) & (ham_all <= ra.qual_max)
             strat_all = seed_mm
+        # per-request zig-zag extraction (valid candidates are few)
+        NC = int(lim.max()) + 1
+        i = np.arange(1, NC + 1, dtype=np.int64)
         for r, k in enumerate(ks):
-            jj = np.flatnonzero(valid[r])
+            ri = np.where(i & 1, halfway[r] - (i >> 1),
+                          halfway[r] + (i >> 1))[:lim[r] + 1]
+            left = ri if sol else ri - qlen
+            inb = (left >= 0) & (left + qlen <= reflen[r])
+            off = left - lo_w[r]
+            offc = np.clip(off, 0, npos - 1)
+            jj = np.flatnonzero(inb & (off >= 0) & (off < npos) &
+                                okn[r, offc])
             if len(jj):
-                out[k] = (left_all[r, jj], strat_all[r, jj],
-                          ham_all[r, jj], segs[r, jj], neq[r, jj])
+                oj = off[jj]
+                out[k] = (left[jj], strat_all[r, oj], ham_all[r, oj],
+                          sw[r, oj].copy(), neq[r, oj])
     return out
 
 
@@ -406,6 +430,10 @@ class DevicePairedBestAligner:
             for part in self._pool.map(_pe_replay_worker, chunks):
                 out.extend(part)
             return out
+        import os
+        if os.environ.get("BOWTIE_TPU_PE_WAVE", "1") in ("", "0"):
+            return [(i, *self._replay(*pairs[i], streams))
+                    for i, streams in items]
         return self._replay_wave(pairs, items)
 
     def _ref_cat(self):
@@ -534,8 +562,17 @@ class DevicePairedBestAligner:
             return sts, ovd
 
         # Round 1: capped recordings of all four streams, one replay.
+        import os as _os
+        import sys as _sys
+        import time as _time
+        prof = bool(_os.environ.get("BOWTIE_TPU_PROF"))
+        t0 = _time.time()
         idxs = list(range(len(pairs)))
         sts, ovd = record_round(idxs, self.rec_cap)
+        if prof:
+            print(f"[prof pe] record x4: {_time.time() - t0:.3f}s",
+                  file=_sys.stderr, flush=True)
+            t0 = _time.time()
         items, fb_items, escal = [], [], []
         for i in idxs:
             if ovd.get(i):
@@ -550,6 +587,10 @@ class DevicePairedBestAligner:
                 escal.append(i)
             else:
                 results[i] = res
+        if prof:
+            print(f"[prof pe] replay {len(items)}: "
+                  f"{_time.time() - t0:.3f}s escal={len(escal)}",
+                  file=_sys.stderr, flush=True)
 
         if escal:
             # Round 2: the interleave outran a capped stream —
