@@ -25,6 +25,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), ".."))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the environment's sitecustomize pre-selects the remote TPU
+    # backend through jax.config, which overrides the env var; force
+    # it back so the virtual-device mesh measurement is possible
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def _sync(x):
     import jax.numpy as jnp

@@ -12,6 +12,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, ".oracle", "bowtie-align-s")
 IDX = "/root/reference/indexes/e_coli"
 RD = "/root/reference/reads/e_coli_1000.fq"
+RD1 = "/root/reference/reads/e_coli_1000_1.fq"
+RD2 = "/root/reference/reads/e_coli_1000_2.fq"
 
 
 @pytest.fixture(autouse=True)
@@ -76,3 +78,24 @@ def test_bowtie_indexes_env(tmp_path, monkeypatch):
                  str(a)]) in (0, None)
     assert main(["-v", "0", "-u", "20", IDX, RD, str(b)]) in (0, None)
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_x_index_option(tmp_path, capsys):
+    """-x takes the index and shifts the positionals to
+    [query, output]; the positional form warns on stderr
+    (ebwt_search.cpp:3358-3368)."""
+    from bowtie_tpu.cli.align import main
+    a = tmp_path / "xopt.out"
+    b = tmp_path / "pos.out"
+    assert main(["-v", "0", "-u", "20", "-x", IDX, RD,
+                 str(a)]) in (0, None)
+    _ = capsys.readouterr()
+    assert main(["-v", "0", "-u", "20", IDX, RD, str(b)]) in (0, None)
+    err = capsys.readouterr().err
+    assert "deprecated in a future release" in err
+    assert open(a, "rb").read() == open(b, "rb").read()
+    # -x with paired input: single positional is the output file
+    c = tmp_path / "xpe.out"
+    assert main(["-v", "0", "-u", "10", "-x", IDX,
+                 "-1", RD1, "-2", RD2, str(c)]) in (0, None)
+    assert open(c, "rb").read()
