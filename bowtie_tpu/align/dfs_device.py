@@ -350,22 +350,39 @@ def _derive_rows_impl(scal, base_codes, base_qual, base_plen, *,
     def f(name):
         return s2[:, _FIDX[name]]
 
-    codes = jnp.repeat(base_codes.astype(jnp.int32), J, axis=0)
-    qual = jnp.repeat(base_qual.astype(jnp.int32), J, axis=0)
+    # The by-depth row is always a REVERSE and/or SHIFT of the base
+    # read row (take[i] = qs-1-i when the job walks the pattern
+    # right-to-left in read coordinates, plen-qs+i otherwise), so it
+    # never needs a real gather: jnp.take_along_axis lowers to a
+    # scalar-unit kCustom fusion measured at ~0.4 s for one launch-B
+    # derive ([B*J, L] = [442k, 40]) — the single most expensive op of
+    # the whole -n pipeline.  Instead: pack (code, qual) into one int32
+    # word and barrel-shift rows with log2(L) masked cyclic rolls —
+    # pure VPU sweeps, ~100x faster.
+    packed = (base_codes.astype(jnp.int32) |
+              (base_qual.astype(jnp.int32) << 3))         # [B, L]
+    pk = jnp.repeat(packed, J, axis=0)                    # [B*J, L]
     plen = jnp.repeat(base_plen.astype(jnp.int32), J)
     qs = f("qlen")
     fwj = f("fw")
     efw = f("ebwt_fw")
+    rev1 = (fwj == efw)
+    src = jnp.where(rev1[:, None], pk[:, ::-1], pk)
+    # out[i] = src[(i + shift) mod L]; positions >= qs are masked below,
+    # so cyclic wrap (and the degenerate qs==0 row) never leaks through
+    shift = jnp.where(rev1, L - qs, plen - qs) % L        # in [0, L)
+    out = src
+    s = 1
+    while s < L:
+        rolled = jnp.concatenate([out[:, s:], out[:, :s]], axis=1)
+        out = jnp.where(((shift & s) > 0)[:, None], rolled, out)
+        s <<= 1
     di = jax.lax.broadcasted_iota(jnp.int32, (B * J, L), 1)
-    rev = (fwj == efw)[:, None]
-    take = jnp.where(rev, qs[:, None] - 1 - di,
-                     plen[:, None] - qs[:, None] + di)
-    take = jnp.clip(take, 0, L - 1)
-    qd = jnp.take_along_axis(codes, take, axis=1)
-    qv = jnp.take_along_axis(qual, take, axis=1)
+    in_q = di < qs[:, None]
+    qd = out & 7
+    qv = out >> 3
     comp = (fwj == 0)[:, None]
     qd = jnp.where(comp & (qd < 4), 3 - qd, qd)
-    in_q = di < qs[:, None]
     qd = jnp.where(in_q, qd, 4)
     qv = jnp.where(in_q, qv, 0)
     # seed-stage mutations (phase 3/4 extension jobs)
@@ -479,16 +496,15 @@ def _init_state(B: int, L: int, seeds, count0):
         pairs=z(B, L * 8),
         elims=z(B, L),
         # frame stack: one combined row per (lane, level) — regs,
-        # pairs rows, nibble-packed elims.  A single array means ONE
-        # scatter per push and ONE gather per pop (TPU scatters have
-        # ~1 ms fixed cost each at this batch size, so fewer beats
-        # smaller).  elims values are 4-bit, so 8 positions pack into
-        # each int32 word: for L=36 the row is 28+288+5 = 321 cols ->
-        # 384 physical lanes after (8,128) tiling instead of the 512
-        # an unpacked row (361 cols) would occupy — the push scatter
-        # full-copies this array every machine step, so -25% physical
-        # width is -25% of the dominant per-step HBM traffic.
-        stk=z(B * S_MAX, NREG + L * 8 + _elw(L)),
+        # pairs rows, nibble-packed elims (4-bit values, 8 per int32
+        # word: -25% physical row width after (8,128) tiling).
+        # FLAT [B, S_MAX*W]: slot s of lane b at columns
+        # [s*W, (s+1)*W).  A [B*S_MAX, W] layout forced XLA to
+        # materialize a (12288,6,353)->(73728,353) retiling copy of the
+        # whole array EVERY step (~0.4 ms, 25% of late-chunk step cost);
+        # the flat shape makes push a repeat-mask sweep and pop six
+        # static slices — no layout change, no sparse-core ops.
+        stk=z(B, S_MAX * (NREG + L * 8 + _elw(L))),
         sd=z(B),
         mms=z(B, S_MAX), refcs=z(B, S_MAX), mmd=z(B, S_MAX),
         # report registers (r_row/r_jumps/r_walk: walk-left resolve
@@ -560,22 +576,23 @@ def _push_frame(st, mask):
                            _pack_elims(st["elims"])], axis=-1)
     Wd = rec.shape[1]
     slot_m = ((jax.lax.broadcasted_iota(jnp.int32, (B, S_MAX), 1)
-               == st["sd"][:, None]) & mask[:, None]) \
-        .reshape(B * S_MAX, 1)
-    recb = jnp.broadcast_to(rec[:, None, :], (B, S_MAX, Wd)) \
-        .reshape(B * S_MAX, Wd)
-    st["stk"] = jnp.where(slot_m, recb, st["stk"])
+               == st["sd"][:, None]) & mask[:, None])
+    st["stk"] = jnp.where(jnp.repeat(slot_m, Wd, axis=1),
+                          jnp.tile(rec, (1, S_MAX)), st["stk"])
     return st
 
 
 def _pop_frame(st, mask):
     """Restore the parent frame from the stack at (already-decremented)
-    slot sd — ONE row gather."""
+    slot sd — S_MAX static slices under a one-hot slot select (pure
+    VPU; a per-lane row gather runs on the sparse core)."""
     B = st["sd"].shape[0]
     L = st["elims"].shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) * S_MAX + st["sd"]
-    src = jnp.where(mask, row, 0)
-    rec = st["stk"][src]                                      # [B, 321]
+    Wd = st["stk"].shape[1] // S_MAX
+    rec = jnp.zeros((B, Wd), jnp.int32)
+    for s in range(S_MAX):
+        sel = (st["sd"] == s)[:, None]
+        rec = jnp.where(sel, st["stk"][:, s * Wd:(s + 1) * Wd], rec)
     for k, r in enumerate(REGS):
         st = _w(st, "c_" + r, mask, rec[:, k])
     pr = rec[:, NREG:NREG + L * 8]
