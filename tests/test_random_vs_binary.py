@@ -85,9 +85,15 @@ def _random_reads(rng, fasta, tmp, nreads=60):
 
 def _random_policy(rng):
     """A random mode + reporting policy (random_bowtie_tests.pl:63-101).
-    Modes currently byte-verified through the CLI: -v 0..2 and
-    -n 0..3 without --best."""
+    Byte-verified through the CLI: -v 0..3 and -n 0..3, with and
+    without --best/--strata/-M, plus dumps, trims, -o re-thinning,
+    --reorder and input-format re-encodings."""
     args = []
+    if rng.random() < 0.15:           # SA-sample re-thinning at load
+        args += ["-o", str(int(rng.integers(6, 9)))]
+    reorder = rng.random() < 0.15     # needs -S (parseOptions check)
+    if reorder:
+        args += ["--reorder", "-p", str(int(rng.integers(2, 4)))]
     if rng.random() < 0.5:
         args += ["-v", str(int(rng.integers(0, 4)))]
     else:
@@ -116,7 +122,7 @@ def _random_policy(rng):
             args += ["--strata"]
         if rng.random() < 0.3 and "-m" not in args and "-a" not in args:
             args += ["-M", "1"]
-    if rng.random() < 0.3:
+    if reorder or rng.random() < 0.3:
         args += ["-S", "--sam-nohead"]
     if rng.random() < 0.25:
         args += ["-5", str(int(rng.integers(1, 4)))]
@@ -190,8 +196,16 @@ def test_random_case_matches_binary(seed, tmp_path):
     from bowtie_tpu.build.builder import build_from_fasta
     build_from_fasta([fasta], base)
     args = _random_policy(rng)
-    fmt_args, reads = _reads_as_format(rng, reads, tmp)
-    args = fmt_args + args
+    if rng.random() < 0.12:
+        # -F k,i: k-mer-ize the genome itself (FastaContinuous,
+        # pat.h:594); replaces the generated read set
+        k = int(rng.integers(8, 30))
+        i = int(rng.integers(1, 12))
+        args = ["-f", "-F", f"{k},{i}"] + args
+        reads = fasta
+    else:
+        fmt_args, reads = _reads_as_format(rng, reads, tmp)
+        args = fmt_args + args
     reads_pos = [reads] if reads is not None else []
     dumps = _dump_flags(rng)
     odir = os.path.join(tmp, "o")
