@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 
 from .best import FoundRange
+from .best_paired import _trim_adjusted_insert
 from .best_device import (
     H_MAX, HostInit, INF32, M_DONE, MM_SLOTS, _bucket, _init_state,
     _len_bucket, build_fmcat, run_compacting, seeded_mode_configs,
@@ -403,6 +404,16 @@ class DevicePairedBestAligner:
         # so the cap sits near the hits-pool bound to keep those rare).
         # -k>1/-a/-m/-M chase every range, so record uncapped there.
         self.rec_cap = 12 if not policy.want_all_rows() else None
+        # device interleave (pe_ilv_device): covers the default -k 1
+        # policy; other policies replay on host
+        from .policy import INF as _PINF
+        self.use_ilv = (
+            os.environ.get("BOWTIE_TPU_PE_ILV", "1") not in ("", "0")
+            and policy.n == 1 and policy.max == _PINF
+            and idx_fw.length < (1 << 31) - 2
+            and max_insert <= 2048)
+        self._ilv_consts = None
+        self.ilv_decided = 0
         # fork pool for the replay stage (-p)
         import os as _os
         self.threads = max(1, min(threads, _os.cpu_count() or 1))
@@ -512,6 +523,207 @@ class DevicePairedBestAligner:
         finally:
             self._streams = None
 
+    # -- device interleave (pe_ilv_device) ------------------------------
+
+    def _ilv_static_consts(self, Lq, span):
+        """Per-configuration device constants + IlvStatic."""
+        import jax.numpy as jnp
+        from .pe_ilv_device import IlvStatic
+        host = self._host
+        ra = host.ra
+        cat_r, base_r, len_r = self._ref_cat()
+        nd = len(self.m_fw.hostinit.cfg["o_chase_efw"])
+        efw_tab = np.zeros(4 * nd, np.int32)
+        for slot in range(4):
+            mach = self.m_fw if slot % 2 == 0 else self.m_rc
+            efw_tab[slot * nd:(slot + 1) * nd] = \
+                np.asarray(mach.hostinit.cfg["o_chase_efw"], np.int32)
+        S = IlvStatic(
+            Lq=Lq, SPAN=span, nfrag=int(self._idx_fw.nfrag), nd=nd,
+            dense=self.cat.dense,
+            v=-1 if ra.v is None else int(ra.v),
+            seed_mms=int(ra.seed_mms), seed_len=int(ra.seed_len),
+            qual_max=int(ra.qual_max),
+            attempt_lim=int(host.mixed_attempt_lim),
+            sym_ceiling=min(int(host.sym_ceiling), 0x7FFFFFFE),
+            dont_reconcile=bool(host.dont_reconcile),
+            slot_l0=(0 if self.fw1 else 1), slot_r0=(2 if self.fw2 else 3),
+            slot_l1=(3 if self.fw2 else 2), slot_r1=(1 if self.fw1 else 0),
+            max_steps=4096)
+        consts = dict(
+            efw_tab=jnp.asarray(efw_tab),
+            reflen=jnp.asarray(len_r.astype(np.int32)),
+            _refcat=jnp.asarray(cat_r),
+            _refbase=jnp.asarray(base_r.astype(np.int32)),
+        )
+        return S, consts
+
+    def _ilv_lane_consts(self, pairs, lanes, Lq, maq):
+        """Per-lane outstanding-query tables.  Combos (pe_ilv_device
+        ._combo): 0=(m1,fw1) 1=(m1,!fw1) 2=(m2,fw2) 3=(m2,!fw2)."""
+        from .backtrack_oracle import QUAL_ROUNDS
+        B = len(lanes)
+        q_c = np.zeros((B, 4, Lq), np.uint8)
+        pen_c = np.zeros((B, 4, Lq), np.int32)
+        qlen_c = np.zeros((B, 4), np.int32)
+        alen_c = np.zeros((B, 4), np.int32)
+        qn_c = np.zeros((B, 4), np.int32)
+        sol_c = np.zeros((B, 4), np.int32)
+        wok_c = np.zeros((B, 4), np.int32)
+        minins = np.zeros(B, np.int32)
+        maxins = np.zeros(B, np.int32)
+        for k, i in enumerate(lanes):
+            rd1, rd2 = pairs[i]
+            mn, mx = _trim_adjusted_insert(
+                self._host.minins, self._host.maxins, rd1, rd2,
+                self.fw1, self.fw2)
+            minins[k], maxins[k] = mn, mx
+            for c, (rd, other, ofw) in enumerate((
+                    (rd1, rd2, self.fw1), (rd1, rd2, not self.fw1),
+                    (rd2, rd1, self.fw2), (rd2, rd1, not self.fw2))):
+                codes = np.asarray(rd.codes_fw if ofw else rd.codes_rc,
+                                   np.uint8)
+                qual = rd.qual if ofw else rd.qual[::-1]
+                quals = np.frombuffer(bytes(qual), np.uint8) \
+                    .astype(np.int32) - 33
+                n = len(codes)
+                q_c[k, c, :n] = codes
+                pen_c[k, c, :n] = (QUAL_ROUNDS[quals] if maq
+                                   else quals)
+                qlen_c[k, c] = n
+                alen_c[k, c] = len(other.seq)
+                qn_c[k, c] = int((codes > 3).any())
+                sol_c[k, c] = int(ofw)
+                wok_c[k, c] = int(mx > max(n, len(other.seq)))
+        import jax.numpy as jnp
+        return {k: jnp.asarray(v) for k, v in dict(
+            q_c=q_c, pen_c=pen_c, qlen_c=qlen_c, alen_c=alen_c,
+            qn_c=qn_c, sol_c=sol_c, wok_c=wok_c, minins=minins,
+            maxins=maxins).items()}
+
+    def _ilv_run(self, pairs, items, seeds_all):
+        """Run the device interleave over (i, streams) items; returns
+        (decided [(i, result)], escalate_idx, host_items)."""
+        import jax.numpy as jnp
+        from .pe_ilv_device import REC_W, init_state, run_ilv
+        lanes, host_items = [], []
+        for i, streams in items:
+            rd1, rd2 = pairs[i]
+            if max(len(rd1.seq), len(rd2.seq)) > 64:
+                host_items.append((i, streams))
+            else:
+                lanes.append((i, streams))
+        if not lanes:
+            return [], [], host_items
+        B = len(lanes)
+        Bp = _bucket(B)
+        Lq = 64
+        span = ((int(self._host.maxins) + Lq + 2 + 63) // 64) * 64
+        S, gconsts = self._ilv_static_consts(Lq, span)
+        lconsts = self._ilv_lane_consts(pairs, [i for i, _ in lanes],
+                                        Lq, self._host.ra.maq)
+        if Bp > B:
+            for k, v in lconsts.items():
+                pad = jnp.zeros((Bp - B,) + v.shape[1:], v.dtype)
+                lconsts[k] = jnp.concatenate([v, pad], axis=0)
+        hits = np.zeros((Bp, 4, H_MAX, REC_W), np.int32)
+        nrec = np.zeros((Bp, 4), np.int32)
+        capped = np.zeros((Bp, 4), np.int32)
+        for k, (i, streams) in enumerate(lanes):
+            for s in range(4):
+                st_ = streams[s]
+                rows = np.asarray(st_.rows, np.int32).reshape(-1, REC_W)
+                hits[k, s, :len(rows)] = rows
+                nrec[k, s] = len(rows)
+                capped[k, s] = int(st_.capped)
+        seeds = np.zeros(Bp, np.uint32)
+        seeds[:B] = seeds_all[np.asarray([i for i, _ in lanes],
+                                         np.int64)]
+        dis = np.zeros(Bp, bool)
+        dis[B:] = True
+        consts = dict(gconsts)
+        consts.update(lconsts)
+        st0 = init_state(Bp, hits.reshape(Bp, -1), nrec, capped, seeds,
+                         consts, dis)
+        out, _ = run_ilv(self.cat, st0, S=S)
+        out = {k: np.asarray(v[:B]) for k, v in out.items()}
+        decided, escal = [], []
+        for k, (i, streams) in enumerate(lanes):
+            if out["escalate"][k]:
+                escal.append(i)
+            elif out["res_found"][k]:
+                decided.append((i, self._ilv_assemble(
+                    pairs[i], streams, {kk: int(out[kk][k])
+                                        for kk in out})))
+            else:
+                decided.append((i, self._ilv_assemble(pairs[i], None,
+                                                      None)))
+        self.ilv_decided += len(decided)
+        return decided, escal, host_items
+
+    def _ilv_assemble(self, pair, streams, res):
+        """Host-side result assembly for a device-decided pair —
+        mirrors _resolve_outstanding's reporting tail
+        (best_paired.py:469-507) for the single winning candidate."""
+        from .best_paired import PairedBestSink
+        from .types import Hit
+        rd1, rd2 = pair
+        sink = type(self._host.sink)(self._host.sink.policy,
+                                     self._host.sink.global_seed)
+        sink.reset(rd1, rd2)
+        if res is None:
+            return sink.finish()
+        phase, side = res["res_phase"], res["res_side"]
+        fr, _ = streams[res["res_slot"]].materialize(res["res_idx"])
+        anchor_is_left = side > 0
+        Lis1 = phase == 0
+        pair_fw = phase == 0
+        fwL = self.fw1 if phase == 0 else (not self.fw2)
+        fwR = self.fw2 if phase == 0 else (not self.fw1)
+        out_is_1 = (not Lis1) if anchor_is_left else Lis1
+        orr = rd1 if out_is_1 else rd2
+        ar = rd2 if out_is_1 else rd1
+        match_right = anchor_is_left
+        ofw = fwR if anchor_is_left else fwL
+        tidx, toff = res["res_tidx"], res["res_toff"]
+        left, stratum, ham = (res["res_left"], res["res_strat"],
+                              res["res_ham"])
+        qlen = len(orr.seq)
+        seq = np.asarray(orr.codes_fw if ofw else orr.codes_rc,
+                         np.uint8)
+        seg = np.asarray(self._host.refs[tidx][left:left + qlen],
+                         np.uint8)
+        mms = [(int(c), ord("ACGTN"[int(seg[c])]))
+               for c in np.flatnonzero(seg != seq)]
+        if not ofw:
+            mms = sorted((qlen - 1 - p, ch) for p, ch in mms)
+        else:
+            mms = sorted(mms)
+        cost = (stratum << 14) | ham
+        oms = fr.bot - fr.top - 1
+        a_mms = []
+        for pos, refc in zip(fr.mms, fr.refcs):
+            p5 = len(ar.seq) - pos - 1 if (fr.ebwt_fw != fr.fw) else pos
+            a_mms.append((p5, ord("acgt"[refc])))
+        anchor_hit = Hit(read=ar, fw=fr.fw, tidx=tidx, toff=toff,
+                         oms=oms, stratum=fr.stratum, cost=fr.cost,
+                         mms=sorted(a_mms), mate=(2 if out_is_1 else 1))
+        out_hit = Hit(read=orr, fw=ofw, tidx=tidx, toff=left, oms=oms,
+                      stratum=stratum, cost=cost, mms=mms,
+                      mate=(1 if out_is_1 else 2))
+        up, dn = ((anchor_hit, out_hit) if match_right
+                  else (out_hit, anchor_hit))
+        up.mate = 1 if pair_fw else 2
+        dn.mate = 2 if pair_fw else 1
+        for h, o in ((up, dn), (dn, up)):
+            h.mfw = o.fw
+            h.mtidx = o.tidx
+            h.mtoff = o.toff
+            h.mlen = o.length
+        sink.report_hit(up)
+        sink.report_hit(dn)
+        return sink.finish()
+
     def align_batch(self, pairs):
         """Record ALL FOUR driver streams upfront (one batched machine
         run per (mate, orientation)), then replay every pair once.
@@ -582,6 +794,11 @@ class DevicePairedBestAligner:
                 items.append((i, sts[i]))
         for i, res, _ in self._replay_all(pairs, fb_items):
             results[i] = res
+        if self.use_ilv:
+            decided, esc_d, items = self._ilv_run(pairs, items, s1)
+            for i, res in decided:
+                results[i] = res
+            escal.extend(esc_d)
         for i, res, esc in self._replay_all(pairs, items):
             if esc:
                 escal.append(i)
@@ -607,6 +824,17 @@ class DevicePairedBestAligner:
                     items.append((i, sts[i]))
             for i, res, _ in self._replay_all(pairs, fb_items):
                 results[i] = res
+            if self.use_ilv:
+                # uncapped streams cannot out-run the recording; any
+                # residual device escalation (counter saturation) goes
+                # to the live host drivers
+                decided, esc_d, items = self._ilv_run(pairs, items, s1)
+                for i, res in decided:
+                    results[i] = res
+                for i in esc_d:
+                    self.fallbacks += 1
+                    res, _ = self._replay(*pairs[i], None)
+                    results[i] = res
             for i, res, esc in self._replay_all(pairs, items):
                 if esc:       # cannot happen on uncapped streams
                     self.fallbacks += 1

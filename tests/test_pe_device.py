@@ -37,6 +37,12 @@ def _setup():
     ("n2", dict(mode="n"), 1, None),
     ("v1", dict(mode="v", v=1), 1, None),
     ("n2_IX", dict(mode="n", min_insert=50, max_insert=170), 1, None),
+    # device-interleave coverage: other orientations, wide window,
+    # -v 2, --ff (fw2=True)
+    ("v2_X400", dict(mode="v", v=2, max_insert=400), 1, None),
+    ("n2_ff", dict(mode="n", fw2=True), 1, None),
+    ("n1_rf", dict(mode="n", seed_mms=1, fw1=False, fw2=True), 1,
+     None),
 ])
 def test_device_pe_matches_host(_setup, tag, kw, k, m):
     from bowtie_tpu.align.policy import INF, KPolicy

@@ -335,9 +335,18 @@ def test_random_paired_matches_binary(seed, tmp_path):
                     *in_args, base,
                     os.path.join(odir, "out")],
                    check=True, capture_output=True)
+    # half the V1 cases run the DEVICE paired engine (recorded anchor
+    # streams + pe_ilv_device interleave machine) instead of the pure
+    # host path, so the randomized harness gates it too
+    if "--pev2" not in args and "--best" not in args and \
+            rng.random() < 0.5:
+        os.environ["BOWTIE_TPU_DEVICE_PE"] = "1"
     from bowtie_tpu.cli.align import main
-    rc = main([*args, *_dump_args(dumps, mdir),
-               *in_args, base, os.path.join(mdir, "out")])
+    try:
+        rc = main([*args, *_dump_args(dumps, mdir),
+                   *in_args, base, os.path.join(mdir, "out")])
+    finally:
+        os.environ.pop("BOWTIE_TPU_DEVICE_PE", None)
     assert rc in (0, None)
     want, got = _tree(odir), _tree(mdir)
     assert sorted(want) == sorted(got), \
