@@ -402,6 +402,15 @@ def main(argv=None) -> int:
     else:
         aligner, host_engine = _build_se_aligner(args, idx, policy)
 
+    if args.sanity and not host_engine:
+        # --sanity: the in-run oracle (analog of the reference's
+        # --sanity/--orig brute-force assertions, ebwt_search.cpp:
+        # 1893-1937): every batch ALSO runs the host oracle engine and
+        # any device/host divergence aborts with a diagnostic.
+        twin = _build_sanity_twin(args, idx, policy, paired)
+        if twin is not None:
+            aligner = SanityAligner(aligner, twin)
+
     if host_engine and args.threads > 1:
         # -p for the host engines: fork pool over read-batch slices,
         # byte-identical output (align/parallel_host.py)
@@ -409,6 +418,64 @@ def main(argv=None) -> int:
         aligner = ParallelHostAligner(aligner, args.threads)
 
     return _run(args, argv, idx, policy, aligner, paired, fmt, cont)
+
+
+class SanityAligner:
+    """--sanity cross-check wrapper: align each batch on the device
+    engine AND the host oracle engine, assert result-for-result
+    equality, return the device results.  The in-binary analog of
+    ASSERT_NO_HITS_FW/RC + checkOrigs (ebwt_search.cpp:1893-1937;
+    ebwt.h:2787) — the device kernels are the subject, the pure-host
+    re-expression (itself byte-verified against the reference binary)
+    is the oracle."""
+
+    def __init__(self, dev, host):
+        self._dev, self._host = dev, host
+
+    def __getattr__(self, k):
+        return getattr(self._dev, k)
+
+    @staticmethod
+    def _key(r):
+        return ([(h.fw, h.tidx, h.toff, h.oms, h.stratum, h.cost,
+                  tuple(h.mms), getattr(h, "mate", 0)) for h in r.hits],
+                r.maxed, r.nvalid)
+
+    def align_batch(self, items):
+        dev = self._dev.align_batch(items)
+        host = self._host.align_batch(items)
+        for it, dr, hr in zip(items, dev, host):
+            if self._key(dr) != self._key(hr):
+                name = (it[0].name if isinstance(it, tuple)
+                        else it.name)
+                raise AssertionError(
+                    f"--sanity: device/host divergence on read "
+                    f"{name!r}: device={self._key(dr)} "
+                    f"host={self._key(hr)}")
+        return dev
+
+
+def _build_sanity_twin(args, idx, policy, paired):
+    """Build the host-oracle twin of the current device engine by
+    re-running the dispatch with BOWTIE_TPU_HOST_ENGINE forced."""
+    prev = os.environ.get("BOWTIE_TPU_HOST_ENGINE")
+    prev_pe = os.environ.get("BOWTIE_TPU_DEVICE_PE")
+    os.environ["BOWTIE_TPU_HOST_ENGINE"] = "1"
+    os.environ["BOWTIE_TPU_DEVICE_PE"] = "0"
+    try:
+        if paired:
+            return None     # PE: device engine already host-replays
+        twin, _ = _build_se_aligner(args, idx, policy)
+        return twin
+    finally:
+        if prev is None:
+            os.environ.pop("BOWTIE_TPU_HOST_ENGINE", None)
+        else:
+            os.environ["BOWTIE_TPU_HOST_ENGINE"] = prev
+        if prev_pe is None:
+            os.environ.pop("BOWTIE_TPU_DEVICE_PE", None)
+        else:
+            os.environ["BOWTIE_TPU_DEVICE_PE"] = prev_pe
 
 
 def _device_pe_enabled(args) -> bool:
