@@ -150,6 +150,12 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
     """Build the concatenated device index.  occ_every=1 + dense_sa is
     the small-genome fast path; occ_every=128 + dense_sa=False is the
     hg-scale compact layout (see FMCat)."""
+    if idx_fw.length >= (1 << 31):
+        raise ValueError(
+            f"device engines keep BWT rows in int32 lane registers; "
+            f"joined text length {idx_fw.length:,} exceeds 2^31-1 — "
+            f"use the host engines (BOWTIE_TPU_HOST_ENGINE=1) for "
+            f"genomes beyond that")
     if fm_fw is None:
         fm_fw = from_ebwt(idx_fw, occ_every=occ_every, dense_sa=dense_sa)
     if fm_bw is None:

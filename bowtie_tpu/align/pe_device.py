@@ -526,9 +526,13 @@ class DevicePairedBestAligner:
     # -- device interleave (pe_ilv_device) ------------------------------
 
     def _ilv_static_consts(self, Lq, span):
-        """Per-configuration device constants + IlvStatic."""
+        """Per-configuration device constants + IlvStatic (cached —
+        the reference concat alone is a multi-MB upload)."""
         import jax.numpy as jnp
         from .pe_ilv_device import IlvStatic
+        cache = getattr(self, "_ilv_cache", None)
+        if cache is not None and cache[0] == (Lq, span):
+            return cache[1], cache[2]
         host = self._host
         ra = host.ra
         cat_r, base_r, len_r = self._ref_cat()
@@ -556,56 +560,78 @@ class DevicePairedBestAligner:
             _refcat=jnp.asarray(cat_r),
             _refbase=jnp.asarray(base_r.astype(np.int32)),
         )
+        self._ilv_cache = ((Lq, span), S, consts)
         return S, consts
 
     def _ilv_lane_consts(self, pairs, lanes, Lq, maq):
-        """Per-lane outstanding-query tables.  Combos (pe_ilv_device
+        """Per-lane outstanding-query tables, vectorized (one flat
+        concat + scatter per field instead of a per-pair Python loop —
+        this stage was ~25% of the PE wall).  Combos (pe_ilv_device
         ._combo): 0=(m1,fw1) 1=(m1,!fw1) 2=(m2,fw2) 3=(m2,!fw2)."""
         from .backtrack_oracle import QUAL_ROUNDS
         B = len(lanes)
+        rds = [pairs[i] for i in lanes]
+        l1 = np.fromiter((len(r.seq) for r, _ in rds), np.int32, B)
+        l2 = np.fromiter((len(r.seq) for _, r in rds), np.int32, B)
+        t15 = np.fromiter((r.trimmed5 for r, _ in rds), np.int32, B)
+        t13 = np.fromiter((r.trimmed3 for r, _ in rds), np.int32, B)
+        t25 = np.fromiter((r.trimmed5 for _, r in rds), np.int32, B)
+        t23 = np.fromiter((r.trimmed3 for _, r in rds), np.int32, B)
+        # _trim_adjusted_insert, vectorized (aligner.h:983-999)
+        minins = np.full(B, self._host.minins, np.int64)
+        maxins = np.full(B, self._host.maxins, np.int64)
+        for t in ((t15 if self.fw1 else t13),
+                  (t23 if self.fw2 else t25)):
+            minins = np.maximum(0, minins - t)
+            maxins = np.maximum(0, maxins - t)
         q_c = np.zeros((B, 4, Lq), np.uint8)
         pen_c = np.zeros((B, 4, Lq), np.int32)
-        qlen_c = np.zeros((B, 4), np.int32)
-        alen_c = np.zeros((B, 4), np.int32)
         qn_c = np.zeros((B, 4), np.int32)
-        sol_c = np.zeros((B, 4), np.int32)
-        wok_c = np.zeros((B, 4), np.int32)
-        minins = np.zeros(B, np.int32)
-        maxins = np.zeros(B, np.int32)
-        for k, i in enumerate(lanes):
-            rd1, rd2 = pairs[i]
-            mn, mx = _trim_adjusted_insert(
-                self._host.minins, self._host.maxins, rd1, rd2,
-                self.fw1, self.fw2)
-            minins[k], maxins[k] = mn, mx
-            for c, (rd, other, ofw) in enumerate((
-                    (rd1, rd2, self.fw1), (rd1, rd2, not self.fw1),
-                    (rd2, rd1, self.fw2), (rd2, rd1, not self.fw2))):
-                codes = np.asarray(rd.codes_fw if ofw else rd.codes_rc,
-                                   np.uint8)
-                qual = rd.qual if ofw else rd.qual[::-1]
-                quals = np.frombuffer(bytes(qual), np.uint8) \
-                    .astype(np.int32) - 33
-                n = len(codes)
-                q_c[k, c, :n] = codes
-                pen_c[k, c, :n] = (QUAL_ROUNDS[quals] if maq
-                                   else quals)
-                qlen_c[k, c] = n
-                alen_c[k, c] = len(other.seq)
-                qn_c[k, c] = int((codes > 3).any())
-                sol_c[k, c] = int(ofw)
-                wok_c[k, c] = int(mx > max(n, len(other.seq)))
-        import jax.numpy as jnp
-        return {k: jnp.asarray(v) for k, v in dict(
+        combos = ((0, self.fw1), (0, not self.fw1),
+                  (2, self.fw2), (2, not self.fw2))
+        for c, (mate_i, ofw) in enumerate(combos):
+            which = [p[mate_i >> 1] for p in rds]
+            cat = np.concatenate(
+                [np.asarray(r.codes_fw if ofw else r.codes_rc,
+                            np.uint8) for r in which]) \
+                if which else np.zeros(0, np.uint8)
+            qcat = np.concatenate(
+                [np.frombuffer(bytes(r.qual if ofw
+                                     else r.qual[::-1]), np.uint8)
+                 for r in which]) if which else np.zeros(0, np.uint8)
+            lens = (l1 if mate_i == 0 else l2).astype(np.int64)
+            rows = np.repeat(np.arange(B), lens)
+            cols = np.concatenate([np.arange(n) for n in lens]) \
+                if B else np.zeros(0, np.int64)
+            q_c[rows, c, cols] = cat
+            quals = qcat.astype(np.int32) - 33
+            pen_c[rows, c, cols] = (QUAL_ROUNDS[quals] if maq
+                                    else quals)
+            nmask = cat > 3
+            if nmask.any():
+                qn_c[np.unique(rows[nmask]), c] = 1
+        qlen_c = np.stack([l1, l1, l2, l2], axis=1)
+        alen_c = np.stack([l2, l2, l1, l1], axis=1)
+        sol_c = np.broadcast_to(np.array(
+            [int(o) for _, o in combos], np.int32), (B, 4)).copy()
+        wok_c = (maxins[:, None] >
+                 np.maximum(qlen_c, alen_c)).astype(np.int32)
+        return dict(
             q_c=q_c, pen_c=pen_c, qlen_c=qlen_c, alen_c=alen_c,
-            qn_c=qn_c, sol_c=sol_c, wok_c=wok_c, minins=minins,
-            maxins=maxins).items()}
+            qn_c=qn_c, sol_c=sol_c, wok_c=wok_c,
+            minins=minins.astype(np.int32),
+            maxins=maxins.astype(np.int32))
 
     def _ilv_run(self, pairs, items, seeds_all):
         """Run the device interleave over (i, streams) items; returns
         (decided [(i, result)], escalate_idx, host_items)."""
         import jax.numpy as jnp
         from .pe_ilv_device import REC_W, init_state, run_ilv
+        import os as _os2
+        import sys as _sys2
+        import time as _time2
+        _prof2 = bool(_os2.environ.get("BOWTIE_TPU_PROF"))
+        _tc0 = _time2.time()
         lanes, host_items = [], []
         for i, streams in items:
             rd1, rd2 = pairs[i]
@@ -617,36 +643,67 @@ class DevicePairedBestAligner:
             return [], [], host_items
         B = len(lanes)
         Bp = _bucket(B)
-        Lq = 64
+        Lq = 40 if max(max(len(p[0].seq), len(p[1].seq))
+                       for p in (pairs[i] for i, _ in lanes)) <= 40 \
+            else 64
         span = ((int(self._host.maxins) + Lq + 2 + 63) // 64) * 64
         S, gconsts = self._ilv_static_consts(Lq, span)
         lconsts = self._ilv_lane_consts(pairs, [i for i, _ in lanes],
                                         Lq, self._host.ra.maq)
-        if Bp > B:
-            for k, v in lconsts.items():
-                pad = jnp.zeros((Bp - B,) + v.shape[1:], v.dtype)
-                lconsts[k] = jnp.concatenate([v, pad], axis=0)
+        for k, v in lconsts.items():
+            v = np.asarray(v)
+            if Bp > B:
+                pad = np.zeros((Bp - B,) + v.shape[1:], v.dtype)
+                v = np.concatenate([v, pad], axis=0)
+            lconsts[k] = v
         hits = np.zeros((Bp, 4, H_MAX, REC_W), np.int32)
         nrec = np.zeros((Bp, 4), np.int32)
         capped = np.zeros((Bp, 4), np.int32)
-        for k, (i, streams) in enumerate(lanes):
-            for s in range(4):
-                st_ = streams[s]
-                rows = np.asarray(st_.rows, np.int32).reshape(-1, REC_W)
-                hits[k, s, :len(rows)] = rows
-                nrec[k, s] = len(rows)
-                capped[k, s] = int(st_.capped)
+        # one scatter per slot instead of a per-(lane,slot) loop
+        for s in range(4):
+            sls = [streams[s] for _, streams in lanes]
+            ns = np.fromiter((len(x) for x in sls), np.int64, B)
+            nrec[:B, s] = ns
+            capped[:B, s] = np.fromiter((x.capped for x in sls),
+                                        bool, B)
+            tot = int(ns.sum())
+            if tot:
+                flat = np.concatenate(
+                    [np.asarray(x.rows, np.int64).reshape(-1, REC_W)
+                     for x in sls if len(x)]).astype(np.int32)
+                rws = np.repeat(np.arange(B), ns)
+                slt = np.concatenate([np.arange(n) for n in ns])
+                hits[rws, s, slt] = flat
         seeds = np.zeros(Bp, np.uint32)
         seeds[:B] = seeds_all[np.asarray([i for i, _ in lanes],
                                          np.int64)]
-        dis = np.zeros(Bp, bool)
-        dis[B:] = True
-        consts = dict(gconsts)
-        consts.update(lconsts)
-        st0 = init_state(Bp, hits.reshape(Bp, -1), nrec, capped, seeds,
-                         consts, dis)
+        dis = np.zeros(Bp, np.int32)
+        dis[B:] = 1
+        from .pe_ilv_device import init_from_packed
+        pack = np.concatenate([
+            hits.reshape(Bp, -1), nrec, capped,
+            seeds.view(np.int32)[:, None], dis[:, None],
+            lconsts["qlen_c"], lconsts["alen_c"], lconsts["qn_c"],
+            lconsts["sol_c"], lconsts["wok_c"],
+            lconsts["minins"][:, None], lconsts["maxins"][:, None],
+            lconsts["pen_c"].reshape(Bp, -1)], axis=1) \
+            .astype(np.int32)
+        st0 = init_from_packed(jnp.asarray(pack),
+                               jnp.asarray(lconsts["q_c"]),
+                               gconsts, S=S)
+        import os as _os
+        import sys as _sys
+        import time as _time
+        prof = bool(_os.environ.get("BOWTIE_TPU_PROF"))
+        if prof:
+            print(f"[prof pe-ilv] consts+repack+init="
+                  f"{_time.time() - _tc0:.3f}s",
+                  file=_sys.stderr, flush=True)
+        t0 = _time.time()
         out, _ = run_ilv(self.cat, st0, S=S)
         out = {k: np.asarray(v[:B]) for k, v in out.items()}
+        t_mach = _time.time() - t0
+        t0 = _time.time()
         decided, escal = [], []
         for k, (i, streams) in enumerate(lanes):
             if out["escalate"][k]:
@@ -658,6 +715,11 @@ class DevicePairedBestAligner:
             else:
                 decided.append((i, self._ilv_assemble(pairs[i], None,
                                                       None)))
+        if prof:
+            print(f"[prof pe-ilv] machine+poll={t_mach:.3f}s "
+                  f"assemble={_time.time() - t0:.3f}s "
+                  f"({len(decided)} decided)",
+                  file=_sys.stderr, flush=True)
         self.ilv_decided += len(decided)
         return decided, escal, host_items
 

@@ -519,20 +519,129 @@ OUT_KEYS = ("res_found", "res_slot", "res_idx", "res_tidx", "res_toff",
             "res_left", "res_strat", "res_ham", "res_phase", "res_side",
             "escalate", "mode")
 
+# lane-constant tables that must be compacted together with the state
+_GLOBAL_KEYS = ("efw_tab", "reflen", "_refcat", "_refbase")
+
+
+@partial(jax.jit, static_argnames=("S", "chunk"))
+def run_ilv_chunk(cat: FMCat, st, *, S: IlvStatic, chunk: int):
+    def body(_, s):
+        return _machine_step(s, cat, S)
+    st = jax.lax.fori_loop(0, chunk, body, dict(st))
+    return st, jnp.stack([st[k].astype(jnp.int32) for k in OUT_KEYS])
+
+
+@jax.jit
+def _compact_ilv(st, idxs):
+    out = {}
+    for k, v in st.items():
+        out[k] = v if k in _GLOBAL_KEYS else v[idxs]
+    return out
+
+
+def run_ilv(cat: FMCat, st0, *, S: IlvStatic,
+            chunk=(8, 8, 16, 32, 64, 128), min_bucket: int = 256):
+    """Chunked machine driver with live-lane compaction: most pairs
+    decide within a few steps, so the straggler tail (pairs grinding
+    toward --pairtries) runs in small buckets instead of dilating the
+    whole batch (the run_compacting pattern, best_device.py:2240)."""
+    import os
+    import sys
+    import time
+    prof = bool(os.environ.get("BOWTIE_TPU_PROF"))
+    B0 = st0["mode"].shape[0]
+    orig = np.arange(B0)
+    out = {k: np.zeros(B0, np.int32) for k in OUT_KEYS}
+    st = st0
+    steps = 0
+    sched = (chunk,) if isinstance(chunk, int) else tuple(chunk)
+    ci = 0
+    while True:
+        csteps = sched[min(ci, len(sched) - 1)]
+        ci += 1
+        t0 = time.time()
+        st, poll = run_ilv_chunk(cat, st, S=S, chunk=csteps)
+        poll = np.asarray(poll)
+        steps += csteps
+        mode = poll[OUT_KEYS.index("mode")]
+        live = orig >= 0
+        act = np.flatnonzero((mode != I_DONE) & live)
+        if prof:
+            print(f"[prof pe-ilv] round {ci}: B={mode.shape[0]} "
+                  f"chunk={csteps} live_after={len(act)} "
+                  f"t={time.time() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
+        if len(act) == 0 or steps >= S.max_steps:
+            sub = np.flatnonzero(live)
+            for i, k in enumerate(OUT_KEYS):
+                out[k][orig[sub]] = poll[i][sub]
+            if steps >= S.max_steps and len(act):
+                out["escalate"][orig[act]] = 1
+            out["escalate"] |= (out["mode"] != I_DONE)
+            return out, steps
+        newB = _bucket_ilv(len(act), min_bucket)
+        if newB < mode.shape[0]:
+            done_live = np.flatnonzero((mode == I_DONE) & live)
+            if len(done_live):
+                for i, k in enumerate(OUT_KEYS):
+                    out[k][orig[done_live]] = poll[i][done_live]
+            pad_n = newB - len(act)
+            idxs = np.concatenate([act, np.full(pad_n, act[0],
+                                                np.int64)])
+            st = _compact_ilv(st, jnp.asarray(idxs))
+            if pad_n:
+                padm = np.zeros(newB, bool)
+                padm[len(act):] = True
+                st["mode"] = jnp.where(jnp.asarray(padm), I_DONE,
+                                       st["mode"])
+            orig = np.concatenate([orig[act], np.full(pad_n, -1)])
+
+
+def _bucket_ilv(n: int, lo: int):
+    b = lo
+    while b < n:
+        b *= 4
+    return b
+
 
 @partial(jax.jit, static_argnames=("S",))
-def run_ilv(cat: FMCat, st0, *, S: IlvStatic):
-    def cond(carry):
-        st, it = carry
-        return (it < S.max_steps) & jnp.any(st["mode"] != I_DONE)
+def init_from_packed(pack_i32, q_c, gconsts, *, S: IlvStatic):
+    """Build the full lane-state dict from ONE packed int32 upload +
+    one uint8 upload (each host->device transfer over the tunnel costs
+    ~0.1 s of latency; init_state's ~40 small arrays cost more than
+    the whole interleave machine run).
 
-    def body(carry):
-        st, it = carry
-        return _machine_step(st, cat, S), it + 1
+    pack_i32 layout along axis 1:
+      [4*H_MAX*REC_W hits | 4 nrec | 4 capped | 1 seeds | 1 dis |
+       4 qlen | 4 alen | 4 qn | 4 sol | 4 wok | 1 minins | 1 maxins |
+       4*Lq pen]
+    """
+    B = pack_i32.shape[0]
+    HW = 4 * H_MAX * REC_W
+    o = [0]
 
-    st, iters = jax.lax.while_loop(cond, body, (st0, jnp.int32(0)))
-    st["escalate"] = st["escalate"] | (st["mode"] != I_DONE)
-    return {k: st[k] for k in OUT_KEYS}, iters
+    def take(n, shape=None):
+        a = pack_i32[:, o[0]:o[0] + n]
+        o[0] += n
+        return a if shape is None else a.reshape((B,) + shape)
+
+    hits = take(HW)
+    nrec = take(4)
+    capped = take(4)
+    seeds = take(1)[:, 0].astype(jnp.uint32)
+    dis = take(1)[:, 0] > 0
+    qlen_c = take(4)
+    alen_c = take(4)
+    qn_c = take(4)
+    sol_c = take(4)
+    wok_c = take(4)
+    minins = take(1)[:, 0]
+    maxins = take(1)[:, 0]
+    pen_c = take(4 * S.Lq, (4, S.Lq))
+    consts = dict(q_c=q_c, pen_c=pen_c, qlen_c=qlen_c, alen_c=alen_c,
+                  qn_c=qn_c, sol_c=sol_c, wok_c=wok_c, minins=minins,
+                  maxins=maxins, **gconsts)
+    return init_state(B, hits, nrec, capped, seeds, consts, dis)
 
 
 def init_state(B, hits_flat, nrec, capped, seeds, consts, dis):

@@ -82,7 +82,12 @@ def synth_genome(total_bp: int, outdir: str, seed: int = 42):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir", nargs="?", default="/root/hg_synth")
-    ap.add_argument("--gbp", type=float, default=3.1)
+    # default 2.0 Gbp: the device engines keep BWT rows in int32 lane
+    # registers, so the joined text must stay under 2^31 (the
+    # reference's small-index TIndexOffU=uint32 analog; genomes beyond
+    # that use the host paths / .ebwtl).  2 Gbp is already far outside
+    # any CPU cache, which is the regime this benchmark probes.
+    ap.add_argument("--gbp", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--skip-genome", action="store_true")
     ap.add_argument("--norev", action="store_true",
