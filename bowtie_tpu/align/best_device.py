@@ -630,6 +630,15 @@ def _host_sort_actives(act, act_n, done, found, minc, rng, ca_min):
 # Device state
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("B", "L", "nd", "ndt", "maxbts"))
+def _init_state_jit(seeds, host, *, B, L, nd, ndt, maxbts):
+    """One-dispatch device init: the ~40 zero/constant registers
+    materialize on device inside the executable instead of as ~40
+    individual host->device uploads (each costs ~1 ms of tunnel
+    latency; x4 record machines per PE batch)."""
+    return _init_state(B, L, nd, ndt, seeds, host, maxbts)
+
+
 def _init_state(B, L, nd, ndt, seeds, host, maxbts):
     z = lambda *s: jnp.zeros(s, jnp.int32)
     st = dict(
@@ -2529,8 +2538,8 @@ class DeviceBestAligner:
             for k, v_ in host.items():
                 pad = np.zeros((Bp - B,) + v_.shape[1:], dtype=v_.dtype)
                 host[k] = np.concatenate([v_, pad], axis=0)
-        st = _init_state(Bp, L, self.nd, self.ndt, seeds, host,
-                         self.maxbts)
+        st = _init_state_jit(seeds, host, B=Bp, L=L, nd=self.nd,
+                             ndt=self.ndt, maxbts=self.maxbts)
         dis = np.zeros(Bp, bool)
         dis[B:] = True
         for b in host_only:

@@ -1707,40 +1707,54 @@ class DeviceDFSAligner:
 
     def assemble(self, reads, out, seeds) -> list:
         from .types import Hit
-        # bulk-convert the per-read scalars once: per-element numpy
-        # scalar indexing costs ~150 ns each, which adds up to ~9 us
-        # per read at typical hit counts
-        nhits_l = np.asarray(out["nhits"]).tolist()
+        # fully vectorized record decode: gather every hit row at once
+        # and convert each column to a python list in one pass — the
+        # per-read slice/tolist version cost ~24 us/read of host time,
+        # which capped the -v engines' end-to-end rate
+        nhits = np.asarray(out["nhits"])
         count_l = np.asarray(out["count"]).tolist()
-        ovf_l = np.asarray(out["overflow"]).tolist()
+        ovf = np.asarray(out["overflow"])
         hits_np = np.asarray(out["hits"])
         seeds_l = np.asarray(seeds).tolist()
         acgt = (97, 99, 103, 116)
+        nh_eff = np.where(ovf[:len(reads)], 0, nhits[:len(reads)])
+        lanes = np.repeat(np.arange(len(reads)), nh_eff)
+        slots = (np.concatenate([np.arange(n) for n in nh_eff])
+                 if len(lanes) else np.zeros(0, np.int64))
+        recs = hits_np[lanes, slots] if len(lanes) else \
+            np.zeros((0, hits_np.shape[-1]), np.int32)
+        fw_a = (recs[:, 2] & 1).astype(bool)
+        efw_a = ((recs[:, 2] >> 1) & 1).astype(bool)
+        ne_a = recs[:, 6]
+        # mismatch decode, vectorized over the (rare) mm slots
+        offp = np.where((efw_a != fw_a)[:, None],
+                        recs[:, 7:8] - recs[:, 8:8 + MM_SLOTS] - 1,
+                        recs[:, 8:8 + MM_SLOTS])
+        refc = recs[:, 8 + MM_SLOTS:8 + 2 * MM_SLOTS]
+        cols = (recs[:, 0].tolist(), recs[:, 1].tolist(),
+                fw_a.tolist(), recs[:, 3].tolist(),
+                recs[:, 4].tolist(), recs[:, 5].tolist(),
+                ne_a.tolist(), offp.tolist(), refc.tolist())
+        bounds = np.zeros(len(reads) + 1, np.int64)
+        np.cumsum(nh_eff, out=bounds[1:])
+        bounds_l = bounds.tolist()
         results = []
+        finish = self.policy.finish
         for b, read in enumerate(reads):
-            if ovf_l[b]:
+            if ovf[b]:
                 self.fallbacks += 1
                 results.append(self._oracle_aligner().align_read(read))
                 continue
             buffered = []
-            nh = nhits_l[b]
-            recs = hits_np[b, :nh].tolist() if nh else ()
-            for rec in recs:
-                fw = bool(rec[2] & 1)
-                ebwt_fw = bool((rec[2] >> 1) & 1)
-                qlen = rec[7]
-                mms = []
-                for k in range(rec[6]):
-                    pos = rec[8 + k]
-                    refc = rec[8 + MM_SLOTS + k]
-                    off = qlen - pos - 1 if (ebwt_fw != fw) else pos
-                    mms.append((off, acgt[refc]))
+            for j in range(bounds_l[b], bounds_l[b + 1]):
+                ne = cols[6][j]
+                mms = sorted((cols[7][j][k], acgt[cols[8][j][k]])
+                             for k in range(ne)) if ne else []
                 buffered.append(Hit(
-                    read=read, fw=fw, tidx=rec[0], toff=rec[1],
-                    oms=rec[3], stratum=rec[4],
-                    cost=rec[5], mms=sorted(mms)))
-            results.append(self.policy.finish(
-                buffered, count_l[b], seeds_l[b]))
+                    read=read, fw=cols[2][j], tidx=cols[0][j],
+                    toff=cols[1][j], oms=cols[3][j],
+                    stratum=cols[4][j], cost=cols[5][j], mms=mms))
+            results.append(finish(buffered, count_l[b], seeds_l[b]))
         return results
 
 
@@ -1942,6 +1956,11 @@ def _harvest_poll(st, poll, idxs):
     return out
 
 
+@partial(jax.jit, static_argnames=("B", "L"))
+def _init_state_jit(seeds, count0, *, B: int, L: int):
+    return _init_state(B, L, seeds, count0)
+
+
 _SLICE_CACHE: dict = {}
 
 
@@ -1976,8 +1995,11 @@ def run_compacting(cat: FMCat, jobs_dev, seeds, count0, *, J: int,
         B0 = int(st["mode"].shape[0])
     else:
         B0 = seeds.shape[0]
-        st = _init_state(B0, L, jnp.asarray(seeds),
-                         jnp.asarray(count0))
+        # jitted init: ~80 zero-register arrays materialize on device
+        # in one dispatch instead of ~80 individual uploads (each
+        # tunnel transfer costs ~1 ms of latency)
+        st = _init_state_jit(jnp.asarray(seeds), jnp.asarray(count0),
+                             B=B0, L=L)
     jobs_d = jobs_dev
     orig = np.arange(B0)
     out = None

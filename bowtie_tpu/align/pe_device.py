@@ -206,8 +206,11 @@ class _StrandMachine:
             for k, v_ in host.items():
                 pad = np.zeros((Bp - B,) + v_.shape[1:], dtype=v_.dtype)
                 host[k] = np.concatenate([v_, pad], axis=0)
-        st = _init_state(Bp, L, self.hostinit.nd, self.hostinit.ndt,
-                         seeds_p, host, self.maxbts)
+        from .best_device import _init_state_jit
+        st = _init_state_jit(seeds_p, host, B=Bp, L=L,
+                             nd=self.hostinit.nd,
+                             ndt=self.hostinit.ndt,
+                             maxbts=self.maxbts)
         dis = np.zeros(Bp, bool)
         dis[B:] = True
         for b in host_only:
