@@ -1979,9 +1979,9 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
             _g1(cat.sa, jnp.where(m, row >> cat.off_rate, 0) + sa_base)
             + jumps)
         walkers = m & ~marked
-        word = _g1(cat.bwt, jnp.where(walkers, (row >> 4) +
-                                      blk_base * (cat.occ_every // 16),
-                                      0))
+        widx = jnp.where(walkers, (row >> 4) +
+                         blk_base * (cat.occ_every // 16), 0)
+        word = _sel_col(cat.bwt[widx >> 7], widx & 127)
         sh = (2 * (row & 15)).astype(jnp.uint32)
         ch = ((word >> sh) & 3).astype(jnp.int32)
         r4 = _rank4(cat, occ_base, zoff, jnp.where(walkers, row, 0),

@@ -168,10 +168,21 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
     else:
         sa = jnp.concatenate([fm_fw.offs, fm_bw.offs])
     if occ_every > 1:
-        bwt = jnp.concatenate([fm_fw.bwt, fm_bw.bwt])
-        nblk = len(np.asarray(fm_fw.bwt)) // (occ_every // 16)
+        # tile-exact [rows, 128] layout: a [nblk, wpb=8] row-gather
+        # operand would be padded 16x by the TPU's (8,128) tiling —
+        # 14.6 GB of HLO temp at 2 Gbp (observed OOM); rows of exactly
+        # 128 u32 pad nothing.  Each index's words are padded to a
+        # whole row so per-index block bases stay 16-block aligned.
+        def _pad128(w):
+            w = np.asarray(w)
+            return np.concatenate(
+                [w, np.zeros((-len(w)) % 128, np.uint32)])
+        w_fw, w_bw = _pad128(fm_fw.bwt), _pad128(fm_bw.bwt)
+        bwt = jnp.asarray(np.concatenate([w_fw, w_bw])
+                          .reshape(-1, 128))
+        nblk = len(w_fw) // (occ_every // 16)
     else:
-        bwt = jnp.zeros(2, jnp.uint32)
+        bwt = jnp.zeros((1, 128), jnp.uint32)
         nblk = 0
     return FMCat(
         occ=occ,
@@ -218,7 +229,17 @@ def _rank4(cat: FMCat, occ_base, zoff, i, blk_base=0):
     block = i // blk
     base = cat.occ[block + occ_base]                   # [B, 4]
     rem = i - block * blk
-    words = cat.bwt.reshape(-1, wpb)[block + blk_base]  # [B, wpb]
+    # one [.., 128]-wide row gather + VPU group-select of the block's
+    # wpb words (see build_fmcat: [N, wpb] operands pad 16x on TPU)
+    blkg = block + blk_base
+    rows128 = cat.bwt[blkg >> 4]                       # [B, 128]
+    grp = (blkg & 15)
+    gm = (jax.lax.broadcasted_iota(
+        jnp.int32, rows128.shape, rows128.ndim - 1) // wpb) \
+        == grp[..., None]
+    words = jnp.sum(jnp.where(gm, rows128, 0)
+                    .reshape(rows128.shape[:-1] + (16, wpb)),
+                    axis=-2)                           # [B, wpb]
     nl = jnp.clip(rem[..., None] -
                   16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     shift = (32 - 2 * jnp.clip(nl, 1, 16)).astype(jnp.uint32)
@@ -760,8 +781,8 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
                 + st["sa_base"]) + jumps)
         walkers = m & ~marked
         wpb = cat.occ_every // 16
-        word = _g1(cat.bwt, jnp.where(walkers, (row >> 4) +
-                                       st["blk_base"] * wpb, 0))
+        widx = jnp.where(walkers, (row >> 4) + st["blk_base"] * wpb, 0)
+        word = _sel_col(cat.bwt[widx >> 7], widx & 127)
         sh = (2 * (row & 15)).astype(jnp.uint32)
         ch = ((word >> sh) & 3).astype(jnp.int32)
         r4 = _rank4(cat, st["occ_base"], st["zoff"],
@@ -1391,6 +1412,12 @@ def _machine_step(st, cat: FMCat, jobs, J: int, L: int, nfrag: int,
 
     st = gate(M_RETF, _step_retf, st)  # stack reads before BR's push
     st = gate(M_JOB, lambda s: _step_job(s, cat, jobs, J, L), st)
+    # ADV multi-issue: one LF extension costs ~2 fused kernels while a
+    # full machine step costs ~35 at ~70 us fixed dispatch each, so
+    # advancing the (dominant) ADV lanes several depths per step cuts
+    # total steps ~3x for ~20% more per-step work
+    st = _step_adv(st, cat, jobs, J, L)
+    st = _step_adv(st, cat, jobs, J, L)
     st = _step_adv(st, cat, jobs, J, L)
     st = gate(M_POP, lambda s: _step_pop(s, jobs, J, L), st)
     st = gate(M_REP, lambda s: _step_rep(s, cat, nfrag, n_k, m_max),
