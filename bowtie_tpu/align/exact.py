@@ -47,17 +47,27 @@ def exact_ranges(fm: FMIndexArrays, reads: jnp.ndarray, lens: jnp.ndarray):
     q = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
 
-    ftab_codes = q[:, L - fc:]                                  # [B, fc]
-    ftab_ok = (lens >= fc) & jnp.all(ftab_codes < 4, axis=1)
-    weights = 4 ** jnp.arange(fc - 1, -1, -1, dtype=jnp.int32)
-    foff = jnp.sum(jnp.where(ftab_codes < 4, ftab_codes, 0) * weights,
-                   axis=1)
-    ft_top = fmops.gather1d(fm.ftab_hi, foff)
-    ft_bot = fmops.gather1d(fm.ftab_lo, foff + 1)
     rdt = fm.fchr.dtype
-    top0 = jnp.where(ftab_ok, ft_top, 0).astype(rdt)
-    bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(rdt)
-    start = jnp.where(ftab_ok, L - fc, L)       # first unconsumed column+1
+    if L >= fc:
+        ftab_codes = q[:, L - fc:]                              # [B, fc]
+        ftab_ok = (lens >= fc) & jnp.all(ftab_codes < 4, axis=1)
+        weights = 4 ** jnp.arange(fc - 1, -1, -1, dtype=jnp.int32)
+        foff = jnp.sum(jnp.where(ftab_codes < 4, ftab_codes, 0)
+                       * weights, axis=1)
+        ft_top = fmops.gather1d(fm.ftab_hi, foff)
+        ft_bot = fmops.gather1d(fm.ftab_lo, foff + 1)
+        top0 = jnp.where(ftab_ok, ft_top, 0).astype(rdt)
+        bot0 = jnp.where(ftab_ok, ft_bot, fm.bwt_len).astype(rdt)
+        start = jnp.where(ftab_ok, L - fc, L)   # first unconsumed col+1
+    else:
+        # every read is shorter than ftabChars: the ftab jump never
+        # applies (reads this short resolve via eftab absorption at
+        # build time; query-side we just LF from the full range —
+        # ftabHi/Lo guard at ebwt.h:971-1028)
+        ftab_ok = jnp.zeros(B, bool)
+        top0 = jnp.zeros(B, rdt)
+        bot0 = jnp.broadcast_to(jnp.asarray(fm.bwt_len, rdt), (B,))
+        start = jnp.full(B, L, jnp.int32)
     stop = L - lens                              # consume down to here
 
     cols = jnp.flip(q.T, axis=0)                 # [L, B]: step t = col L-1-t

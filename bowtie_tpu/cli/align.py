@@ -746,7 +746,24 @@ def _run(args, argv, idx, policy, aligner, paired, fmt, cont):
                                  second=False)
                 writer.unaligned(r2, nhits=0, paired=True,
                                  second=True)
-            if any(res.se_hits):
+            if (args.best or args.pev2) and args.reportse:
+                # V2 + --reportse: a pair with no paired alignment is
+                # finished as TWO separate reads through the SE sinks,
+                # so each mate tallies individually in the summary
+                # (observed binary behavior: 10 pairs with 2 unpaired
+                # -> "# reads processed: 12")
+                stats.processed += 1
+                nal = sum(1 for s in res.se_hits if s)
+                stats.aligned += nal
+                stats.failed += 2 - nal
+                for sehits in res.se_hits:
+                    stats.reported += len(sehits)
+                    for h in sehits:
+                        writer.hit(h, xms=len(sehits)) \
+                            if args.sam else writer.hit(h)
+                if not any(res.se_hits) and un_f:
+                    un_f.write_pe(r1, r2)
+            elif any(res.se_hits):
                 stats.aligned += 1
                 for sehits in res.se_hits:
                     stats.reported += len(sehits)
@@ -859,7 +876,11 @@ def _finish(args, stats, t0, out, un_f, al_f, max_f) -> int:
               f"({stats.processed/max(dt,1e-9):.0f} reads/s)",
               file=sys.stderr)
 
-    if not args.quiet:
+    if True:
+        # Summary prints even under --quiet: the reference's HitSink
+        # quiet_ flag (hit.h:279) is never wired to ARG_QUIET, so the
+        # actual binary always emits the end-of-run stats; --quiet
+        # only silences other informational messages.
         # HitSink::finish (hit.h:270-346): without -M, maxed reads
         # count toward "at least one alignment"; with -M the sampled
         # read was tallied as aligned already and the maxed line reads

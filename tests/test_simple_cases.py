@@ -324,6 +324,98 @@ CASES = [
     ("norc_all",       "fq",    ["-v", "1", "--norc", "-a"]),
     ("skip_pe",        "pe",    ["-v", "0", "-s", "2", "-u", "4"]),
     ("best_k2_v3",     "fq",    ["-v", "3", "-k", "2", "--best"]),
+    # --- round-4 breadth additions (simple_tests.pl covers several
+    # hundred cases; these extend toward that surface)
+    # -v/-n x -k/-a/-m sweep on the repeat block
+    ("v0_all",         "fq",    ["-v", "0", "-a"]),
+    ("v2_k4",          "fq",    ["-v", "2", "-k", "4"]),
+    ("v3_a",           "fq",    ["-v", "3", "-a"]),
+    ("n0_k2",          "fq",    ["-n", "0", "-k", "2"]),
+    ("n3_e200",        "fq",    ["-n", "3", "-e", "200"]),
+    ("n3_l18_best",    "fq",    ["-n", "3", "-l", "18", "--best"]),
+    ("a_m2",           "fq",    ["-v", "1", "-a", "-m", "2"]),
+    ("k_huge",         "fq",    ["-v", "1", "-k", "9"]),
+    ("m1_only",        "fq",    ["-v", "0", "-m", "1"]),
+    # --best/--strata/-M interactions
+    ("strata_m1",      "fq",    ["-v", "2", "--best", "--strata",
+                                 "-m", "1"]),
+    ("strata_a_n1",    "fq",    ["-n", "1", "--best", "--strata",
+                                 "-a"]),
+    ("M2_n1",          "fq",    ["-n", "1", "-M", "2", "--best"]),
+    ("M1_seeded",      "fq",    ["-n", "2", "-M", "1", "--best",
+                                 "--seed", "31"]),
+    ("best_nostrata_a", "fq",   ["-v", "2", "-a", "--best"]),
+    ("chunkmbs_best",  "fq",    ["--chunkmbs", "16", "-v", "2",
+                                 "--best"]),
+    # SA-sample re-thinning at load (-o >= index offrate)
+    ("offrate6_v1",    "fq",    ["-o", "6", "-v", "1"]),
+    ("offrate7_n2",    "fq",    ["-o", "7", "-n", "2"]),
+    ("offrate6_pe",    "pe",    ["-o", "6", "-n", "1"]),
+    # --reorder needs -S; deterministic with -p > 1
+    ("reorder_p2_S",   "fq",    ["--reorder", "-p", "2", "-S",
+                                 "-v", "1"]),
+    # PE strand filters + policy
+    ("pe_norc_v1",     "pe",    ["-v", "1", "--norc"]),
+    ("pe_nofw_n2",     "pe",    ["-n", "2", "--nofw"]),
+    ("pe_a_v1",        "pe",    ["-v", "1", "-a"]),
+    ("pe_m1",          "pe",    ["-n", "1", "-m", "1"]),
+    ("pe_M1_best",     "pe",    ["-n", "1", "-M", "1", "--best"]),
+    ("pe_X_wide",      "pe",    ["-X", "600", "-n", "1"]),
+    ("pe_I_eq_X",      "pe",    ["-I", "120", "-X", "120", "-v",
+                                 "0"]),
+    ("pe_pairtries",   "pe",    ["-n", "2", "--pairtries", "1"]),
+    # --pev2 / --reportse (PairedBWAlignerV2 surface)
+    ("pev2_v1",        "pe",    ["--pev2", "-v", "1"]),
+    ("pev2_IX",        "pe",    ["--pev2", "-v", "1", "-I", "70",
+                                 "-X", "150"]),
+    ("pev2_reportse",  "pe",    ["--pev2", "--reportse", "-n", "1"]),
+    ("pe_best_strata", "pe",    ["-n", "2", "--best", "--strata",
+                                 "-m", "2"]),
+    # dumps x mixed --12 / interleaved / strand filters
+    ("tabmix_un_only", "tabmix", ["-n", "1", "--un", "UN"]),
+    ("tabmix_max_m1",  "tabmix", ["-v", "0", "-m", "1", "--max",
+                                  "MAX"]),
+    ("il_max_m1",      "il",    ["-v", "1", "-m", "1", "--max",
+                                 "MAX"]),
+    ("pe_norc_dumps",  "pe",    ["-v", "1", "--norc", "--un", "UN"]),
+    ("fa_max_only",    "fa",    ["-f", "-v", "0", "-m", "1",
+                                 "--max", "MAX"]),
+    ("raw_trim_v1",    "raw",   ["-r", "-5", "1", "-v", "1"]),
+    # -F k,i continuous-FASTA edges
+    ("F_small_ki",     "F",     ["-f", "-F", "8,1", "-v", "0"]),
+    ("F_big_i",        "F",     ["-f", "-F", "30,29", "-n", "1"]),
+    ("F_dumps",        "F",     ["-f", "-F", "20,11", "-v", "0",
+                                 "--un", "UN"]),
+    # skip/limit edges
+    ("skip_past_eof",  "fq",    ["-s", "100", "-v", "0"]),
+    ("upto_one",       "fq",    ["-v", "0", "-u", "1"]),
+    ("skip_pe_dumps",  "pe",    ["-s", "1", "-u", "3", "-v", "1",
+                                 "--un", "UN"]),
+    # seed-length / quality-budget edges
+    ("l_max_seed",     "fq",    ["-n", "2", "-l", "36"]),
+    ("l_gt_read",      "fq",    ["-n", "1", "-l", "50"]),
+    ("e_huge",         "fq",    ["-n", "3", "-e", "500"]),
+    ("intq_e60",       "fqint", ["--integer-quals", "-n", "2",
+                                 "-e", "60"]),
+    ("phred64_v2",     "fq64",  ["--phred64-quals", "-v", "2"]),
+    # SAM shaping
+    ("sam_nosq",       "fq",    ["-S", "--sam-noSQ", "-v", "1"]),
+    ("sam_pe_mapq",    "pe",    ["-n", "1", "-S", "--mapq", "7"]),
+    ("sam_long",       "fqlong", ["-v", "2", "-S"]),
+    # verbose-output shaping
+    ("fullref_verbose", "fq",   ["--fullref", "-v", "0"]),
+    ("suppress_1_5",   "fq",    ["-v", "1", "--suppress", "1,5"]),
+    ("showseed",       "fq",    ["-v", "1", "--showseed",
+                                 "--seed", "5"]),
+    ("quiet_v0",       "fq",    ["--quiet", "-v", "0"]),
+    # long reads (>255 bp) x modes
+    ("long_best",      "fqlong", ["-v", "2", "--best", "-k", "2"]),
+    ("long_n1_l30",    "fqlong", ["-n", "1", "-l", "30", "-e",
+                                  "400"]),
+    ("long_trim",      "fqlong", ["-5", "10", "-3", "10", "-v",
+                                  "2"]),
+    ("long_dumps",     "fqlong", ["-v", "2", "--al", "AL", "--un",
+                                  "UN"]),
 ]
 
 
