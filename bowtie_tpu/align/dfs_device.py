@@ -174,7 +174,7 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
         # 128 u32 pad nothing.  Each index's words are padded to a
         # whole row so per-index block bases stay 16-block aligned.
         def _pad128(w):
-            w = np.asarray(w)
+            w = np.asarray(w).reshape(-1)
             return np.concatenate(
                 [w, np.zeros((-len(w)) % 128, np.uint32)])
         w_fw, w_bw = _pad128(fm_fw.bwt), _pad128(fm_bw.bwt)

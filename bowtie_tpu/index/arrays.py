@@ -73,17 +73,21 @@ class FMIndexArrays:
 
 
 def pack_bwt_words(bwt_codes: np.ndarray) -> np.ndarray:
-    """uint8 codes -> uint32 words, 16 codes/word, low bit-pair first.
-    Padded to a whole number of occ blocks so the word array reshapes
-    cleanly into [nblocks, words_per_block] for row gathers."""
+    """uint8 codes -> uint32 words, 16 codes/word, low bit-pair first,
+    as a tile-exact [rows, 128] matrix (128 u32 = 16 occ blocks per
+    row).  A narrow [nblocks, 8] row-gather operand is either padded
+    16x by the TPU's (8,128) tiling or fetched at descriptor rate
+    (~26 ms per gather against a 2 Gbp index — the round-4 hg-scale
+    regression); 128-wide rows pad nothing and gather at full rate."""
     n = len(bwt_codes)
     nwords = (n + 15) // 16
-    nwords = -(-nwords // WORDS_PER_BLOCK) * WORDS_PER_BLOCK
+    nwords = -(-nwords // 128) * 128
     padded = np.zeros(nwords * 16, dtype=np.uint32)
     padded[:n] = bwt_codes
     lanes = padded.reshape(nwords, 16)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-    return (lanes << shifts).sum(axis=1, dtype=np.uint32)
+    return (lanes << shifts).sum(axis=1,
+                                 dtype=np.uint32).reshape(-1, 128)
 
 
 def build_occ_checkpoints(bwt_codes: np.ndarray, block: int = OCC_BLOCK,

@@ -43,6 +43,29 @@ def gather1d(a: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     return a.reshape(-1, 1)[i][..., 0]
 
 
+def block_words(fm, block: jnp.ndarray) -> jnp.ndarray:
+    """The wpb packed words of checkpoint block `block` from the
+    tile-exact [rows, 128] BWT matrix (see pack_bwt_words): one full-
+    rate 128-wide row gather + a VPU group select of the block's
+    16-block group."""
+    wpb = fm.occ_every // 16
+    rows = fm.bwt[block >> 4]                       # [..., 128]
+    grp = (block & 15).astype(jnp.int32)
+    gm = (jax.lax.broadcasted_iota(
+        jnp.int32, rows.shape, rows.ndim - 1) // wpb) == grp[..., None]
+    return jnp.sum(jnp.where(gm, rows, 0)
+                   .reshape(rows.shape[:-1] + (16, wpb)), axis=-2)
+
+
+def bwt_word_at(fm, widx: jnp.ndarray) -> jnp.ndarray:
+    """Flat word index -> packed word, via the [rows, 128] layout."""
+    rows = fm.bwt[widx >> 7]
+    col = (widx & 127).astype(jnp.int32)
+    m = jax.lax.broadcasted_iota(jnp.int32, rows.shape,
+                                 rows.ndim - 1) == col[..., None]
+    return jnp.sum(jnp.where(m, rows, 0), axis=-1)
+
+
 def select4(table4: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """table4[..., c] without a gather: 4-way one-hot select (VPU)."""
     c = c[..., None]
@@ -92,7 +115,7 @@ def rank1(fm: FMIndexArrays, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
     rem = (i - block * blk).astype(jnp.int32)   # rows past checkpoint
     # shape-polymorphic (scalar or [B]) block-word gather; rows of a
     # [nblocks, wpb] view so TPU vectorizes it
-    words = fm.bwt.reshape(-1, wpb)[block]
+    words = block_words(fm, block)
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnt = base + _count_matches_in_word(
@@ -113,7 +136,7 @@ def rank4(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     block = i // blk
     base = fm.occ[block]                                   # [..., 4]
     rem = (i - block * blk).astype(jnp.int32)
-    words = fm.bwt.reshape(-1, wpb)[block]
+    words = block_words(fm, block)
     nlanes = jnp.clip(rem[..., None] -
                       16 * jnp.arange(wpb, dtype=jnp.int32), 0, 16)
     cnts = jnp.stack(
@@ -136,7 +159,7 @@ def bwt_char(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     """The BWT char at row i (rowL).  Returns stored code; caller must
     treat row zoff specially ('$')."""
     i = jnp.asarray(i, fm.fchr.dtype)
-    word = gather1d(fm.bwt, i // 16)
+    word = bwt_word_at(fm, i // 16)
     return ((word >> (2 * (i % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
 
 
@@ -158,7 +181,7 @@ def lf_row_compact(fm: FMIndexArrays, i: jnp.ndarray) -> jnp.ndarray:
     wpb = blk // 16
     block = i // blk
     rem = (i - block * blk).astype(jnp.int32)
-    words = fm.bwt.reshape(-1, wpb)[block]          # [..., wpb]
+    words = block_words(fm, block)                  # [..., wpb]
     wsel = jnp.arange(wpb, dtype=jnp.int32) == (rem // 16)[..., None]
     w = (words * wsel).sum(axis=-1).astype(jnp.uint32)
     c = ((w >> (2 * (rem % 16).astype(jnp.uint32))) & 3).astype(jnp.int32)
