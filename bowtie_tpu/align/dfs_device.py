@@ -1733,38 +1733,14 @@ class DeviceDFSAligner:
         return self.assemble(reads, out, seeds)
 
     def assemble(self, reads, out, seeds) -> list:
-        from .types import Hit
         # fully vectorized record decode: gather every hit row at once
         # and convert each column to a python list in one pass — the
         # per-read slice/tolist version cost ~24 us/read of host time,
         # which capped the -v engines' end-to-end rate
-        nhits = np.asarray(out["nhits"])
         count_l = np.asarray(out["count"]).tolist()
         ovf = np.asarray(out["overflow"])
-        hits_np = np.asarray(out["hits"])
         seeds_l = np.asarray(seeds).tolist()
-        acgt = (97, 99, 103, 116)
-        nh_eff = np.where(ovf[:len(reads)], 0, nhits[:len(reads)])
-        lanes = np.repeat(np.arange(len(reads)), nh_eff)
-        slots = (np.concatenate([np.arange(n) for n in nh_eff])
-                 if len(lanes) else np.zeros(0, np.int64))
-        recs = hits_np[lanes, slots] if len(lanes) else \
-            np.zeros((0, hits_np.shape[-1]), np.int32)
-        fw_a = (recs[:, 2] & 1).astype(bool)
-        efw_a = ((recs[:, 2] >> 1) & 1).astype(bool)
-        ne_a = recs[:, 6]
-        # mismatch decode, vectorized over the (rare) mm slots
-        offp = np.where((efw_a != fw_a)[:, None],
-                        recs[:, 7:8] - recs[:, 8:8 + MM_SLOTS] - 1,
-                        recs[:, 8:8 + MM_SLOTS])
-        refc = recs[:, 8 + MM_SLOTS:8 + 2 * MM_SLOTS]
-        cols = (recs[:, 0].tolist(), recs[:, 1].tolist(),
-                fw_a.tolist(), recs[:, 3].tolist(),
-                recs[:, 4].tolist(), recs[:, 5].tolist(),
-                ne_a.tolist(), offp.tolist(), refc.tolist())
-        bounds = np.zeros(len(reads) + 1, np.int64)
-        np.cumsum(nh_eff, out=bounds[1:])
-        bounds_l = bounds.tolist()
+        bounds_l, mk = decode_hit_cols(out, len(reads), ovf)
         results = []
         finish = self.policy.finish
         for b, read in enumerate(reads):
@@ -1772,16 +1748,10 @@ class DeviceDFSAligner:
                 self.fallbacks += 1
                 results.append(self._oracle_aligner().align_read(read))
                 continue
-            buffered = []
-            for j in range(bounds_l[b], bounds_l[b + 1]):
-                ne = cols[6][j]
-                mms = sorted((cols[7][j][k], acgt[cols[8][j][k]])
-                             for k in range(ne)) if ne else []
-                buffered.append(Hit(
-                    read=read, fw=cols[2][j], tidx=cols[0][j],
-                    toff=cols[1][j], oms=cols[3][j],
-                    stratum=cols[4][j], cost=cols[5][j], mms=mms))
-            results.append(finish(buffered, count_l[b], seeds_l[b]))
+            results.append(finish(
+                [mk(read, j) for j in range(bounds_l[b],
+                                            bounds_l[b + 1])],
+                count_l[b], seeds_l[b]))
         return results
 
 
@@ -1986,6 +1956,44 @@ def _harvest_poll(st, poll, idxs):
 @partial(jax.jit, static_argnames=("B", "L"))
 def _init_state_jit(seeds, count0, *, B: int, L: int):
     return _init_state(B, L, seeds, count0)
+
+
+def decode_hit_cols(out, n_reads, ovf):
+    """Vectorized decode of a machine-output hits pool: one flat
+    gather + per-column tolist, returning (per-read bounds list, and a
+    Hit maker mk(read, j)) — shared by the DFS and seeded assemblers
+    (per-read numpy slicing costs ~24 us/read)."""
+    from .types import Hit
+    acgt = (97, 99, 103, 116)
+    nhits = np.asarray(out["nhits"])
+    hits_np = np.asarray(out["hits"])
+    nh_eff = np.where(ovf[:n_reads], 0, nhits[:n_reads])
+    lanes = np.repeat(np.arange(n_reads), nh_eff)
+    slots = (np.concatenate([np.arange(n) for n in nh_eff])
+             if len(lanes) else np.zeros(0, np.int64))
+    recs = hits_np[lanes, slots] if len(lanes) else \
+        np.zeros((0, hits_np.shape[-1]), np.int32)
+    fw_a = (recs[:, 2] & 1).astype(bool)
+    efw_a = ((recs[:, 2] >> 1) & 1).astype(bool)
+    offp = np.where((efw_a != fw_a)[:, None],
+                    recs[:, 7:8] - recs[:, 8:8 + MM_SLOTS] - 1,
+                    recs[:, 8:8 + MM_SLOTS])
+    refc = recs[:, 8 + MM_SLOTS:8 + 2 * MM_SLOTS]
+    cols = (recs[:, 0].tolist(), recs[:, 1].tolist(),
+            fw_a.tolist(), recs[:, 3].tolist(),
+            recs[:, 4].tolist(), recs[:, 5].tolist(),
+            recs[:, 6].tolist(), offp.tolist(), refc.tolist())
+    bounds = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(nh_eff, out=bounds[1:])
+
+    def mk(read, j):
+        ne = cols[6][j]
+        mms = sorted((cols[7][j][k], acgt[cols[8][j][k]])
+                     for k in range(ne)) if ne else []
+        return Hit(read=read, fw=cols[2][j], tidx=cols[0][j],
+                   toff=cols[1][j], oms=cols[3][j], stratum=cols[4][j],
+                   cost=cols[5][j], mms=mms)
+    return bounds.tolist(), mk
 
 
 _SLICE_CACHE: dict = {}

@@ -607,44 +607,39 @@ class DeviceNAligner(DeviceDFSAligner):
         return cache[key](st_a, gated_d, bc, bq, bp, qr)
 
     def _assemble_n(self, reads, out_a, out_b, seeds, gated) -> list:
+        from .dfs_device import decode_hit_cols
+        n = len(reads)
+        ova = np.asarray(out_a["overflow"])[:n].copy()
+        if out_b is not None:
+            ovb = np.asarray(out_b["overflow"])[:n]
+        else:
+            ovb = np.zeros(n, bool)
+        ovf = ova | ovb
+        ca = np.asarray(out_a["count"]).tolist()
+        ra = np.asarray(out_a["result"]).tolist()
+        bounds_a, mk_a = decode_hit_cols(out_a, n, ovf)
+        if out_b is not None:
+            cb = np.asarray(out_b["count"]).tolist()
+            bounds_b, mk_b = decode_hit_cols(out_b, n, ovf)
+        seeds_l = np.asarray(seeds).tolist()
         results = []
+        finish = self.policy.finish
         for b, read in enumerate(reads):
             if gated[b]:
-                results.append(self.policy.finish([], 0, int(seeds[b])))
+                results.append(finish([], 0, seeds_l[b]))
                 continue
-            if bool(out_a["overflow"][b]) or \
-                    (out_b is not None and bool(out_b["overflow"][b])):
+            if ovf[b]:
                 self.fallbacks += 1
                 results.append(self._oracle_aligner().align_read(read))
                 continue
             # merged sink stream: A-hits then B-hits, final count
-            hits = self._raw_hits(read, out_a, b)
-            count = int(out_a["count"][b])
-            if out_b is not None and out_a["result"][b] == 0:
-                hits += self._raw_hits(read, out_b, b)
-                count = int(out_b["count"][b])
-            results.append(self.policy.finish(hits, count,
-                                              int(seeds[b])))
+            hits = [mk_a(read, j) for j in range(bounds_a[b],
+                                                 bounds_a[b + 1])]
+            count = ca[b]
+            if out_b is not None and ra[b] == 0:
+                hits += [mk_b(read, j) for j in range(bounds_b[b],
+                                                      bounds_b[b + 1])]
+                count = cb[b]
+            results.append(finish(hits, count, seeds_l[b]))
         return results
 
-    def _raw_hits(self, read, out, b):
-        from .types import Hit
-        from .dfs_device import MM_SLOTS
-        hits = []
-        nh = int(out["nhits"][b])
-        recs = np.asarray(out["hits"][b, :nh]).tolist() if nh else ()
-        for rec in recs:
-            fw = bool(rec[2] & 1)
-            ebwt_fw = bool((rec[2] >> 1) & 1)
-            qlen = rec[7]
-            mms = []
-            for k in range(rec[6]):
-                pos = rec[8 + k]
-                refc = rec[8 + MM_SLOTS + k]
-                off = qlen - pos - 1 if (ebwt_fw != fw) else pos
-                mms.append((off, (97, 99, 103, 116)[refc]))
-            hits.append(Hit(read=read, fw=fw, tidx=rec[0],
-                            toff=rec[1], oms=rec[3],
-                            stratum=rec[4], cost=rec[5],
-                            mms=sorted(mms)))
-        return hits
