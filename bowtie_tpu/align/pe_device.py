@@ -407,6 +407,14 @@ class DevicePairedBestAligner:
         # so the cap sits near the hits-pool bound to keep those rare).
         # -k>1/-a/-m/-M chase every range, so record uncapped there.
         self.rec_cap = 12 if not policy.want_all_rows() else None
+        # with the device interleave, escalation costs one batched
+        # re-record instead of a host replay chain, and measured
+        # fixture runs decide every pair from the FIRST range of each
+        # stream — so freeze prolific lanes immediately
+        if (policy.n == 1 and policy.max == 0xFFFFFFFF
+                and os.environ.get("BOWTIE_TPU_PE_ILV", "1")
+                not in ("", "0")):
+            self.rec_cap = 1
         # device interleave (pe_ilv_device): covers the default -k 1
         # policy; other policies replay on host
         from .policy import INF as _PINF
