@@ -13,11 +13,26 @@ transfers over its tunnel are slow).  The end-to-end modes ( -v 1,
 -n 2, --best) time `align_batch` calls, which include job building,
 device search, result download and per-read result assembly — the
 whole user-visible path minus file I/O.
+
+Round-5 hardening (round-4 verdict ask #1 — BOTH driver artifacts
+timed out at rc 124 in round 4, losing the hg-scale evidence for the
+fourth consecutive round):
+ - a global wall-clock budget (env BOWTIE_TPU_BENCH_BUDGET, default
+   960 s): every section declares an estimated cost and is skipped
+   WITH A RECORDED JSON LINE when the remaining budget can't cover it;
+ - hg-scale rows moved BEFORE the slow PE section and emitted
+   incrementally (each row prints the moment its rate is known, with
+   its oracle number attached only if budget remains);
+ - the running summary line is re-printed after every section, so even
+   a hard kill leaves a complete summary as the last parsed JSON line;
+ - SIGTERM prints the final summary before exiting (timeout(1) still
+   reports rc 124 on a late kill, but the tail keeps the evidence).
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -28,9 +43,47 @@ import numpy as np
 BASELINE_READS_PER_SEC = 7000.0
 _HERE = os.path.dirname(os.path.abspath(__file__))
 ORACLE = os.path.join(_HERE, ".oracle", "bowtie-align-s")
+_T0 = time.time()
+BUDGET = float(os.environ.get("BOWTIE_TPU_BENCH_BUDGET", "960"))
+MODES: dict = {}
+_FLAGSHIP = {"v": 0.0}
 
 
-def _emit(metric, reads_per_sec, extra=None, oracle=None):
+def _left() -> float:
+    return BUDGET - (time.time() - _T0)
+
+
+def _summary():
+    """The driver parses the LAST JSON line; re-print the running
+    summary after every section so a mid-run kill still leaves a
+    complete record."""
+    print(json.dumps({
+        "metric": "exact-search+resolve reads/s/chip (e_coli, 36bp, "
+                  "fw+rc)",
+        "value": round(_FLAGSHIP["v"], 1),
+        "unit": "reads/s",
+        "vs_baseline": round(_FLAGSHIP["v"] / BASELINE_READS_PER_SEC, 2),
+        "elapsed_s": round(time.time() - _T0, 1),
+        **({"backend": _FLAGSHIP["backend"]}
+           if "backend" in _FLAGSHIP else {}),
+        "modes": {k: {"reads_per_sec": v["value"],
+                      "vs_baseline": v["vs_baseline"],
+                      **({"oracle_reads_per_sec":
+                          v["oracle_reads_per_sec"],
+                          "vs_oracle": v["vs_oracle"]}
+                         if "vs_oracle" in v else {}),
+                      **({"fallbacks": v["fallbacks"]}
+                         if "fallbacks" in v else {})}
+                  for k, v in MODES.items()},
+    }), flush=True)
+
+
+def _sigterm(_sig, _frm):
+    _summary()
+    os._exit(0)
+
+
+def _emit(metric, reads_per_sec, extra=None, oracle=None, key=None):
     rec = {
         "metric": metric,
         "value": round(reads_per_sec, 1),
@@ -43,7 +96,15 @@ def _emit(metric, reads_per_sec, extra=None, oracle=None):
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
+    if key:
+        MODES[key] = rec
     return rec
+
+
+def _skip(metric, est):
+    print(json.dumps({"metric": metric,
+                      "skipped": f"budget ({_left():.0f}s left < "
+                                 f"{est:.0f}s estimated)"}), flush=True)
 
 
 def _replicate_fastq(src_paths, n, out_paths):
@@ -63,7 +124,7 @@ def bench_oracle(cfg, idx, n=16384, paired=False,
                  src1="/root/reference/reads/e_coli_1000_1.fq",
                  src2="/root/reference/reads/e_coli_1000_2.fq",
                  srcu="/root/reference/reads/e_coli_1000.fq",
-                 reads_files=None):
+                 reads_files=None, calib_runs=2):
     """Time the actual bowtie 1.3.1 binary (one core of THIS host) on
     the same index + read set, so every mode row carries the real
     competitor's number, not just the 2009 published baseline
@@ -94,7 +155,7 @@ def bench_oracle(cfg, idx, n=16384, paired=False,
             if r.returncode != 0:
                 raise RuntimeError(r.stderr.decode()[:200])
             return time.time() - t0
-        t_load = min(run(tiny) for _ in range(2))
+        t_load = min(run(tiny) for _ in range(calib_runs))
         dt = run(reads_files) - t_load
         return n / max(dt, 1e-9)
 
@@ -109,15 +170,20 @@ def bench_exact(idx, reads):
 
     fm = from_ebwt(idx, occ_every=1, dense_sa=True)
     base = [r.codes_fw for r in reads]
-    B = 524288
-    ITERS = 10
+    N = len(base)
+    # vectorized staging (the old per-row Python loops cost minutes at
+    # this batch size and nearly blew the round-4 driver budget)
+    mat_all, lens_all = right_align(
+        base + [revcomp_codes(b) for b in base], pad_to=36)
+    B = 262144
+    ITERS = 6
     batches = []
+    i = np.arange(B)
     for it in range(ITERS + 1):
-        codes = [base[(i + it * 37) % len(base)] if (i + it) % 2 == 0
-                 else revcomp_codes(base[(i + it * 41) % len(base)])
-                 for i in range(B)]
-        mat, lens = right_align(codes, pad_to=36)
-        batches.append((jnp.asarray(mat), jnp.asarray(lens)))
+        sel = np.where((i + it) % 2 == 0, (i + it * 37) % N,
+                       N + (i + it * 41) % N)
+        batches.append((jnp.asarray(mat_all[sel]),
+                        jnp.asarray(lens_all[sel])))
 
     @jax.jit
     def bench_step(fm, reads_d, lens):
@@ -168,47 +234,57 @@ def bench_aligner(make, reads, total, batch):
     return total / dt, fb
 
 
-def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
-             ITERS=4, v1_n=16384, n2_n=8192):
-    """hg-scale benchmark: exact search + walk-left resolve against a
-    ~3 Gbp synthetic genome index in the compact device layout
-    (occ checkpoints every 128 rows + packed 2-bit BWT + 2^offRate SA
-    sample; ~1.5 GB HBM) — the BASELINE.json hg-scale metric."""
-    import os
+def bench_hg(base=None, B=262144, ITERS=3, v1_n=8192, n2_n=4096,
+             skip_exact=False):
+    """hg-scale benchmark (the BASELINE.json hg-scale metric): exact
+    search + walk-left resolve against a multi-Gbp synthetic genome
+    index in the compact device layout (occ checkpoints every 128 rows
+    + packed 2-bit BWT + 2^offRate SA sample).  Emits each row the
+    moment its rate is known so a budget kill can't lose earlier rows
+    (round-4 lesson)."""
     import jax
     import jax.numpy as jnp
     from bowtie_tpu.index.ebwt_io import read_ebwt
     from bowtie_tpu.index.arrays import from_ebwt
-    from bowtie_tpu.align.exact import right_align
     from bowtie_tpu.parallel.mesh import sharded_align_step
 
     # a bench run during the multi-hour build must not read
     # half-written files: read_ebwt raises EOFError on a truncated
-    # index, which maps to an explicit SKIPPED record
-    try:
-        idx = read_ebwt(base)
-    except (FileNotFoundError, EOFError) as e:
+    # index.  Prefer the largest (>2^31 bp) index when fully built;
+    # fall back to the next candidate while a build is in flight.
+    idx = None
+    for cand in ([base] if base else ["/root/hg_full/hg_synth",
+                                      "/root/hg_synth/hg_synth"]):
+        try:
+            idx = read_ebwt(cand)
+            base = cand
+            break
+        except (FileNotFoundError, EOFError):
+            continue
+    if idx is None:
         print(json.dumps({
             "metric": "hg-scale modes",
-            "hg": f"SKIPPED — index not (fully) built ({e})"[:160],
+            "hg": "SKIPPED — no hg index (fully) built",
             "hint": "python scripts/make_hg_synth.py /root/hg_synth",
         }), flush=True)
-        return None
-    fm = from_ebwt(idx, occ_every=128, dense_sa=False)
+        return
+    fm = None if skip_exact else from_ebwt(idx, occ_every=128,
+                                           dense_sa=False)
     # reads sampled from the genome itself (N-free 35-mers)
     rng = np.random.default_rng(7)
     from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
                                           unpack_reference)
     recs, packed = read_bitpair_reference(base)
     refs = unpack_reference(recs, packed)
-    big = max(refs, key=len)
+    big = np.asarray(max(refs, key=len))
     batches = []
     for it in range(ITERS + 1):
         pos = rng.integers(0, len(big) - 36, B)
-        codes = [np.where(big[p:p + 35] > 3, 0,
-                          big[p:p + 35]).astype(np.uint8)
-                 for p in pos]
-        mat, lens = right_align(codes, pad_to=36)
+        win = big[pos[:, None] + np.arange(35)]
+        win = np.where(win > 3, 0, win).astype(np.uint8)
+        mat = np.concatenate(
+            [np.full((B, 1), 4, np.uint8), win], axis=1)
+        lens = np.full(B, 35, np.int32)
         batches.append((jnp.asarray(mat), jnp.asarray(lens)))
     del refs, packed, big
 
@@ -218,34 +294,66 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
         return (jnp.sum(k.astype(jnp.int32)) + jnp.sum(o % 7) +
                 jnp.sum(b - t))
 
-    found = int(bench_step(fm, *batches[0]))
-    t0 = time.time()
-    for it in range(1, ITERS + 1):
-        found += int(bench_step(fm, *batches[it]))
-    dt = time.time() - t0
-    hbm = sum(int(np.asarray(x).nbytes) for x in
-              (fm.bwt, fm.occ, fm.offs, fm.ftab_hi, fm.ftab_lo))
+    glen = idx.length
+    if not skip_exact:
+        found = int(bench_step(fm, *batches[0]))
+        t0 = time.time()
+        for it in range(1, ITERS + 1):
+            found += int(bench_step(fm, *batches[it]))
+        dt = time.time() - t0
+        hbm = sum(int(np.asarray(x).nbytes) for x in
+                  (fm.bwt, fm.occ, fm.offs, fm.ftab_hi, fm.ftab_lo))
+        exact_rate = (B * ITERS) / dt
 
-    # -v 1 end-to-end on the same hg-scale index (compact layout, DFS
-    # engine): the second half of BASELINE.json's hg-scale metric.
-    # Mutate a realistic fraction of the genome-sampled reads (which
-    # would otherwise ALL take the exact-hit fast path): ~35% stay
-    # exact, ~40% get 1 mismatch, ~15% get 2, ~10% are garbage.
+    # oracle fq files for the hg index (written once, reused per mode)
+    td_obj = tempfile.TemporaryDirectory()
+    td = td_obj.name
+    exact_fq = td + "/hg_exact.fq"
+    with open(exact_fq, "wb") as f:
+        m0 = np.asarray(batches[0][0])
+        l0 = np.asarray(batches[0][1])
+        for i in range(32768):
+            r = m0[i % m0.shape[0]]
+            nch = int(l0[i % l0.shape[0]])
+            seq = bytes(b"ACGT"[c] for c in r[-nch:])
+            f.write(b"@e%d\n" % i + seq + b"\n+\n" + b"I" * nch + b"\n")
+
+    def hg_oracle(key, cfg, fq, nr, est):
+        if _left() < est:
+            return None
+        try:
+            return bench_oracle(cfg, base, n=nr, reads_files=[fq],
+                                calib_runs=1)
+        except Exception as e:
+            print(json.dumps({"metric": f"hg oracle {key}",
+                              "error": str(e)[:160]}), flush=True)
+            return None
+
+    if not skip_exact:
+        _emit(f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp "
+              f"synthetic genome, compact layout, {hbm/1e9:.2f} GB "
+              "HBM)",
+              exact_rate, {"genome_bp": int(glen), "hbm_bytes": hbm},
+              oracle=hg_oracle("exact", ["-v", "0"], exact_fq, 32768,
+                               120),
+              key="hg_exact")
+        _summary()
+        del fm
+
+    # mutated read set for -v 1 / -n 2 (realistic mix: ~35% exact,
+    # ~40% 1mm, ~15% 2mm, ~10% garbage)
     from bowtie_tpu.io.readers import ReadRecord
     from bowtie_tpu.align.dfs_device import DeviceDFSAligner
     from bowtie_tpu.align.policy import INF, KPolicy
     try:
         idx_bw = read_ebwt(base + ".rev")
-    except (FileNotFoundError, EOFError) as e:
-        # mirror still building: report the exact row alone
+    except (FileNotFoundError, EOFError):
         print(json.dumps({
             "metric": "hg-scale -v1/-n2",
-            "hg": f"SKIPPED — mirror index not (fully) built"}),
+            "hg": "SKIPPED — mirror index not (fully) built"}),
             flush=True)
-        return (B * ITERS) / dt, None, None, idx.length, hbm
-    al = DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1,
-                          compact=True)
-    recs = []
+        return
+    recs_l = []
     mat0 = np.asarray(batches[0][0])
     lens0 = np.asarray(batches[0][1])
     for i in range(2 * v1_n):
@@ -261,62 +369,66 @@ def bench_hg(base="/root/hg_synth/hg_synth", B=262144,
                 p = int(rng.integers(0, n))
                 codes[p] = (codes[p] + 1 + rng.integers(0, 3)) % 4
         seq = bytes(b"ACGT"[c] for c in codes)
-        recs.append(ReadRecord(name=b"hg%d" % i, seq=seq,
-                               qual=b"I" * n, rdid=i))
-    al.align_batch(recs[v1_n:])              # warm-up / compile
-    t0 = time.time()
-    nn = len(al.align_batch(recs[:v1_n]))
-    v1_rate = nn / (time.time() - t0)
+        recs_l.append(ReadRecord(name=b"hg%d" % i, seq=seq,
+                                 qual=b"I" * n, rdid=i))
+    mut_fq = td + "/hg_mut.fq"
+    with open(mut_fq, "wb") as f:
+        for r in recs_l[:v1_n]:
+            f.write(b"@" + r.name + b"\n" + r.seq + b"\n+\n"
+                    + r.qual + b"\n")
 
-    # -n 2 (the default mode) at hg scale on the compact layout
+    if _left() < 150:
+        _skip("hg-scale -v 1 end-to-end reads/s/chip", 150)
+        return
+    try:
+        al = DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1,
+                              compact=True)
+    except ValueError as e:
+        # device engines don't accept this index (row-dtype limit):
+        # run the backtracking rows on the next-largest index instead
+        alt = "/root/hg_synth/hg_synth"
+        if base != alt:
+            print(json.dumps({
+                "metric": "hg-scale -v1/-n2",
+                "note": f"falling back to {alt} ({e})"[:200]}),
+                flush=True)
+            return bench_hg(base=alt, B=16384, ITERS=0, v1_n=v1_n,
+                            n2_n=n2_n, skip_exact=True)
+        raise
+    al.align_batch(recs_l[v1_n:])            # warm-up / compile
+    t0 = time.time()
+    nn = len(al.align_batch(recs_l[:v1_n]))
+    v1_rate = nn / (time.time() - t0)
+    _emit(f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f}"
+          " Gbp synthetic genome, compact layout)", v1_rate,
+          oracle=hg_oracle("v1", ["-v", "1"], mut_fq, v1_n, 90),
+          key="hg_v1")
+    _summary()
+
+    if _left() < 150:
+        _skip("hg-scale -n 2 end-to-end reads/s/chip", 150)
+        return
     from bowtie_tpu.align.n_device import DeviceNAligner
     al2 = DeviceNAligner(idx, idx_bw, KPolicy(1, INF), compact=True)
-    al2.align_batch(recs[n2_n:2 * n2_n])     # warm-up / compile
+    al2.align_batch(recs_l[n2_n:2 * n2_n])   # warm-up / compile
     t0 = time.time()
-    nn = len(al2.align_batch(recs[:n2_n]))
+    nn = len(al2.align_batch(recs_l[:n2_n]))
     n2_rate = nn / (time.time() - t0)
-
-    # the reference binary on the SAME hg index + read sets (one core
-    # of this host) — the round-3 verdict's missing comparison
-    oracle_rates = {}
-    if os.path.exists(ORACLE):
-        with tempfile.TemporaryDirectory() as td:
-            exact_fq = td + "/hg_exact.fq"
-            with open(exact_fq, "wb") as f:
-                m0 = np.asarray(batches[0][0])
-                l0 = np.asarray(batches[0][1])
-                for i in range(65536):
-                    r = m0[i % m0.shape[0]]
-                    nch = int(l0[i % l0.shape[0]])
-                    seq = bytes(b"ACGT"[c] for c in r[-nch:])
-                    f.write(b"@e%d\n" % i + seq + b"\n+\n"
-                            + b"I" * nch + b"\n")
-            mut_fq = td + "/hg_mut.fq"
-            with open(mut_fq, "wb") as f:
-                for r in recs[:v1_n]:
-                    f.write(b"@" + r.name + b"\n" + r.seq + b"\n+\n"
-                            + r.qual + b"\n")
-            for key, cfg, fq, nr in [
-                    ("exact", ["-v", "0"], exact_fq, 65536),
-                    ("v1", ["-v", "1"], mut_fq, v1_n),
-                    ("n2", ["-n", "2"], mut_fq, v1_n)]:
-                try:
-                    oracle_rates[key] = bench_oracle(
-                        cfg, base, n=nr, reads_files=[fq])
-                except Exception as e:
-                    print(json.dumps({"metric": f"hg oracle {key}",
-                                      "error": str(e)[:160]}),
-                          flush=True)
-
-    return ((B * ITERS) / dt, v1_rate, n2_rate, idx.length, hbm,
-            oracle_rates)
+    _emit(f"hg-scale -n 2 end-to-end reads/s/chip ({glen/1e9:.2f}"
+          " Gbp synthetic genome, compact layout)", n2_rate,
+          oracle=hg_oracle("n2", ["-n", "2"], mut_fq, v1_n, 90),
+          key="hg_n2")
+    _summary()
 
 
-def _guard(modes, key, metric, fn, extra_keys=()):
-    """Run one bench mode; a failure records the error instead of
-    killing the whole bench (the driver needs the summary line even if
-    one mode trips on a flaky tunnel)."""
+def _section(metric, est, fn):
+    """Run one bench section under the global budget; a failure records
+    the error instead of killing the whole bench (the driver needs the
+    summary line even if one mode trips on a flaky tunnel)."""
     import traceback
+    if _left() < est:
+        _skip(metric, est)
+        return None
     try:
         r = fn()
     except Exception as e:
@@ -324,10 +436,58 @@ def _guard(modes, key, metric, fn, extra_keys=()):
         print(json.dumps({"metric": metric, "error": str(e)[:200]}),
               flush=True)
         return None
+    _summary()
     return r
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache (same dir as the CLI): repeat
+    bench runs then deserialize executables instead of recompiling —
+    the difference between fitting the driver budget and rc 124."""
+    import jax
+    cache = os.environ.get("BOWTIE_TPU_CACHE",
+                           os.path.expanduser("~/.cache/bowtie-tpu-xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1)
+    except Exception:
+        pass
+
+
+def _probe_backend(timeout=150):
+    """The remote TPU tunnel can wedge (observed: jax.devices() hangs
+    forever).  Probe it in a subprocess with a hard timeout; on
+    failure, force the CPU backend so the bench still lands a
+    complete, honestly-labeled artifact instead of rc 124."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout)
+        plat = r.stdout.decode().strip().split()[-1] if r.stdout else ""
+        if r.returncode == 0 and plat:
+            return plat
+    except subprocess.TimeoutExpired:
+        pass
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps({
+        "metric": "backend probe",
+        "warning": "accelerator backend unavailable (probe timeout) — "
+                   "falling back to CPU; rates below are NOT chip "
+                   "rates"}), flush=True)
+    return "cpu-fallback"
+
+
 def main():
+    signal.signal(signal.SIGTERM, _sigterm)
+    _enable_compile_cache()
+    backend = _probe_backend()
+    if backend == "cpu-fallback":
+        _FLAGSHIP["backend"] = backend
     from bowtie_tpu.index.ebwt_io import read_ebwt
     from bowtie_tpu.io.readers import ReadSource
     from bowtie_tpu.align.policy import INF, KPolicy
@@ -336,7 +496,6 @@ def main():
     idx_bw = read_ebwt("/root/reference/indexes/e_coli.rev")
     src = ReadSource(["/root/reference/reads/e_coli_1000.fq"], "fastq")
     reads = [r for r in src.records()]
-    modes = {}
 
     ecoli = "/root/reference/indexes/e_coli"
 
@@ -349,84 +508,83 @@ def main():
             return None
 
     # flagship: exact search+resolve kernel
-    v0 = bench_exact(idx, reads)
-    modes["v0_exact_kernel"] = _emit(
-        "exact-search+resolve reads/s/chip (e_coli, 36bp, fw+rc)", v0,
-        oracle=oracle("v0", ["-v", "0"], n=65536))
+    def run_v0():
+        v0 = bench_exact(idx, reads)
+        _FLAGSHIP["v"] = v0
+        _emit("exact-search+resolve reads/s/chip (e_coli, 36bp, fw+rc)",
+              v0, oracle=oracle("v0", ["-v", "0"], n=65536),
+              key="v0_exact_kernel")
+    _section("exact-search+resolve reads/s/chip", 100, run_v0)
+
+    # hg-scale rows EARLY (round-4 lesson: they were last and got cut)
+    _section("hg-scale modes", 240, bench_hg)
 
     # -v 1 end-to-end (device DFS engine)
-    def mk_v1():
+    def run_v1():
         from bowtie_tpu.align.dfs_device import DeviceDFSAligner
-        return DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1)
-    out = _guard(modes, "v1", "-v 1 end-to-end reads/s/chip",
-                 lambda: bench_aligner(mk_v1, reads, 32768, 16384))
-    if out:
-        modes["v1"] = _emit("-v 1 end-to-end reads/s/chip", out[0],
-                            {"fallbacks": out[1]},
-                            oracle=oracle("v1", ["-v", "1"], n=65536))
+        def mk():
+            return DeviceDFSAligner(idx, idx_bw, KPolicy(1, INF), v=1)
+        rate, fb = bench_aligner(mk, reads, 32768, 16384)
+        _emit("-v 1 end-to-end reads/s/chip", rate, {"fallbacks": fb},
+              oracle=oracle("v1", ["-v", "1"], n=65536), key="v1")
+    _section("-v 1 end-to-end reads/s/chip", 110, run_v1)
 
     # -n 2 end-to-end (device seeded engine, bowtie's default mode)
-    def mk_n2():
+    def run_n2():
         from bowtie_tpu.align.n_device import DeviceNAligner
-        return DeviceNAligner(idx, idx_bw, KPolicy(1, INF))
-    out = _guard(modes, "n2", "-n 2 end-to-end reads/s/chip",
-                 lambda: bench_aligner(mk_n2, reads, 32768, 16384))
-    if out:
-        modes["n2"] = _emit(
-            "-n 2 (default mode) end-to-end reads/s/chip",
-            out[0], {"fallbacks": out[1]},
-            oracle=oracle("n2", ["-n", "2"], n=32768))
+        def mk():
+            return DeviceNAligner(idx, idx_bw, KPolicy(1, INF))
+        rate, fb = bench_aligner(mk, reads, 32768, 16384)
+        _emit("-n 2 (default mode) end-to-end reads/s/chip", rate,
+              {"fallbacks": fb},
+              oracle=oracle("n2", ["-n", "2"], n=32768), key="n2")
+    _section("-n 2 end-to-end reads/s/chip", 130, run_n2)
 
     # -v 2 --best end-to-end (device best-first engine)
-    def mk_best():
+    def run_best():
         from bowtie_tpu.align.best_device import DeviceBestAligner
-        return DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
-                                 strata=False, all_hits=False)
-    out = _guard(modes, "v2_best", "-v 2 --best end-to-end reads/s/chip",
-                 lambda: bench_aligner(mk_best, reads, 32768, 16384))
-    if out:
-        modes["v2_best"] = _emit("-v 2 --best end-to-end reads/s/chip",
-                                 out[0], {"fallbacks": out[1]},
-                                 oracle=oracle("v2_best",
-                                               ["-v", "2", "--best"],
-                                               n=32768))
+        def mk():
+            return DeviceBestAligner(idx, idx_bw, KPolicy(1, INF), v=2,
+                                     strata=False, all_hits=False)
+        rate, fb = bench_aligner(mk, reads, 32768, 16384)
+        _emit("-v 2 --best end-to-end reads/s/chip", rate,
+              {"fallbacks": fb},
+              oracle=oracle("v2_best", ["-v", "2", "--best"], n=32768),
+              key="v2_best")
+    _section("-v 2 --best end-to-end reads/s/chip", 130, run_best)
 
-    # paired-end, device-recorded anchor streams + host replay
+    # paired-end
     src1 = ReadSource(["/root/reference/reads/e_coli_1000_1.fq"],
                       "fastq")
     src2 = ReadSource(["/root/reference/reads/e_coli_1000_2.fq"],
                       "fastq")
     p1, p2 = list(src1.records()), list(src2.records())
+    pe_oracle = {"v": None}
 
-    def mk_pe_dev():
+    def run_pe_dev():
         from bowtie_tpu.align.pe_device import DevicePairedBestAligner
         from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
                                               unpack_reference)
-        recs, packed = read_bitpair_reference(
-            "/root/reference/indexes/e_coli")
+        recs, packed = read_bitpair_reference(ecoli)
         refs = unpack_reference(recs, packed)
-        return DevicePairedBestAligner(idx, idx_bw, refs,
-                                       KPolicy(1, INF))
-    def run_pe_dev():
+        pe_dev = DevicePairedBestAligner(idx, idx_bw, refs,
+                                         KPolicy(1, INF))
         pairs_big = list(zip(_replicate(p1, 8192 + 2048),
                              _replicate(p2, 8192 + 2048)))
-        pe_dev = mk_pe_dev()
         pe_dev.align_batch(pairs_big[8192:])     # warm-up / compile
         t0 = time.time()
         n = 0
         for i in range(0, 8192, 2048):
             n += len(pe_dev.align_batch(pairs_big[i:i + 2048]))
-        return n / (time.time() - t0), pe_dev.fallbacks
-    out = _guard(modes, "pe_n2_device",
-                 "paired -n 2 end-to-end reads/s/chip (device)",
-                 run_pe_dev)
-    pe_oracle_pairs = oracle("pe_n2", ["-n", "2"], n=16384, paired=True)
-    if out:
-        modes["pe_n2_device"] = _emit(
-            "paired -n 2 end-to-end pairs/s/chip (device)",
-            out[0], {"fallbacks": out[1],
-                     "reads_per_sec": round(2 * out[0], 1)},
-            oracle=pe_oracle_pairs)
+        rate = n / (time.time() - t0)
+        pe_oracle["v"] = oracle("pe_n2", ["-n", "2"], n=16384,
+                                paired=True)
+        _emit("paired -n 2 end-to-end pairs/s/chip (device)", rate,
+              {"fallbacks": pe_dev.fallbacks,
+               "reads_per_sec": round(2 * rate, 1)},
+              oracle=pe_oracle["v"], key="pe_n2_device")
+    _section("paired -n 2 end-to-end pairs/s/chip (device)", 170,
+             run_pe_dev)
 
     # paired-end host engine (parity/reference point)
     def run_pe_host():
@@ -435,8 +593,7 @@ def main():
             make_paired_best_aligner
         from bowtie_tpu.index.ebwt_io import (read_bitpair_reference,
                                               unpack_reference)
-        recs, packed = read_bitpair_reference(
-            "/root/reference/indexes/e_coli")
+        recs, packed = read_bitpair_reference(ecoli)
         refs = unpack_reference(recs, packed, plen=idx.plen)
         pe_al = make_paired_best_aligner(
             GoldenFM(idx), GoldenFM(idx_bw), refs, KPolicy(1, INF))
@@ -444,50 +601,13 @@ def main():
         pe_al.align_batch(pairs[:64])            # warm-up
         t0 = time.time()
         pe_al.align_batch(pairs)
-        return len(pairs) / (time.time() - t0)
-    r = _guard(modes, "pe_n2", "paired -n 2 reads/s (host engine)",
-               run_pe_host)
-    if r:
-        modes["pe_n2"] = _emit("paired -n 2 pairs/s (host engine)", r,
-                               {"reads_per_sec": round(2 * r, 1)},
-                               oracle=pe_oracle_pairs)
+        rate = len(pairs) / (time.time() - t0)
+        _emit("paired -n 2 pairs/s (host engine)", rate,
+              {"reads_per_sec": round(2 * rate, 1)},
+              oracle=pe_oracle["v"], key="pe_n2")
+    _section("paired -n 2 pairs/s (host engine)", 60, run_pe_host)
 
-    # hg-scale exact (compact layout) when the synthetic index exists
-    hg = _guard(modes, "hg", "hg-scale modes", bench_hg)
-    if hg is not None:
-        r, v1r, n2r, glen, hbm, orc = (hg if len(hg) == 6
-                                       else (*hg, {}))
-        modes["hg_exact"] = _emit(
-            f"hg-scale exact reads/s/chip ({glen/1e9:.2f} Gbp synthetic"
-            f" genome, compact layout, {hbm/1e9:.2f} GB HBM)", r,
-            {"genome_bp": glen, "hbm_bytes": hbm},
-            oracle=orc.get("exact"))
-        if v1r is not None:
-            modes["hg_v1"] = _emit(
-                f"hg-scale -v 1 end-to-end reads/s/chip ({glen/1e9:.2f}"
-                " Gbp synthetic genome, compact layout)", v1r,
-                oracle=orc.get("v1"))
-        if n2r is not None:
-            modes["hg_n2"] = _emit(
-                f"hg-scale -n 2 end-to-end reads/s/chip ({glen/1e9:.2f}"
-                " Gbp synthetic genome, compact layout)", n2r,
-                oracle=orc.get("n2"))
-
-    # summary line: flagship value + all modes
-    print(json.dumps({
-        "metric": "exact-search+resolve reads/s/chip (e_coli, 36bp, "
-                  "fw+rc)",
-        "value": round(v0, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(v0 / BASELINE_READS_PER_SEC, 2),
-        "modes": {k: {"reads_per_sec": v["value"],
-                      "vs_baseline": v["vs_baseline"],
-                      **({"oracle_reads_per_sec":
-                          v["oracle_reads_per_sec"],
-                          "vs_oracle": v["vs_oracle"]}
-                         if "vs_oracle" in v else {})}
-                  for k, v in modes.items()},
-    }))
+    _summary()
 
 
 if __name__ == "__main__":
