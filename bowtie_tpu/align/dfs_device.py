@@ -88,6 +88,30 @@ def _sel_col(arr, idx):
     return jnp.sum(jnp.where(m, arr, 0), axis=-1)
 
 
+# Rows are carried as int32 BIT PATTERNS of uint32 values: genomes up
+# to the reference's small-index limit (2^32-1 bp, btypes.h TIndexOffU)
+# keep every add/sub/mask exact under modular arithmetic, and the few
+# ORDERED row comparisons go through the sign-bias flip below (exact
+# unsigned order; a no-op change for values < 2^31, i.e. every genome
+# the engines handled before round 5).
+_UBIAS = jnp.int32(-2147483648)
+
+
+def _ult(a, b):
+    """Unsigned a < b on int32 bit patterns."""
+    return (a ^ _UBIAS) < (b ^ _UBIAS)
+
+
+def _ule(a, b):
+    """Unsigned a <= b on int32 bit patterns."""
+    return (a ^ _UBIAS) <= (b ^ _UBIAS)
+
+
+def _shr(x, k):
+    """Logical right shift (rows are unsigned bit patterns)."""
+    return jax.lax.shift_right_logical(x, k)
+
+
 # ---------------------------------------------------------------------------
 # Concatenated fw+mirror device index
 # ---------------------------------------------------------------------------
@@ -150,12 +174,19 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
     """Build the concatenated device index.  occ_every=1 + dense_sa is
     the small-genome fast path; occ_every=128 + dense_sa=False is the
     hg-scale compact layout (see FMCat)."""
-    if idx_fw.length >= (1 << 31):
+    big = idx_fw.length >= (1 << 31)
+    if big and (dense_sa or occ_every == 1):
         raise ValueError(
-            f"device engines keep BWT rows in int32 lane registers; "
-            f"joined text length {idx_fw.length:,} exceeds 2^31-1 — "
-            f"use the host engines (BOWTIE_TPU_HOST_ENGINE=1) for "
-            f"genomes beyond that")
+            f"joined text length {idx_fw.length:,} needs the compact "
+            f"layout (occ_every > 1, sampled SA): rows beyond 2^31 "
+            f"ride int32 bit patterns with unsigned compare semantics "
+            f"(see _ult), which the dense per-row tables don't use")
+    if idx_fw.length >= (1 << 32) - 2:
+        raise ValueError(
+            f"device engines carry rows as uint32 bit patterns "
+            f"(the reference small-index TIndexOffU range, btypes.h); "
+            f"length {idx_fw.length:,} needs the large-index path — "
+            f"use the host engines (BOWTIE_TPU_HOST_ENGINE=1)")
     if fm_fw is None:
         fm_fw = from_ebwt(idx_fw, occ_every=occ_every, dense_sa=dense_sa)
     if fm_bw is None:
@@ -184,19 +215,33 @@ def build_fmcat(idx_fw: EbwtIndex, idx_bw: EbwtIndex,
     else:
         bwt = jnp.zeros((1, 128), jnp.uint32)
         nblk = 0
+    def _i32(x):
+        """Row-valued arrays ride as int32 BIT PATTERNS (see _ult):
+        uint32 inputs (genomes >= 2^31 bp) are bit-cast, not
+        value-converted."""
+        x = np.asarray(x)
+        if x.dtype == np.uint32:
+            return jnp.asarray(x.view(np.int32))
+        return jnp.asarray(x.astype(np.int32, copy=False))
+
+    def _i32s(v):
+        return jnp.asarray(np.array(int(v), np.uint32).view(np.int32))
+
     return FMCat(
-        occ=occ,
-        fchr=fm_fw.fchr,
-        ftab_hi=jnp.concatenate([fm_fw.ftab_hi, fm_bw.ftab_hi]),
-        ftab_lo=jnp.concatenate([fm_fw.ftab_lo, fm_bw.ftab_lo]),
-        sa=sa,
+        occ=_i32(occ),
+        fchr=_i32(fm_fw.fchr),
+        ftab_hi=_i32(jnp.concatenate([fm_fw.ftab_hi, fm_bw.ftab_hi])),
+        ftab_lo=_i32(jnp.concatenate([fm_fw.ftab_lo, fm_bw.ftab_lo])),
+        sa=_i32(sa),
         bwt=bwt,
-        zoff=jnp.stack([fm_fw.zoff, fm_bw.zoff]),
-        rstarts_start=jnp.asarray(idx_fw.rstarts[:, 0].astype(np.int32)),
-        rstarts_tidx=jnp.asarray(idx_fw.rstarts[:, 1].astype(np.int32)),
-        rstarts_toff=jnp.asarray(idx_fw.rstarts[:, 2].astype(np.int32)),
-        length=jnp.int32(idx_fw.length),
-        bwt_len=jnp.int32(n1),
+        zoff=_i32(jnp.stack([jnp.asarray(fm_fw.zoff),
+                             jnp.asarray(fm_bw.zoff)])),
+        rstarts_start=_i32(np.asarray(idx_fw.rstarts[:, 0],
+                                      np.uint32)),
+        rstarts_tidx=_i32(np.asarray(idx_fw.rstarts[:, 1], np.uint32)),
+        rstarts_toff=_i32(np.asarray(idx_fw.rstarts[:, 2], np.uint32)),
+        length=_i32s(idx_fw.length),
+        bwt_len=_i32s(n1),
         occ_base=jnp.array([0, fm_fw.occ.shape[0]], jnp.int32),
         sa_base=jnp.array([0, sa.shape[0] // 2], jnp.int32),
         ftab_base=jnp.array([0, ftlen], jnp.int32),
@@ -220,13 +265,14 @@ def _rank4(cat: FMCat, occ_base, zoff, i, blk_base=0):
     Dense mode: one checkpoint-row gather.  Compact mode: checkpoint
     row + in-register 2-bit popcounts over the block's packed words
     (countUpToEx, ebwt.h:1963)."""
-    corr = jnp.where(i > zoff, 1, 0)[..., None] * \
+    corr = jnp.where(_ult(zoff, i), 1, 0)[..., None] * \
         jnp.array([1, 0, 0, 0], jnp.int32)
     if cat.occ_every == 1:
         return cat.occ[i + occ_base] - corr
     blk = cat.occ_every
+    assert blk & (blk - 1) == 0, "occ_every must be a power of two"
     wpb = blk // 16
-    block = i // blk
+    block = _shr(i, blk.bit_length() - 1)
     base = cat.occ[block + occ_base]                   # [B, 4]
     rem = i - block * blk
     # one [.., 128]-wide row gather + VPU group-select of the block's
@@ -707,8 +753,8 @@ def _enter_report(st, mask, sd_r, top, bot, ham, resume):
     spread = bot - top
     rng, v = _rng_next(st["rng"])
     st["rng"] = jnp.where(mask, rng, st["rng"])
-    r = top + (v % jnp.maximum(spread, 1).astype(jnp.uint32)).astype(
-        jnp.int32)
+    r = top + (v % jnp.maximum(spread.astype(jnp.uint32),
+                               jnp.uint32(1))).astype(jnp.int32)
     for name, val in [("r_top", top), ("r_bot", bot), ("r_sd", sd_r),
                       ("r_ham", ham), ("r_stratum", stratum),
                       ("r_k", jnp.zeros_like(top)), ("r_r", r),
@@ -761,7 +807,7 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     m = st["mode"] == M_REP
     spread = st["r_bot"] - st["r_top"]
     ri = st["r_r"] + st["r_k"]
-    ri = jnp.where(ri >= st["r_bot"], ri - spread, ri)
+    ri = jnp.where(_ule(st["r_bot"], ri), ri - spread, ri)
     ri_safe = jnp.where(m, ri, 0)
     if cat.dense:
         off = _g1(cat.sa, ri_safe + st["sa_base"])
@@ -777,11 +823,12 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
         resolved = m & marked
         off = jnp.where(
             at_z, jumps,
-            _g1(cat.sa, jnp.where(m, row >> cat.off_rate, 0)
+            _g1(cat.sa, jnp.where(m, _shr(row, cat.off_rate), 0)
                 + st["sa_base"]) + jumps)
         walkers = m & ~marked
         wpb = cat.occ_every // 16
-        widx = jnp.where(walkers, (row >> 4) + st["blk_base"] * wpb, 0)
+        widx = jnp.where(walkers, _shr(row, 4) + st["blk_base"] * wpb,
+                         0)
         word = _sel_col(cat.bwt[widx >> 7], widx & 127)
         sh = (2 * (row & 15)).astype(jnp.uint32)
         ch = ((word >> sh) & 3).astype(jnp.int32)
@@ -797,14 +844,15 @@ def _step_rep(st, cat: FMCat, nfrag: int, n_k: int, m_max: int):
     if nfrag == 1:
         elt = jnp.zeros_like(off)
     else:
-        elt = jnp.searchsorted(cat.rstarts_start, off, side="right") \
+        elt = jnp.searchsorted(cat.rstarts_start ^ _UBIAS,
+                               off ^ _UBIAS, side="right") \
             .astype(jnp.int32) - 1
     start = _g1(cat.rstarts_start, elt)
     upper = jnp.where(elt + 1 < nfrag,
                       _g1(cat.rstarts_start,
                           jnp.minimum(elt + 1, nfrag - 1)),
                       cat.length)
-    valid = off + qlen <= upper
+    valid = _ule(off + qlen, upper)
     tidx = _g1(cat.rstarts_tidx, elt)
     fragoff = off - start
     fraglen = upper - start
@@ -946,17 +994,17 @@ def _step_job(st, cat: FMCat, jobs, J: int, L: int):
              jf("rev3")]
     z = jnp.zeros_like(qlen)
     # case a: qlen == fc, report path (no partials) (:139-143)
-    rep_now = m & use_ftab & (qlen == fc) & (fb > ft) & \
+    rep_now = m & use_ftab & (qlen == fc) & _ult(ft, fb) & \
         (jf("report_partials") == 0)
     st = _enter_report(st, rep_now, z, ft, fb, ham0,
                        jnp.full_like(qlen, 2))
     # case a': qlen == fc with partials -> plain depth-0 recursion (:140)
-    ent0p = m & use_ftab & (qlen == fc) & (fb > ft) & \
+    ent0p = m & use_ftab & (qlen == fc) & _ult(ft, fb) & \
         (jf("report_partials") > 0)
     # case b: jump-started frame 0 at depth fc (:145-146)
-    entf = m & use_ftab & (qlen > fc) & (fb > ft)
+    entf = m & use_ftab & (qlen > fc) & _ult(ft, fb)
     # case c: empty ftab range -> job returns False (:147-148)
-    cfail = m & use_ftab & (fb <= ft)
+    cfail = m & use_ftab & _ule(fb, ft)
     st["mode"] = jnp.where(cfail, M_JOB, st["mode"])
     st["job"] = jnp.where(cfail, st["job"] + 1, st["job"])
     # no-ftab entry (:150-151)
@@ -1078,7 +1126,7 @@ def _step_adv(st, cat: FMCat, jobs, J: int, L: int):
     mle = (jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) ==
            d[:, None]) & m[:, None]
     st["elims"] = jnp.where(mle, elim_d[:, None], st["elims"])
-    live = (jarange != c[:, None]) & (spreads > 0)         # [B, 4]
+    live = (jarange != c[:, None]) & (spreads != 0)        # [B, 4]
     nlive = jnp.sum(live.astype(jnp.int32), axis=1)
     szlive = jnp.sum(jnp.where(live, spreads, 0), axis=1)
     alt_add = jnp.where(m & cur_is_alt, nlive, 0)
@@ -1105,23 +1153,23 @@ def _step_adv(st, cat: FMCat, jobs, J: int, L: int):
     # -- cur==0 / partial / exact / half-and-half flags (:285-325) -------
     cur0 = d == qlen - 1
     btdm = jnp.zeros_like(m)
-    partial_c = m & cur0 & (top < bot) & (st["rep_partials"] > 0) & \
+    partial_c = m & cur0 & (top != bot) & (st["rep_partials"] > 0) & \
         (sd < st["rep_partials"])
     btdm = btdm | (partial_c & (alt > 0))
     st = _store_partial(st, partial_c & (sd > 0), sd)
     reported_partial = partial_c & (sd > 0)
-    invex = m & cur0 & (sd == 0) & (bot > top) & (st["rep_exacts"] == 0)
+    invex = m & cur0 & (sd == 0) & (bot != top) & (st["rep_exacts"] == 0)
     btdm = btdm | invex
     mustbt = jnp.zeros_like(m)
     invhh = jnp.zeros_like(m)
     # d5-1 boundary (:304-311)
-    b5 = m & hh & (d == st["jd5"] - 1) & (top < bot)
+    b5 = m & hh & (d == st["jd5"] - 1) & (top != bot)
     invhh = invhh | (b5 & (sd == 0))
     mustbt = mustbt | (b5 & (sd == 0) & (alt > 0))
     btdm = btdm | (b5 & (sd == 0) & (alt > 0))
     die5 = b5 & (sd == 0) & (alt == 0)
     # d3-1 boundary (:312-325)
-    b3 = m & hh & (d == st["jd3"] - 1) & (top < bot)
+    b3 = m & hh & (d == st["jd3"] - 1) & (top != bot)
     inv3 = (lo_n == 0) | (hi_n == 0)
     invhh = invhh | (b3 & inv3)
     mb3 = b3 & ((sd < 2) | inv3) & (alt > 0)
@@ -1140,7 +1188,7 @@ def _step_adv(st, cat: FMCat, jobs, J: int, L: int):
     st = _w(st, "c_reppart", m, reported_partial.astype(jnp.int32))
 
     # -- report at cur==0 (:327-331) --------------------------------------
-    rep = m & cur0 & (bot > top) & ~invhh & ~invex & ~reported_partial
+    rep = m & cur0 & (bot != top) & ~invhh & ~invex & ~reported_partial
     st = _enter_report(st, rep, sd, top, bot, ham, jnp.zeros_like(d))
     m = m & ~rep
 
@@ -1199,16 +1247,18 @@ def _step_br(st, cat: FMCat, jobs, J: int, L: int):
     spreads = p8[:, 4:8] - p8[:, 0:4]
     msp = jnp.where(nonelim, spreads, 0)
     pos_sz = jnp.sum(msp, axis=1)
-    no_sz = scan & (pos_sz <= 0)             # defensive: cannot happen
+    no_sz = scan & (pos_sz == 0)             # defensive: cannot happen
     st["overflow"] = st["overflow"] | no_pos | no_sz
     st["mode"] = jnp.where(no_pos | no_sz, M_DONE, st["mode"])
     m = m & ~(no_pos | no_sz)
     scan = scan & ~(no_pos | no_sz)
     rng, v = _rng_next(st["rng"])
     st["rng"] = jnp.where(scan, rng, st["rng"])
-    r = (v % jnp.maximum(pos_sz, 1).astype(jnp.uint32)).astype(jnp.int32)
+    r = (v % jnp.maximum(pos_sz.astype(jnp.uint32),
+                         jnp.uint32(1))).astype(jnp.int32)
     cum = jnp.cumsum(msp, axis=1) - msp      # exclusive prefix
-    pickj = nonelim & (r[:, None] >= cum) & (r[:, None] < cum + msp)
+    pickj = nonelim & _ule(cum, r[:, None]) & \
+        _ult(r[:, None], cum + msp)
     jstar_s = jnp.argmax(pickj, axis=1).astype(jnp.int32)
     bttop_s = _sel_col(p8[:, 0:4], jstar_s)
     btbot_s = _sel_col(p8[:, 4:8], jstar_s)
@@ -1338,7 +1388,7 @@ def _step_pop(st, jobs, J: int, L: int):
         # views, no padded [B, L, 4] materialization)
         spread_c = [pf[:, (4 + j) * L:(5 + j) * L] -
                     pf[:, j * L:(j + 1) * L] for j in range(4)]
-        live_c = [(((er >> j) & 1) == 0) & (spread_c[j] > 0)
+        live_c = [(((er >> j) & 1) == 0) & (spread_c[j] != 0)
                   for j in range(4)]
         in_rng = (li >= jnp.maximum(depth, unrev)[:, None]) & \
             (li <= d[:, None])
