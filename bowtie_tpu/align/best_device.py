@@ -307,6 +307,11 @@ def cfg_arrays(flat: list[DriverCfg], outers: list[OuterCfg],
         o_chase_efw=np.array(
             [(oc.ext.ebwt_fw if oc.kind == "seeded" else
               oc.cfg.ebwt_fw) for oc in outers], np.int32),
+        # per-outer mate flag: all mate1 for single-read DAGs; the
+        # paired-V2 merged DAG (pev2_device) overwrites this so the
+        # strandFix scan and mate elimination see each outer's mate
+        # (range_source.h:2322-2327, :2233)
+        o_m1=np.ones(len(outers), np.int32),
     )
     for oi, oc in enumerate(outers):
         if oc.kind == "seeded":
@@ -645,10 +650,17 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         mode=jnp.full((B,), M_MAIN, jnp.int32),
         overflow=jnp.zeros((B,), bool),
         result=z(B),
+        # per-lane config-group bases for fused multi-DAG runs (zeros
+        # for ordinary single-DAG runs; see _cfgF/_cfgO)
+        cfg0f=jnp.asarray(host["cfg0f"], jnp.int32)
+        if "cfg0f" in host else z(B),
+        cfg0o=jnp.asarray(host["cfg0o"], jnp.int32)
+        if "cfg0o" in host else z(B),
         rng_al=jnp.asarray(seeds, jnp.uint32),
         rng_ca=jnp.asarray(host["rng_ca"], jnp.uint32),
-        rng_rs=jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None],
-                        (1, ndt)),
+        rng_rs=jnp.asarray(host["rng_rs"], jnp.uint32)
+        if "rng_rs" in host else
+        jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None], (1, ndt)),
         seed=jnp.asarray(seeds, jnp.uint32),
         count=z(B), best_stratum=jnp.full((B,), 999, jnp.int32),
         # hits is kept flat [B, H_MAX*W]: a trailing dim of W=24 would
@@ -656,6 +668,17 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         # HBM cost of every masked sweep ~5x
         nhits=z(B), hits=z(B, H_MAX * (8 + 2 * MM_SLOTS)),
         qlen=jnp.asarray(host["qlen"], jnp.int32),
+        # per-OUTER full read length / RNG seed: identical across
+        # outers for single-read DAGs; per-mate for the paired-V2
+        # merged DAG (each driver serves its own mate's read,
+        # range_source.h:2084 / aligner.h:1483)
+        qlen_o=jnp.asarray(host["qlen_o"], jnp.int32)
+        if "qlen_o" in host else
+        jnp.tile(jnp.asarray(host["qlen"], jnp.int32)[:, None],
+                 (1, nd)),
+        seed_o=jnp.asarray(host["seed_o"], jnp.uint32)
+        if "seed_o" in host else
+        jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None], (1, nd)),
         rows_qp=jnp.asarray(host["rows_qp"], jnp.int8),
         dqlen=jnp.asarray(host["dqlen"], jnp.int32),
         dd5=jnp.asarray(host["dd5"], jnp.int32),
@@ -672,7 +695,7 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         act_n=jnp.asarray(host["act_n"], jnp.int32),
         cur=z(B), cur_o=z(B), precost=z(B), phase=z(B), octx=z(B),
         sfx_mc=z(B), adv_found=z(B), loop_cost=z(B), sdf_old=z(B),
-        ic_pre=z(B),
+        ic_pre=z(B), pre_min=z(B),
         # found-range registers
         ls_drv=z(B), ls_top=z(B), ls_bot=z(B), ls_cost=z(B),
         ls_strat=z(B), ls_ne=z(B), ls_ed=z(B, E_MAX), ls_ec=z(B, E_MAX),
@@ -705,8 +728,9 @@ def _init_state(B, L, nd, ndt, seeds, host, maxbts):
         # inner CostAware state (one per outer slot; used when seeded)
         ic_act=z(B, nd * PEX), ic_actn=z(B, nd), ic_found=z(B, nd),
         ic_done=z(B, nd), ic_min=z(B, nd),
-        ic_rng=jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None],
-                        (1, nd)),
+        ic_rng=jnp.asarray(host["seed_o"], jnp.uint32)
+        if "seed_o" in host else
+        jnp.tile(jnp.asarray(seeds, jnp.uint32)[:, None], (1, nd)),
         il_top=z(B, nd), il_bot=z(B, nd), il_cost=z(B, nd),
         il_strat=z(B, nd), il_ne=z(B, nd),
         il_ed=z(B, nd * E_MAX), il_ec=z(B, nd * E_MAX),
@@ -825,6 +849,21 @@ def _dw2(st, name, mask, drv, val):
 def _cfg1(cfg_arr, idx):
     """cfg lookup: [K] array at per-lane index."""
     return _g1(cfg_arr, idx)
+
+
+def _cfgF(st, cfg_arr, idx):
+    """Flat-driver cfg lookup honoring the lane's config-group base
+    (cfg0f): a fused multi-DAG run (e.g. the PE 4-in-1 recording,
+    pe_device.py) concatenates several machines' flat cfg tables and
+    gives each lane the base of its group; single-DAG runs keep
+    cfg0f == 0 and the original arrays."""
+    return _g1(cfg_arr, idx + st["cfg0f"])
+
+
+def _cfgO(st, cfg_arr, idx):
+    """Outer-driver cfg lookup honoring the lane's config-group base
+    (cfg0o); see _cfgF."""
+    return _g1(cfg_arr, idx + st["cfg0o"])
 
 
 def _irrelevant(st, cost, strata: bool):
@@ -1016,11 +1055,20 @@ def _record_range(st, m, found, rec_cap: int | None = None):
     if rec_cap is not None:
         frz = (st["nhits"] + 1 >= rec_cap) & (st["ca_done"] == 0)
         done_col = jnp.where(frz, 2, done_col)
+    # ed pad slot [8 + MM_SLOTS - 1] (always zero: E_MAX < MM_SLOTS)
+    # carries the driver's min_cost at the host's LAST pruning check
+    # before this emission (aligner.h:1638-1681): minCost is
+    # nondecreasing, so the last pre-advance value decides the V2
+    # replay's pruning exactly
+    ed_p = _padmm(st["ls_ed"])
+    ed_p = jnp.concatenate([ed_p[:, :MM_SLOTS - 1],
+                            st["pre_min"][:, None]], axis=-1)
     rec = jnp.concatenate([
         jnp.stack([st["ls_drv"], st["ls_top"], st["ls_bot"],
                    st["ls_cost"], st["ls_strat"], nmms,
-                   done_col, st["qlen"]], axis=-1),
-        _padmm(st["ls_ed"]), _padmm(st["ls_ec"])], axis=-1)
+                   done_col, _dsel(st, "qlen_o", st["ls_drv"])],
+                  axis=-1),
+        ed_p, _padmm(st["ls_ec"])], axis=-1)
     over = rec_on & ((st["nhits"] >= H_MAX) | (nmms > MM_SLOTS))
     st["overflow"] = st["overflow"] | over
     st["mode"] = jnp.where(over, M_DONE, st["mode"])
@@ -1036,13 +1084,14 @@ def _record_range(st, m, found, rec_cap: int | None = None):
                                M_DONE, st["mode"])
     st = _w(st, "ca_found", rec_on, 0)        # consumed; keep advancing
     nf = m & ~found
+    st = _w(st, "pre_min", nf, st["ca_min"])
     ex = nf & (st["ca_done"] > 0)
     st["mode"] = jnp.where(ex, M_DONE, st["mode"])
     st["mode"] = jnp.where(nf & ~ex, M_CADV, st["mode"])
     return st
 
 
-def _step_cadv(st):
+def _step_cadv(st, cfgj, paired: bool):
     """Outer CostAwareRangeSourceDriver::advance entry
     (range_source.h:2180-2260)."""
     m = st["mode"] == M_CADV
@@ -1056,6 +1105,25 @@ def _step_cadv(st):
     st["ls_ec"] = jnp.where(dv[:, None], st["dl_ec"], st["ls_ec"])
     st = _w(st, "dl_valid", dv, 0)
     st = _w(st, "ca_found", dv, 1)
+    if paired:
+        # CostAware::_mate_eliminated at advance entry
+        # (best_driver.py:298): with both-mate sources merged, the
+        # driver dies when either mate has no not-done source left
+        # (every not-done source is still in `active`: pops remove
+        # only done-and-not-found entries).  Checked only when no
+        # delayed range is pending (the host emits a pending delayed
+        # range first, :289-297).
+        nd_ = st["od_done"].shape[1]
+        ii_a = jax.lax.broadcasted_iota(jnp.int32,
+                                        (m.shape[0], nd_), 1)
+        o_m1_row = cfgj["o_m1"][st["cfg0o"][:, None] + ii_a] > 0
+        alive_o = st["od_done"] == 0
+        alive1 = jnp.any(alive_o & o_m1_row, axis=1)
+        alive2 = jnp.any(alive_o & ~o_m1_row, axis=1)
+        elim = m & ~dv & (~alive1 | ~alive2)
+        st = _w(st, "ca_done", elim, 1)
+        st["mode"] = jnp.where(elim, M_MAIN, st["mode"])
+        m = m & ~elim
     has_act = st["act_n"] > 0
     act0 = st["act"][:, 0]
     st = _w(st, "ca_min", dv & has_act,
@@ -1082,15 +1150,15 @@ def _step_oadv(st, cfgj, L, has_seeded: bool):
     m = st["mode"] == M_OADV
     cur_o = st["cur_o"]
     if not has_seeded:
-        f0 = _cfg1(cfgj["o_flat0"], cur_o)
+        f0 = _cfgO(st, cfgj["o_flat0"], cur_o)
         st = _w(st, "cur", m, f0)
         st = _w(st, "phase", m, PH_OUTER)
         st = _load_cur_rows(st, m, st["cur"], cfgj, L)
         st["mode"] = jnp.where(m, M_DADV, st["mode"])
         return st
-    kind = _cfg1(cfgj["o_kind"], cur_o)
+    kind = _cfgO(st, cfgj["o_kind"], cur_o)
     pl = m & (kind == 0)
-    f0 = _cfg1(cfgj["o_flat0"], cur_o)
+    f0 = _cfgO(st, cfgj["o_flat0"], cur_o)
     st = _w(st, "cur", pl, f0)
     st = _w(st, "phase", pl, PH_OUTER)
     st = _load_cur_rows(st, pl, st["cur"], cfgj, L)
@@ -1168,9 +1236,9 @@ def _step_ext(st, cat: FMCat, cfgj, qual_lim: int, qual_order: bool,
     m = st["mode"] == M_EXT
     B = m.shape[0]
     cur = st["cur"]
-    efw = _cfg1(cfgj["ebwt_fw"], cur)
-    hh = _cfg1(cfgj["hh"], cur)
-    exacts = _cfg1(cfgj["exacts"], cur)
+    efw = _cfgF(st, cfgj["ebwt_fw"], cur)
+    hh = _cfgF(st, cfgj["hh"], cur)
+    exacts = _cfgF(st, cfgj["exacts"], cur)
     occ_base = jnp.where(efw > 0, cat.occ_base[0], cat.occ_base[1])
     blk_base = jnp.where(efw > 0, cat.blk_base[0], cat.blk_base[1])
     zoff = jnp.where(efw > 0, cat.zoff[0], cat.zoff[1])
@@ -1314,7 +1382,7 @@ def _step_spp(st, cat: FMCat, cfgj, qual_order: bool, L: int,
     m = st["mode"] == M_SPP
     B = m.shape[0]
     cur = st["cur"]
-    efw = _cfg1(cfgj["ebwt_fw"], cur)
+    efw = _cfgF(st, cfgj["ebwt_fw"], cur)
     occ_base = jnp.where(efw > 0, cat.occ_base[0], cat.occ_base[1])
     blk_base = jnp.where(efw > 0, cat.blk_base[0], cat.blk_base[1])
     zoff = jnp.where(efw > 0, cat.zoff[0], cat.zoff[1])
@@ -1526,8 +1594,8 @@ def _step_odend(st, cfgj):
     CostAware flow vs the strandFix loop)."""
     m = st["mode"] == M_ODEND
     cur_o = st["cur_o"]
-    kind = _cfg1(cfgj["o_kind"], cur_o)
-    f0 = _cfg1(cfgj["o_flat0"], cur_o)
+    kind = _cfgO(st, cfgj["o_kind"], cur_o)
+    f0 = _cfgO(st, cfgj["o_flat0"], cur_o)
     pl = m & (kind == 0)
     st = _dw(st, "od_done", pl, cur_o, _dsel(st, "drv_done", f0))
     st = _dw(st, "od_min", pl, cur_o, _dsel(st, "drv_min", f0))
@@ -1561,13 +1629,15 @@ def _step_cpost(st, cfgj, nd: int):
     st = _copy_outer_range(st, pf, "ls_", cur_o)
     st = _w(st, "ca_found", pf, 1)
     st = _dw(st, "od_found", pf, cur_o, jnp.zeros_like(cur_o))
-    r_fw = _cfg1(cfgj["o_fw"], cur_o)
-    # first i >= 1 (STATIC rss order) with outer cfg.fw[i] != r.fw and
-    # i < act_n (the reference's rss_[i]/active_[i] quirk)
+    r_fw = _cfgO(st, cfgj["o_fw"], cur_o)
+    r_m1 = _cfgO(st, cfgj["o_m1"], cur_o)
+    # first i >= 1 (STATIC rss order) with outer cfg.fw[i] != r.fw,
+    # same mate, and i < act_n (the rss_[i]/active_[i] quirk)
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, nd), 1)
-    cfg_fw_row = jnp.broadcast_to(cfgj["o_fw"][None, :],
-                                  (cur_o.shape[0], nd))
+    cfg_fw_row = cfgj["o_fw"][st["cfg0o"][:, None] + ii]
+    cfg_m1_row = cfgj["o_m1"][st["cfg0o"][:, None] + ii]
     cand = (ii >= 1) & (cfg_fw_row != r_fw[:, None]) & \
+        (cfg_m1_row == r_m1[:, None]) & \
         (ii < st["act_n"][:, None])
     has_i = jnp.any(cand, axis=1)
     i_star = jnp.argmax(cand, axis=1).astype(jnp.int32)
@@ -1649,7 +1719,7 @@ def _step_sd(st, cfgj, L):
     do_full scheduling decision (best_driver.py:324-368)."""
     m = st["mode"] == M_SD
     cur_o = st["cur_o"]
-    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    gen = _cfgO(st, cfgj["o_flat0"], cur_o)
     gdone = _dsel(st, "drv_done", gen) > 0
     gfound = _dsel(st, "drv_found", gen) > 0
     fdone = _dsel(st, "ic_done", cur_o) > 0
@@ -1707,7 +1777,7 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     m = st["mode"] == M_SDGEN
     B = m.shape[0]
     cur_o = st["cur_o"]
-    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    gen = _cfgO(st, cfgj["o_flat0"], cur_o)
     gfound = m & (_dsel(st, "drv_found", gen) > 0)
 
     # seed range from the generator's rr regs
@@ -1719,7 +1789,7 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     st = _dw(st, "drv_found", gfound, gen, jnp.zeros_like(gen))
 
     # allocate an extender slot
-    exb = _cfg1(cfgj["o_exbase"], cur_o)
+    exb = _cfgO(st, cfgj["o_exbase"], cur_o)
     slot = _dsel(st, "ex_next", cur_o)
     over = gfound & ((slot >= PEX) | (sne > 3))
     st["overflow"] = st["overflow"] | over
@@ -1739,7 +1809,7 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     st = _dw2(st, "pm_c", ok, flat_e, pm_c)
     st = _dw(st, "pm_n", ok, flat_e, sne)
     # geometry: full qlen, d3 = s (seed edge), d5 = s >> 1 (nudge left)
-    qlen = st["qlen"]
+    qlen = _dsel(st, "qlen_o", cur_o)
     s_seed = _dsel(st, "dd3", gen)       # = min(seed_len, qlen)
     st = _dw(st, "dqlen", ok, flat_e, qlen)
     st = _dw(st, "dd3", ok, flat_e, s_seed)
@@ -1750,7 +1820,8 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     ndt_ = st["rng_rs"].shape[1]
     ohr = (jax.lax.broadcasted_iota(jnp.int32, (B, ndt_), 1)
            == flat_e[:, None]) & ok[:, None]
-    st["rng_rs"] = jnp.where(ohr, st["seed"][:, None], st["rng_rs"])
+    st["rng_rs"] = jnp.where(ohr, _dsel(st, "seed_o", cur_o)[:, None],
+                             st["rng_rs"])
 
     # derive the extender's qd row (with premuts) for tally + ftab
     qd_e, _pend_e = _derive_qd(st, cfgj, jnp.where(ok, flat_e, gen), L)
@@ -1763,7 +1834,7 @@ def _step_sdgen(st, cat: FMCat, cfgj, hostish, qual_order: bool,
     wsh = (2 * jnp.arange(fc, dtype=jnp.int32))[None, :]
     qf = jnp.where(qd_e[:, :fc] > 3, 0, qd_e[:, :fc])
     foff = jnp.sum(qf << wsh, axis=1)
-    efw_e = _cfg1(cfgj["ebwt_fw"], jnp.where(ok, flat_e, gen))
+    efw_e = _cfgF(st, cfgj["ebwt_fw"], jnp.where(ok, flat_e, gen))
     ftab_base = jnp.where(efw_e > 0, cat.ftab_base[0],
                           cat.ftab_base[1])
     ft = _g1(cat.ftab_hi, jnp.where(ok, foff, 0) + ftab_base)
@@ -1865,7 +1936,7 @@ def _step_sdfull(st, cfgj):
     min-cost increases."""
     m = st["mode"] == M_SDFULL
     cur_o = st["cur_o"]
-    gen = _cfg1(cfgj["o_flat0"], cur_o)
+    gen = _cfgO(st, cfgj["o_flat0"], cur_o)
     ff = m & (_dsel(st, "ic_found", cur_o) > 0)
     st = _dw(st, "od_found", ff, cur_o, jnp.ones_like(cur_o))
     st = _dw(st, "ic_found", ff, cur_o, jnp.zeros_like(cur_o))
@@ -1955,7 +2026,7 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
     (range_chaser.h:22; BestSink.report_hit in best_driver.py)."""
     m = st["mode"] == M_CHASE
     B = m.shape[0]
-    efw = _cfg1(cfgj["o_chase_efw"], st["ls_drv"])
+    efw = _cfgO(st, cfgj["o_chase_efw"], st["ls_drv"])
     sa_base = jnp.where(efw > 0, cat.sa_base[0], cat.sa_base[1])
     occ_base = jnp.where(efw > 0, cat.occ_base[0], cat.occ_base[1])
     blk_base = jnp.where(efw > 0, cat.blk_base[0], cat.blk_base[1])
@@ -1992,7 +2063,7 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
         st["r_walk"] = jnp.where(m, jnp.where(resolved, 0, 1),
                                  st["r_walk"])
         m = resolved
-    qlen = st["qlen"]
+    qlen = _dsel(st, "qlen_o", st["ls_drv"])
     if nfrag == 1:
         start_f = jnp.zeros_like(off)
         upper = jnp.broadcast_to(cat.length, off.shape)
@@ -2024,7 +2095,7 @@ def _step_chase(st, cat: FMCat, cfgj, nfrag: int, n_k: int, m_max: int,
     st = _w(st, "result", maxed, 2)
     st["mode"] = jnp.where(maxed, M_DONE, st["mode"])
     stored = hit & ~maxed
-    fwflag = _cfg1(cfgj["o_fw"], st["ls_drv"])
+    fwflag = _cfgO(st, cfgj["o_fw"], st["ls_drv"])
     nmms = st["ls_ne"]
 
     def _padmm(a):
@@ -2070,7 +2141,7 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
                   nfrag: int, n_k: int, m_max: int, strata: bool,
                   qual_lim: int, qual_order: bool, bt_on: bool,
                   fc: int, has_seeded: bool, record: bool = False,
-                  rec_cap: int | None = None):
+                  rec_cap: int | None = None, paired: bool = False):
     st = dict(st)
     # mode-presence counts in ONE [B, nmodes] pass (see dfs_device):
     # lanes flipping into a gated mode mid-step run next iteration
@@ -2088,7 +2159,7 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
         return jax.lax.cond(p, fn, lambda x: dict(x), s)
 
     st = _step_main(st, strata, record, rec_cap)
-    st = _step_cadv(st)
+    st = _step_cadv(st, cfgj, paired)
     st = _step_sfx(st)
     if has_seeded:
         st = gate((M_SD, M_ICADV), lambda s: _step_icadv(
@@ -2116,12 +2187,12 @@ def _machine_step(st, cat: FMCat, cfgj, nd: int, ndt: int, L: int,
                                    "m_max", "strata", "qual_lim",
                                    "qual_order", "bt_on", "fc",
                                    "has_seeded", "chunk", "record",
-                                   "rec_cap"))
+                                   "rec_cap", "paired"))
 def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
               nfrag: int, n_k: int, m_max: int, strata: bool,
               qual_lim: int, qual_order: bool, bt_on: bool, fc: int,
               has_seeded: bool, chunk: int, record: bool = False,
-              rec_cap: int | None = None):
+              rec_cap: int | None = None, paired: bool = False):
     def cond(c):
         s, it = c
         return (it < chunk) & jnp.any(s["mode"] != M_DONE)
@@ -2131,7 +2202,7 @@ def run_chunk(cat: FMCat, cfgj, st, *, nd: int, ndt: int, L: int,
         return _machine_step(s, cat, cfgj, nd, ndt, L, nfrag, n_k,
                              m_max, strata, qual_lim, qual_order,
                              bt_on, fc, has_seeded, record,
-                             rec_cap), it + 1
+                             rec_cap, paired), it + 1
 
     st, it = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
     return st, st["mode"]
@@ -2324,6 +2395,12 @@ class DeviceBestAligner:
                  maxbts: int = 800, compact: bool | None = None):
         import os
         self.idx_fw, self.idx_bw = idx_fw, idx_bw
+        if idx_fw.length >= (1 << 31):
+            raise ValueError(
+                f"the best-first device machine still compares rows as "
+                f"signed int32; joined length {idx_fw.length:,} >= 2^31 "
+                f"routes to the host engine (the DFS/-n engines carry "
+                f"uint32 rows and stay on device)")
         if compact is None:
             compact = (idx_fw.length > self.DENSE_LIMIT or
                        bool(os.environ.get("BOWTIE_TPU_COMPACT")))

@@ -34,6 +34,78 @@ from .best_device import (
 from .policy import KPolicy
 
 
+def exact_ranges_cat(cat, reads, lens, efw):
+    """Whole-read exact ranges over the concatenated fw+mirror index
+    with a PER-LANE index choice (efw): the lockstep LF scan of
+    exact.exact_ranges generalized to FMCat so all four PE anchor
+    sections search in ONE device launch (ebwt.h:971-1028 ftab jump +
+    backward LF extension)."""
+    import jax
+    import jax.numpy as jnp
+    from .dfs_device import _g1, _rank4, _sel_col
+    B, L = reads.shape
+    fc = cat.ftab_chars
+    occ_base = jnp.where(efw > 0, cat.occ_base[0], cat.occ_base[1])
+    blk_base = jnp.where(efw > 0, cat.blk_base[0], cat.blk_base[1])
+    ftab_base = jnp.where(efw > 0, cat.ftab_base[0], cat.ftab_base[1])
+    zoff = jnp.where(efw > 0, cat.zoff[0], cat.zoff[1])
+    q = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    if L >= fc:
+        ftab_codes = q[:, L - fc:]
+        ftab_ok = (lens >= fc) & jnp.all(ftab_codes < 4, axis=1)
+        weights = 4 ** jnp.arange(fc - 1, -1, -1, dtype=jnp.int32)
+        foff = jnp.sum(jnp.where(ftab_codes < 4, ftab_codes, 0)
+                       * weights, axis=1)
+        ft = _g1(cat.ftab_hi, jnp.where(ftab_ok, foff, 0) + ftab_base)
+        fb = _g1(cat.ftab_lo, jnp.where(ftab_ok, foff + 1, 1)
+                 + ftab_base)
+        top0 = jnp.where(ftab_ok, ft, 0)
+        bot0 = jnp.where(ftab_ok, fb, cat.bwt_len)
+        start = jnp.where(ftab_ok, L - fc, L)
+    else:
+        top0 = jnp.zeros(B, jnp.int32)
+        bot0 = jnp.broadcast_to(cat.bwt_len, (B,))
+        start = jnp.full(B, L, jnp.int32)
+    stop = L - lens
+    cols = jnp.flip(q.T, axis=0)
+
+    def step(carry, xs):
+        top, bot = carry
+        c, t = xs
+        col = L - 1 - t
+        active = (col < start) & (col >= stop) & (bot > top)
+        is_n = c > 3
+        cc = jnp.where(is_n, 0, c)
+        r4t = _rank4(cat, occ_base, zoff,
+                     jnp.where(active, top, 0), blk_base)
+        r4b = _rank4(cat, occ_base, zoff,
+                     jnp.where(active, bot, 0), blk_base)
+        ntop = _sel_col(cat.fchr[:4] + r4t, cc)
+        nbot = _sel_col(cat.fchr[:4] + r4b, cc)
+        ntop = jnp.where(is_n, 0, ntop)
+        nbot = jnp.where(is_n, 0, nbot)
+        top = jnp.where(active, ntop, top)
+        bot = jnp.where(active, nbot, bot)
+        return (top, bot), None
+
+    (top, bot), _ = jax.lax.scan(
+        step, (top0, bot0), (cols, jnp.arange(L, dtype=jnp.int32)))
+    ok = bot > top
+    return jnp.where(ok, top, 0), jnp.where(ok, bot, 0)
+
+
+_erc_jit = None
+
+
+def _exact_ranges_cat_jit():
+    global _erc_jit
+    if _erc_jit is None:
+        import jax
+        _erc_jit = jax.jit(exact_ranges_cat)
+    return _erc_jit
+
+
 class ReplayTruncated(Exception):
     """The interleave asked for a range past the recorded end of a
     rec_cap-truncated stream — the pair must re-run on live host
@@ -368,6 +440,12 @@ class DevicePairedBestAligner:
                  compact: bool | None = None, threads: int = 1):
         import os
         from .best_factories import make_paired_best_aligner
+        if idx_fw.length >= (1 << 31):
+            raise ValueError(
+                f"the best-first device machine still compares rows as "
+                f"signed int32; joined length {idx_fw.length:,} >= 2^31 "
+                f"routes to the host engine (the DFS/-n engines carry "
+                f"uint32 rows and stay on device)")
         from .golden import GoldenFM
         if compact is None:
             compact = (idx_fw.length > (1 << 28) or
@@ -533,6 +611,161 @@ class DevicePairedBestAligner:
             return None, True
         finally:
             self._streams = None
+
+    # -- fused 4-in-1 recording ----------------------------------------
+
+    def _fused_cfg(self):
+        """fw-DAG and rc-DAG cfg tables concatenated along the driver
+        axis; lanes address their group via cfg0f/cfg0o bases
+        (best_device._cfgF/_cfgO)."""
+        import jax.numpy as jnp
+        if getattr(self, "_fcfg", None) is None:
+            self._fcfg = {
+                k: jnp.concatenate([jnp.asarray(v),
+                                    self.m_rc.cfgj[k]])
+                for k, v in self.m_fw.cfgj.items()}
+        return self._fcfg
+
+    def _record_all(self, plan, idxs, seeds, cap):
+        """Fused recording of all four anchor streams (the round-4
+        RECORD-phase fusion): ONE lockstep machine run over every
+        (pair, mate, orientation) lane — per-lane config-group bases
+        select the fw- or rc-DAG inside the shared step — preceded by
+        a phase-0 exact synthesis: with rec_cap == 1, a lane whose
+        whole-read exact range is nonempty records exactly that range
+        (the exact-reporting sub-driver starts at min_cost 0 while
+        every other sub-driver's min_cost_adj is >= 1<<14, so the
+        best-first engine's zero-cost descent reports the full exact
+        range first), straight from one batched exact_ranges_cat
+        launch — no machine steps for those lanes."""
+        import jax.numpy as jnp
+        from .exact import right_align
+        from .pe_ilv_device import REC_W
+        B = len(idxs)
+        sections = []
+        for mach, mates, slot in plan:
+            grp = 0 if mach is self.m_fw else 1
+            sections.append((mach, [mates[i] for i in idxs], slot, grp))
+        sts = {i: [None] * 4 for i in idxs}
+        ovd = {i: False for i in idxs}
+        need = []
+        if cap == 1:
+            allb, efws = [], []
+            for mach, reads, slot, grp in sections:
+                cfg = mach.outers[0].cfg
+                assert cfg.report_exacts
+                for r in reads:
+                    b = r.codes_fw if cfg.fw else r.codes_rc
+                    allb.append(b if cfg.ebwt_fw else b[::-1])
+                    efws.append(1 if cfg.ebwt_fw else 0)
+            L = _len_bucket(max(8, max(len(b) for b in allb)))
+            mat, lens = right_align(allb, pad_to=L)
+            n4 = len(allb)
+            Np = _bucket(n4)
+            if Np > n4:
+                mat = np.concatenate(
+                    [mat, np.full((Np - n4, L), 4, mat.dtype)])
+                lens = np.concatenate(
+                    [lens, np.zeros(Np - n4, lens.dtype)])
+                efws += [1] * (Np - n4)
+            top, bot = _exact_ranges_cat_jit()(
+                self.cat, jnp.asarray(mat), jnp.asarray(lens),
+                jnp.asarray(np.asarray(efws, np.int32)))
+            top = np.asarray(top)[:n4]
+            bot = np.asarray(bot)[:n4]
+            for sk, (mach, reads, slot, grp) in enumerate(sections):
+                o_fw = mach.hostinit.cfg["o_fw"]
+                o_efw = mach.hostinit.cfg["o_chase_efw"]
+                for k, r in enumerate(reads):
+                    j = sk * B + k
+                    if bot[j] > top[j] and 4 <= len(r.seq) <= 255:
+                        row = np.zeros((1, REC_W), np.int64)
+                        row[0, 1] = top[j]
+                        row[0, 2] = bot[j]
+                        row[0, 6] = 2          # capped marker
+                        row[0, 7] = len(r.seq)
+                        sts[idxs[k]][slot] = RecordedStream(
+                            row, len(r.seq), o_fw, o_efw)
+                    else:
+                        need.append((sk, k))
+        else:
+            need = [(sk, k) for sk in range(4) for k in range(B)]
+        if need:
+            # group-0 lanes first so each lane's cfg base is monotone
+            need.sort(key=lambda t: (sections[t[0]][3], t[0], t[1]))
+            self._record_fused(sections, need, idxs, seeds, cap, sts,
+                               ovd)
+        return sts, ovd
+
+    def _record_fused(self, sections, need, idxs, seeds, cap, sts,
+                      ovd):
+        """One machine run over lanes from both driver DAGs."""
+        import jax.numpy as jnp
+        from .best_device import _init_state_jit
+        mach0 = self.m_fw
+        nd, ndt = mach0.hostinit.nd, mach0.hostinit.ndt
+        reads_f = [sections[sk][1][k] for sk, k in need]
+        grp_f = np.array([sections[sk][3] for sk, k in need], np.int32)
+        seeds_f = seeds[np.array([k for _, k in need], np.int64)]
+        host_only = [j for j, r in enumerate(reads_f)
+                     if len(r.seq) < 4 or len(r.seq) > 255]
+        B = len(reads_f)
+        Bp = _bucket(B)
+        L = _len_bucket(max(len(r.seq) for r in reads_f))
+        parts = []
+        for g, mach in ((0, self.m_fw), (1, self.m_rc)):
+            sel = np.flatnonzero(grp_f == g)
+            if len(sel):
+                parts.append((sel, mach.hostinit.build(
+                    [reads_f[j] for j in sel], L, seeds_f[sel])))
+        host = {}
+        for kname in parts[0][1]:
+            arr = None
+            for sel, h in parts:
+                v = h[kname]
+                if arr is None:
+                    arr = np.zeros((B,) + v.shape[1:], v.dtype)
+                arr[sel] = v
+            host[kname] = arr
+        host["cfg0f"] = grp_f * ndt
+        host["cfg0o"] = grp_f * nd
+        if Bp > B:
+            for kname, v in host.items():
+                pad = np.zeros((Bp - B,) + v.shape[1:], dtype=v.dtype)
+                host[kname] = np.concatenate([v, pad], axis=0)
+        seeds_p = np.zeros(Bp, np.uint32)
+        seeds_p[:B] = seeds_f
+        st = _init_state_jit(seeds_p, host, B=Bp, L=L, nd=nd, ndt=ndt,
+                             maxbts=mach0.maxbts)
+        dis = np.zeros(Bp, bool)
+        dis[B:] = True
+        for j in host_only:
+            dis[j] = True
+        if dis.any():
+            st["mode"] = jnp.where(jnp.asarray(dis), M_DONE,
+                                   st["mode"])
+        out = run_compacting(
+            self.cat, self._fused_cfg(), st, L=L, nd=nd, ndt=ndt,
+            nfrag=mach0.nfrag, n_k=INF32, m_max=INF32, strata=False,
+            qual_lim=mach0.qual_lim, qual_order=mach0.qual_order,
+            bt_on=mach0.bt_on, fc=self.cat.ftab_chars,
+            has_seeded=mach0.has_seeded, max_steps=mach0.max_steps,
+            record=True, rec_cap=cap)
+        overflow = np.asarray(out["overflow"])[:B].copy()
+        for j in host_only:
+            overflow[j] = True
+        hits = np.asarray(out["hits"][:B])
+        nh = np.asarray(out["nhits"][:B])
+        for j, (sk, k) in enumerate(need):
+            mach, reads, slot, grp = sections[sk]
+            i = idxs[k]
+            if overflow[j]:
+                ovd[i] = True
+                continue
+            sts[i][slot] = RecordedStream(
+                hits[j, :int(nh[j])], len(reads[k].seq),
+                mach.hostinit.cfg["o_fw"],
+                mach.hostinit.cfg["o_chase_efw"])
 
     # -- device interleave (pe_ilv_device) ------------------------------
 
@@ -833,18 +1066,11 @@ class DevicePairedBestAligner:
                 (machLb, m1, slotLb), (machRb, m2, slotRb))
 
         def record_round(idxs, cap):
-            """Record the 4 streams for the given pair indices.
+            """Record the 4 streams for the given pair indices via the
+            fused single-machine-run path (+ phase-0 exact synthesis).
             Returns (streams[i] -> [4 streams], overflow[i])."""
-            sts = {i: [None] * 4 for i in idxs}
-            ovd = {}
             seeds = s1[np_.asarray(idxs, np_.int64)]
-            for mach, mates, slot in plan:
-                ss, ov = mach.record([mates[i] for i in idxs], seeds,
-                                     cap)
-                for k, i in enumerate(idxs):
-                    sts[i][slot] = ss[k]
-                    ovd[i] = ovd.get(i, False) or bool(ov[k])
-            return sts, ovd
+            return self._record_all(plan, idxs, seeds, cap)
 
         # Round 1: capped recordings of all four streams, one replay.
         import os as _os

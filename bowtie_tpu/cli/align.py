@@ -352,10 +352,8 @@ def main(argv=None) -> int:
             # and --pev2).  NOTE: --reportse alone does NOT select V2 —
             # the reference then runs V1, which ignores its SE sinks,
             # making the flag a no-op (aligner_0mm.h:309-321)
-            from ..align.best_factories import \
-                make_paired_best_aligner_v2
-            aligner = make_paired_best_aligner_v2(
-                g_fw, g_bw, refs, policy, mode=mode,
+            kw_v2 = dict(
+                mode=mode,
                 v=max(args.mismatches, 0), seed_mms=args.seedmms,
                 seed_len=args.seedlen, qual_cutoff=args.maqerr,
                 fw1=m1fw, fw2=m2fw, min_insert=args.minins,
@@ -365,7 +363,27 @@ def main(argv=None) -> int:
                 report_se=args.reportse, best_sink=args.strata,
                 global_seed=args.seed,
                 maxbts=args.maxbts if args.maxbts is not None else 800)
+            aligner = None
+            if (_device_pe_enabled(args) and not args.reportse
+                    and not os.environ.get("BOWTIE_TPU_HOST_ENGINE")):
+                # device path: the merged V2 driver records its stream
+                # on the lockstep machine; host replays the control
+                # loop byte-identically (align/pev2_device.py)
+                _enable_compile_cache()
+                from ..align.pev2_device import DevicePairedV2Aligner
+                try:
+                    aligner = DevicePairedV2Aligner(
+                        idx, idx_bw, refs, policy, **kw_v2)
+                    host_engine = False
+                except ValueError:
+                    aligner = None     # row-range limit: host engine
+            if aligner is None:
+                from ..align.best_factories import \
+                    make_paired_best_aligner_v2
+                aligner = make_paired_best_aligner_v2(
+                    g_fw, g_bw, refs, policy, **kw_v2)
         elif (_device_pe_enabled(args)
+              and idx.length < (1 << 31)
               and not (os.environ.get("BOWTIE_TPU_HOST_ENGINE")
                        or args.nofw or args.norc)):
             # PairedBWAlignerV1 with device-recorded anchor streams:
@@ -375,6 +393,7 @@ def main(argv=None) -> int:
             # Default on accelerators: ~70% of the host engine's time
             # is advance_branch (the anchor search the recorder
             # replaces); opt out with BOWTIE_TPU_DEVICE_PE=0.
+            _enable_compile_cache()
             from ..align.pe_device import DevicePairedBestAligner
             host_engine = False
             aligner = DevicePairedBestAligner(
@@ -513,11 +532,24 @@ def _build_se_aligner(args, idx, policy):
         else:
             _enable_compile_cache()
             from ..align.best_device import DeviceBestAligner
-            aligner = DeviceBestAligner(
-                idx, idx_bw, policy, v=args.mismatches,
-                strata=args.strata, all_hits=args.all,
-                nofw=args.nofw, norc=args.norc,
-                maq=not args.nomaqround, global_seed=args.seed)
+            try:
+                aligner = DeviceBestAligner(
+                    idx, idx_bw, policy, v=args.mismatches,
+                    strata=args.strata, all_hits=args.all,
+                    nofw=args.nofw, norc=args.norc,
+                    maq=not args.nomaqround, global_seed=args.seed)
+            except ValueError:       # row-range limit: host engine
+                host_engine = True
+                from ..align.best_factories import make_best_aligner
+                g_fw = golden_cached(args.ebwt_base, idx)
+                g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
+                aligner = make_best_aligner(
+                    g_fw, g_bw, args.mismatches, policy,
+                    strata=args.strata, all_hits=args.all,
+                    nofw=args.nofw, norc=args.norc,
+                    maq=not args.nomaqround, global_seed=args.seed,
+                    maxbts=args.maxbts if args.maxbts is not None
+                    else 800)
     elif args.mismatches == 0:
         _enable_compile_cache()
         from ..align.pipeline import ExactAligner
@@ -561,13 +593,29 @@ def _build_se_aligner(args, idx, policy):
         else:
             _enable_compile_cache()
             from ..align.best_device import DeviceBestAligner
-            aligner = DeviceBestAligner(
-                idx, idx_bw, policy, mode="n", seed_mms=args.seedmms,
-                seed_len=args.seedlen, qual_cutoff=args.maqerr,
-                strata=args.strata, all_hits=args.all,
-                nofw=args.nofw, norc=args.norc,
-                maq=not args.nomaqround, global_seed=args.seed,
-                maxbts=args.maxbts if args.maxbts is not None else 800)
+            try:
+                aligner = DeviceBestAligner(
+                    idx, idx_bw, policy, mode="n",
+                    seed_mms=args.seedmms,
+                    seed_len=args.seedlen, qual_cutoff=args.maqerr,
+                    strata=args.strata, all_hits=args.all,
+                    nofw=args.nofw, norc=args.norc,
+                    maq=not args.nomaqround, global_seed=args.seed,
+                    maxbts=args.maxbts if args.maxbts is not None
+                    else 800)
+            except ValueError:       # row-range limit: host engine
+                host_engine = True
+                from ..align.best_factories import \
+                    make_seeded_best_aligner
+                g_fw = golden_cached(args.ebwt_base, idx)
+                g_bw = golden_cached(args.ebwt_base + ".rev", idx_bw)
+                aligner = make_seeded_best_aligner(
+                    g_fw, g_bw, args.seedmms, args.seedlen,
+                    args.maqerr, policy, strata=args.strata,
+                    all_hits=args.all, nofw=args.nofw, norc=args.norc,
+                    maq=not args.nomaqround, global_seed=args.seed,
+                    maxbts=args.maxbts if args.maxbts is not None
+                    else 800)
     else:
         # default seeded Maq-like -n mode
         idx_bw = read_ebwt_cached(args.ebwt_base + ".rev")
