@@ -948,11 +948,19 @@ def _copy_outer_range(st, mask, prefix, cur_o):
 
 def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
     """sortActives on device over an id list `act` whose entries index
-    the given per-id arrays; returns updated (act, act_n, rng)."""
+    the given per-id arrays; returns updated (act, act_n, rng).
+
+    Small K (SE DAGs, nd <= 6) unrolls all 2K*(K-1) compare stages so
+    XLA fuses them into a few kernels.  Larger K (the paired-V2 merged
+    DAG, nd ~ 12 -> 264 stages) would explode XLA:CPU compile time
+    inside the machine's while_loop body, so the loops become
+    lax.fori_loops — same operation sequence (incl. every tie-break
+    RNG draw), bounded graph."""
     B = m.shape[0]
-    i = jnp.zeros((B,), jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, act.shape, 1)
-    for _t in range(2 * K):
+
+    def outer_body(carry, _t):
+        act, act_n, rng, i = carry
         run = m & (i < act_n)
         cur = _sel_col(act, jnp.clip(i, 0, K - 1))
         rm = run & (_sel_col(done2, cur) > 0) & \
@@ -964,7 +972,9 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
         sel = run & ~rm
         min_cost = _sel_col(min2, cur)
         min_off = i
-        for joff in range(1, K):
+
+        def inner_body(c2, joff):
+            act, act_n, rng, min_cost, min_off = c2
             j = i + joff
             vj = sel & (j < act_n)
             cj = _sel_col(act, jnp.clip(j, 0, act.shape[1] - 1))
@@ -979,6 +989,18 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
             take = less | (tiej & ((draw & 0x1000) > 0))
             min_cost = jnp.where(less, cost_j, min_cost)
             min_off = jnp.where(take, j, min_off)
+            return (act, act_n, rng, min_cost, min_off)
+
+        if K <= 6:
+            c2 = (act, act_n, rng, min_cost, min_off)
+            for joff in range(1, K):
+                c2 = inner_body(c2, jnp.int32(joff))
+            act, act_n, rng, min_cost, min_off = c2
+        else:
+            def ib(joff, c2):
+                return inner_body(c2, joff)
+            act, act_n, rng, min_cost, min_off = jax.lax.fori_loop(
+                1, K, ib, (act, act_n, rng, min_cost, min_off))
         do = sel & (min_off != i)
         vi = _sel_col(act, jnp.clip(i, 0, act.shape[1] - 1))
         vm = _sel_col(act, jnp.clip(min_off, 0, act.shape[1] - 1))
@@ -987,6 +1009,17 @@ def _sort_generic(m, act, act_n, done2, found2, min2, rng, K):
         act = jnp.where(do[:, None] & (cols == min_off[:, None]),
                         vi[:, None], act)
         i = jnp.where(sel, i + 1, i)
+        return (act, act_n, rng, i)
+
+    i0 = jnp.zeros((B,), jnp.int32)
+    carry = (act, act_n, rng, i0)
+    if K <= 6:
+        for _t in range(2 * K):
+            carry = outer_body(carry, _t)
+    else:
+        carry = jax.lax.fori_loop(
+            0, 2 * K, lambda t, c: outer_body(c, t), carry)
+    act, act_n, rng, _i = carry
     return act, act_n, rng
 
 
