@@ -416,6 +416,63 @@ CASES = [
                                   "2"]),
     ("long_dumps",     "fqlong", ["-v", "2", "--al", "AL", "--un",
                                   "UN"]),
+    # --- round-5 breadth additions (simple_tests.pl coverage push)
+    # --chunkmbs edges: a tiny pool forces the reference's chunk-pool
+    # exhaustion handling (ChunkPool, aligner.h:70-140); behavior must
+    # match under heavy -n 3 backtracking and under --best PE
+    ("chunkmbs_tiny",  "fq",    ["--chunkmbs", "1", "-n", "3", "-e",
+                                 "300"]),
+    ("chunkmbs_pe",    "pe",    ["--chunkmbs", "4", "-n", "2",
+                                 "--best"]),
+    # -F k,i continuous-FASTA x deeper modes
+    ("F_v2_k3",        "F",     ["-f", "-F", "28,13", "-v", "2",
+                                 "-k", "3"]),
+    ("F_n2_dumps",     "F",     ["-f", "-F", "22,9", "-n", "2",
+                                 "--al", "AL", "--un", "UN"]),
+    # --pairtries exhaustion under --best
+    ("pe_pairtries_best", "pe", ["-n", "2", "--best", "--pairtries",
+                                 "1"]),
+    # --pev2 x dumps / reporting policies
+    ("pev2_dumps",     "pe",    ["--pev2", "-v", "1", "--al", "AL",
+                                 "--un", "UN"]),
+    ("pev2_m2",        "pe",    ["--pev2", "-n", "1", "-m", "2"]),
+    ("pev2_strata",    "pe",    ["--pev2", "-n", "2", "--best",
+                                 "--strata", "-k", "2"]),
+    ("pev2_k2",        "pe",    ["--pev2", "-v", "1", "-k", "2"]),
+    # tryhard under -v mode
+    ("y_v2_k2",        "fq",    ["-y", "-v", "2", "-k", "2"]),
+    # -M sampling x SAM output (XM/XA fields + per-read seed)
+    ("sam_M_sampling", "fq",    ["-v", "1", "-M", "1", "--best", "-S",
+                                 "--seed", "9"]),
+    ("M3_v2",          "fq",    ["-v", "2", "-M", "3", "--best"]),
+    # quality scales x deeper modes
+    ("phred64_best",   "fq64",  ["--phred64-quals", "-n", "2",
+                                 "--best"]),
+    ("solexa_quals_old", "fq64", ["--solexa-quals", "-n", "2"]),
+    ("intq_v1",        "fqint", ["--integer-quals", "-v", "1"]),
+    # format x mode crosses
+    ("raw_n2",         "raw",   ["-r", "-n", "2"]),
+    ("fa_n1",          "fa",    ["-f", "-n", "1"]),
+    ("tab_best_m2",    "tab",   ["-n", "2", "--best", "-m", "2"]),
+    ("il_sam",         "il",    ["-v", "1", "-S"]),
+    # maxed->--un fallthrough WITHOUT --max (hit.h:1734-1750)
+    ("pe_un_fallthrough", "pe", ["-n", "1", "-m", "1", "--un", "UN"]),
+    # trimming: 3' only
+    ("trim3_only",     "fq",    ["-3", "4", "-v", "0"]),
+    # PE orientation x --best
+    ("pe_ff_best",     "pe",    ["--ff", "-n", "2", "--best"]),
+    ("pe_rf_v2_best",  "pe",    ["--rf", "-v", "2", "--best"]),
+    # seed-length floor (-l 5 is the reference minimum)
+    ("l_floor",        "fq",    ["-n", "1", "-l", "5", "-e", "200"]),
+    # both strand filters: nothing can align, summary must match
+    ("nofw_norc",      "fq",    ["-v", "1", "--nofw", "--norc"]),
+    # SAM PE shaping
+    ("sam_pe_fullref", "pe",    ["-n", "1", "-S", "--fullref"]),
+    # --seed determinism with -M under seeded mode
+    ("M1_seed123",     "fq",    ["-n", "2", "-M", "1", "--best",
+                                 "--seed", "123"]),
+    # multi-file PE + dumps (per-file dump splitting)
+    ("multifile_pe_dumps", "pe2", ["-n", "1", "--un", "UN"]),
 ]
 
 
